@@ -1,0 +1,85 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.functions.JsValues
+import graft.model.{ObservationRow, TaggedScalar}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.sql.Timestamp
+import java.time.{LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import scala.jdk.CollectionConverters._
+
+/** S1/S2 — stream scan + malformed-record filter.
+  *
+  * The reference pulls base64 JSON records off Kinesis via the KCL daemon and
+  * drops records that fail JSON.parse, logging and continuing
+  * (app/consumer/kcl_app.js:36-50). Here the transport is any Spark source
+  * that yields a string `value` column (file source, socket, Kafka/Kinesis
+  * connector in prod, MemoryStream in tests); parsing tags every data scalar
+  * with its JSON type so coercion (C4) can reproduce JS semantics exactly.
+  *
+  * Parsing runs as a typed flatMap per partition — one pass, no driver
+  * involvement, malformed rows dropped exactly like the reference (S2).
+  */
+object ObservationSource {
+
+  // Jackson is on Spark's own classpath; mapper is thread-safe after config.
+  @transient private lazy val om = new ObjectMapper()
+
+  private val dtFormats = Seq(
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]"),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]"))
+
+  private[graft] def parseDatetime(s: String): Option[Timestamp] = {
+    dtFormats.view.flatMap { f =>
+      try Some(Timestamp.from(LocalDateTime.parse(s, f).toInstant(ZoneOffset.UTC)))
+      catch { case _: Exception => None }
+    }.headOption
+  }
+
+  /** Render one JSON scalar node as a tagged scalar with JS-canonical lexeme. */
+  private def tag(n: JsonNode): TaggedScalar = {
+    if (n.isBoolean) TaggedScalar(if (n.asBoolean) "true" else "false", "boolean")
+    else if (n.isNumber) TaggedScalar(JsValues.jsNumberString(n.asDouble), "number")
+    else if (n.isTextual) TaggedScalar(n.asText, "string")
+    else TaggedScalar(n.toString, "string") // nested values: carried as text
+  }
+
+  /** Parse one observation JSON document; None = malformed (dropped, S2). */
+  def parseObservation(json: String): Option[ObservationRow] = {
+    try {
+      val root = om.readTree(json)
+      if (root == null || !root.isObject) return None
+      val data: Map[String, TaggedScalar] = Option(root.get("data")) match {
+        case Some(d) if d.isObject =>
+          // fields() iterates in document order; VectorMap preserves it so
+          // `pos` from posexplode matches JS object-key insertion order
+          // (semantic for dead-letter JSON and event results ordering).
+          scala.collection.immutable.VectorMap.from(
+            d.fields().asScala.map(e => e.getKey -> tag(e.getValue)))
+        case _ => Map.empty[String, TaggedScalar]
+      }
+      val dt = Option(root.get("datetime")).map(_.asText).flatMap(parseDatetime)
+      Some(ObservationRow(
+        network = Option(root.get("network")).map(_.asText).orNull,
+        node_id = Option(root.get("node_id")).map(_.asText).orNull,
+        meta_id = Option(root.get("meta_id")).map(_.asLong).getOrElse(0L),
+        datetime = dt.orNull,
+        sensor = Option(root.get("sensor")).map(_.asText).orNull,
+        data = data))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch/stream parse: DataFrame with a string `value` column →
+    * Dataset[ObservationRow]. Works identically on a streaming DataFrame. */
+  def parse(raw: DataFrame): Dataset[ObservationRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select("value").as[String].flatMap(parseObservation _)
+  }
+
+  /** Convenience: read newline-delimited JSON files as observations. */
+  def readJsonLines(spark: SparkSession, path: String): Dataset[ObservationRow] =
+    parse(spark.read.text(path).withColumnRenamed("value", "value"))
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.{Coerce, JsValues}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** C4 truth table — transcribed from the reference's coercion unit tests
+  * (tests/travis_tests/unit_tests.js:257-415): 5 observations × the camera
+  * feature's 4 types (bool, varchar, integer, float), including every error
+  * case, evaluated through the native Column chain.
+  */
+class CoerceSpec extends SparkSpec {
+
+  // (lex, jstype, ptype) -> expected (value, error)
+  val truthTable: Seq[((String, String, String), (String, Boolean))] = Seq(
+    // obs1: raw JSON number 1
+    (("1", "number", "bool"), ("true", false)),
+    (("1", "number", "varchar"), ("1", false)),
+    (("1", "number", "integer"), ("1", false)),
+    (("1", "number", "float"), ("1", false)),
+    // obs2: raw string "0"
+    (("0", "string", "bool"), ("false", false)),
+    (("0", "string", "varchar"), ("0", false)),
+    (("0", "string", "integer"), ("0", false)),
+    (("0", "string", "float"), ("0", false)),
+    // obs3: raw string "true"
+    (("true", "string", "bool"), ("true", false)),
+    (("true", "string", "varchar"), ("true", false)),
+    (("true", "string", "integer"), (null, true)),
+    (("true", "string", "float"), (null, true)),
+    // obs4: raw JSON boolean false
+    (("false", "boolean", "bool"), ("false", false)),
+    (("false", "boolean", "varchar"), ("false", false)),
+    (("false", "boolean", "integer"), (null, true)),   // parseInt(false) = NaN
+    (("false", "boolean", "float"), ("0", false)),     // Number(false) = 0
+    // obs5: raw JSON number 10
+    (("10", "number", "bool"), (null, true)),          // only 0/1 accepted
+    (("10", "number", "varchar"), ("10", false)),
+    (("10", "number", "integer"), ("10", false)),
+    (("10", "number", "float"), ("10", false)),
+    // extra JS-semantics pins
+    (("3.9", "string", "integer"), ("3", false)),      // parseInt("3.9") = 3
+    (("3.9", "number", "integer"), ("3", false)),
+    (("-3.9", "number", "integer"), ("-3", false)),
+    (("37.91", "number", "float"), ("37.91", false)),
+    (("NaN", "string", "float"), (null, true)),        // Number('NaN') is NaN
+    (("", "string", "float"), ("0", false)),           // Number('') = 0
+    (("TRUE", "string", "bool"), ("true", false)),
+    (("FaLsE", "string", "bool"), ("false", false)),
+    (("t", "string", "bool"), (null, true)),           // Spark cast would accept
+    (("yes", "string", "bool"), (null, true)),
+    (("2", "string", "bool"), (null, true)),
+    (("1.0", "number", "bool"), ("true", false)),      // 1.0 == '1' loosely
+    (("cumulonimbus", "string", "varchar"), ("cumulonimbus", false)),
+    (("90", "number", "float"), ("90", false)),
+    (("high", "string", "float"), (null, true)),
+    (("12abc", "string", "integer"), ("12", false)),   // parseInt leading digits
+    (("abc", "string", "integer"), (null, true)),
+    (("56.77", "number", "unknown_type"), (null, true)),
+    (("56.77", "number", null), (null, true)))
+
+  test("coercion truth table (Column chain)") {
+    import spark.implicits._
+    val in = truthTable.map { case ((lex, jt, pt), _) => (lex, jt, pt) }
+      .toDF("lex", "jstype", "ptype")
+    val out = in.select(
+        col("lex"), col("jstype"), col("ptype"),
+        Coerce.coerce(col("lex"), col("jstype"), col("ptype")).as("c"))
+      .select("lex", "jstype", "ptype", "c.value", "c.error")
+      .collect()
+    out.zip(truthTable).foreach { case (row, ((lex, jt, pt), (ev, ee))) =>
+      val gv = row.getString(3)
+      val ge = row.getBoolean(4)
+      assert(ge === ee, s"error flag for ($lex, $jt, $pt): got ($gv, $ge)")
+      if (!ee) assert(gv === ev, s"value for ($lex, $jt, $pt)")
+    }
+  }
+
+  test("coercion truth table (Scala twin agrees)") {
+    truthTable.foreach { case ((lex, jt, pt), (ev, ee)) =>
+      val (gv, ge) = Coerce.coerceScala(lex, jt, pt)
+      assert(ge === ee, s"scala error flag for ($lex, $jt, $pt)")
+      if (!ee) assert(gv === ev, s"scala value for ($lex, $jt, $pt)")
+    }
+  }
+
+  test("jsNumberString matches JS String(number) on representative values") {
+    assert(JsValues.jsNumberString(1.0) === "1")
+    assert(JsValues.jsNumberString(37.9) === "37.9")
+    assert(JsValues.jsNumberString(-3.0) === "-3")
+    assert(JsValues.jsNumberString(0.38) === "0.38")
+    assert(JsValues.jsNumberString(90.92) === "90.92")
+    assert(JsValues.jsNumberString(1e21) === "1e+21")
+  }
+
+  test("property: coercion is total — every input is coerced or errored") {
+    val genCase = for {
+      lex0 <- Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("1", "0", "true",
+        "false", "3.9", "", "NaN", "Infinity", "-2.5e3", "0x1F", "12abc"))
+      jt <- Gen.oneOf("string", "number", "boolean")
+      pt <- Gen.oneOf("varchar", "string", "int", "integer", "float",
+        "double", "double precision", "bool", "boolean", "mystery")
+    } yield (lex0, jt, pt)
+    (0 until 500).foreach { i =>
+      val (lex0, jt, pt) = genCase.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      // numbers/booleans always carry canonical lexemes
+      val lex = jt match {
+        case "number" => JsValues.jsNumber(lex0).map(JsValues.jsNumberString)
+          .getOrElse("1")
+        case "boolean" => if (lex0.length % 2 == 0) "true" else "false"
+        case _ => lex0
+      }
+      val (v, e) = Coerce.coerceScala(lex, jt, pt)
+      assert(e || v != null) // coerced-or-errored, never dropped
+    }
+  }
+
+  test("property: Column chain agrees with Scala twin") {
+    import spark.implicits._
+    val cases = (for {
+      lex <- Seq("1", "0", "true", "false", "TRUE", "3.9", "-3.9", "", " 42 ",
+        "abc", "12abc", "0x1F", "Infinity", "-Infinity", "NaN", "1e3", ".5",
+        "high", "cumulonimbus", "90.92")
+      jt <- Seq("string", "number", "boolean")
+      pt <- Seq("varchar", "integer", "float", "bool", "mystery")
+    } yield {
+      val l = jt match {
+        case "number" => JsValues.jsNumber(lex).filter(d => !d.isNaN)
+          .map(JsValues.jsNumberString).getOrElse("7")
+        case "boolean" => if (lex.length % 2 == 0) "true" else "false"
+        case _ => lex
+      }
+      (l, jt, pt)
+    }).distinct
+    val out = cases.toDF("lex", "jstype", "ptype")
+      .select(col("lex"), col("jstype"), col("ptype"),
+        Coerce.coerce(col("lex"), col("jstype"), col("ptype")).as("c"))
+      .select("lex", "jstype", "ptype", "c.value", "c.error").collect()
+    out.foreach { r =>
+      val (lex, jt, pt) = (r.getString(0), r.getString(1), r.getString(2))
+      val (sv, se) = Coerce.coerceScala(lex, jt, pt)
+      assert(r.getBoolean(4) === se, s"error mismatch ($lex, $jt, $pt)")
+      if (!se) assert(r.getString(3) === sv, s"value mismatch ($lex, $jt, $pt)")
+    }
+  }
+}
