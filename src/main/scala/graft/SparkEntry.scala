@@ -1,13 +1,306 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.catalog.MetadataCatalog
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §2/§7 and FIXTURES.md §4.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * have a DuckDB oracle in `oracleSql` (column names and types aligned).
+  * Approximate operators (LSH variants) are rows-only checked and verified
+  * against their exact twins in ScalaTest instead.
+  *
+  * == Determinism note (cross-engine hash matching) ==
+  * Spark and DuckDB accumulate doubles in different orders, so any output
+  * derived from large double sums is only determined to ~1e-5 absolute —
+  * and fixed-decimal data sits *exactly on* rounding boundaries, so
+  * `round(sum(...), 2)` can legally differ between engines. The queries
+  * therefore emit:
+  *  - sums of d-decimal data as exact recovered integers
+  *    (`round(sum*10^d) :: long` — error ≪ 0.5 ⇒ both engines identical);
+  *  - ratios of integers as floored basis points (`⌊10^4·p/q⌋` — exact
+  *    when the division is exact, strictly interior otherwise);
+  *  - thresholds as pure integer comparisons where possible;
+  *  - genuinely continuous values (cosine) as rounded doubles (boundary
+  *    collision probability ~1e-10, and both engines fold in index order).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's full observation pipeline (normalize →
+    * catalog join → coerce → route → feature split) over the events stream
+    * viewed as observations. Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = EventOps.tbl(spark, dir, "events")
+    val obs = events.select(
+      lit("events_network").as("network"),
+      col("user_id").cast("string").as("node_id"),
+      col("event_id").as("meta_id"),
+      col("ts").as("datetime"),
+      col("event_type").as("sensor"),
+      map(
+        lit("k"), struct(get_json_object(col("props"), "$.k").as("lex"),
+          lit("number").as("jstype")),
+        lit("value"), struct(
+          graft.functions.Coerce.jsNumberStringCol(col("value")).as("lex"),
+          lit("number").as("jstype"))).as("data"))
+    val catalog = MetadataCatalog.fromMaps(
+      sensorMap = Seq("click", "view", "purchase", "signup", "error").map {
+        t => t -> Map("k" -> s"metrics_$t.k", "value" -> s"metrics_$t.value")
+      }.toMap,
+      featureMap = Seq("click", "view", "purchase", "signup", "error").map {
+        t => s"metrics_$t" -> Seq("k" -> "integer", "value" -> "float")
+      }.toMap)
+    Pipeline.featureObservations(Pipeline.pairRelation(obs, catalog))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference operator inventory over `events` ---
+    "s2_parse" -> ((s, d) => EventOps.s2Parse(s, d)),
+    "p1_normalize" -> ((s, d) => EventOps.p1Normalize(s, d)),
+    "j1_validate" -> ((s, d) => EventOps.j1Validate(s, d)),
+    "j2_enrich" -> ((s, d) => EventOps.j2Enrich(s, d)),
+    "c4_coerce" -> ((s, d) => EventOps.c4Coerce(s, d)),
+    "r1_route" -> ((s, d) => EventOps.r1Route(s, d)),
+    "a1_unpivot" -> ((s, d) => EventOps.a1Unpivot(s, d)),
+    "k1_pivot" -> ((s, d) => EventOps.k1Pivot(s, d)),
+    "k2_deadletter" -> ((s, d) => EventOps.k2DeadLetter(s, d)),
+    "g1_alert_dedup" -> ((s, d) => EventOps.g1AlertDedup(s, d)),
+    "x2_stream_window" -> ((s, d) => EventOps.x2StreamWindow(s, d)),
+    // --- relational coverage over the star schema ---
+    "q1_agg" -> ((s, d) => StarOps.q1Agg(s, d)),
+    "q3_join" -> ((s, d) => StarOps.q3Join(s, d)),
+    "q5_region" -> ((s, d) => StarOps.q5Region(s, d)),
+    "w1_window" -> ((s, d) => StarOps.w1Window(s, d)),
+    "set_ops" -> ((s, d) => StarOps.setOps(s, d)),
+    "topk_orders" -> ((s, d) => StarOps.topkOrders(s, d)),
+    "s3_catalog_join" -> ((s, d) => StarOps.s3CatalogJoin(s, d)),
+    // --- dedup family over `documents` ---
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_minhash_sig" -> ((s, d) => TextOps.minhashSignatures(s, d)),
+    "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
+    "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
+    // --- text analysis ---
+    "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
+    "text_quality" -> ((s, d) => TextOps.textQuality(s, d)),
+    "text_langid" -> ((s, d) => TextOps.textLangId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(s, d)),
+    // --- similarity search over `embeddings` ---
+    "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
+    "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
+    "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
+    // --- multimodal metadata ---
+    "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)))
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle SQL (same parquet tables, bare table names)
+  // ---------------------------------------------------------------------------
+
+  private val kExpr = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  /** weakHash(s) rendered in DuckDB SQL (must mirror TextOps.weakHash). */
+  private def weakHashSql(s: String): String =
+    s"7*length($s) + 31*ascii($s) + 17*ascii($s[length($s):length($s)])" +
+      s" + list_sum([ascii($s[j:j]) for j in range(1, length($s)+1)])"
+
+  private val shinglesSql =
+    "list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])"
+
+  private def simhashSql: String = {
+    val bitSums = (0 until 16).map(j =>
+      s"CAST(SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+      .mkString(", ")
+    val combine = (0 until 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+       |h AS (SELECT doc_id, ${weakHashSql("s")} AS hv FROM t),
+       |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash16 FROM b""".stripMargin
+  }
+
+  private def minhashSql: String = {
+    val mins = TextOps.minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min(($a*hv + $b) % ${TextOps.MOD}) AS BIGINT) AS mh$i"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM d WHERE len(w) >= 3),
+       |h AS (SELECT doc_id, ${weakHashSql("s")} AS hv FROM sh)
+       |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_parse" ->
+      s"SELECT event_id, $kExpr AS k FROM events WHERE props IS NOT NULL",
+    "p1_normalize" ->
+      "SELECT event_id, lower(event_type) AS etype FROM events",
+    "j1_validate" ->
+      ("SELECT event_id, event_type FROM events " +
+        "WHERE event_type NOT IN ('click','view','purchase','signup')"),
+    "j2_enrich" ->
+      ("""SELECT e.event_id, e.event_type, split_part(v.fp, '.', 1) AS feature, """ +
+        """substr(v.fp, strpos(v.fp, '.') + 1) AS property """ +
+        """FROM events e JOIN (VALUES ('click','engagement.clicks'),""" +
+        """('view','engagement.views'),('purchase','commerce.purchases'),""" +
+        """('signup','growth.signups'),('error','reliability.errors')) """ +
+        """v(event_type, fp) ON e.event_type = v.event_type"""),
+    "c4_coerce" ->
+      (s"""SELECT event_id, k, k AS int_k, """ +
+        """CASE WHEN k = 1 THEN true WHEN k = 0 THEN false ELSE NULL END AS bool_k, """ +
+        """(k <> 0 AND k <> 1) AS bool_err, """ +
+        """CAST(trunc(value) AS BIGINT) AS int_value """ +
+        s"""FROM (SELECT event_id, $kExpr AS k, value FROM events)"""),
+    "r1_route" ->
+      (s"""SELECT event_type, """ +
+        """CAST(SUM(CASE WHEN k IN (0,1) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, """ +
+        """CAST(SUM(CASE WHEN k IN (0,1) THEN 0 ELSE 1 END) AS BIGINT) AS n_misfit """ +
+        s"""FROM (SELECT event_type, $kExpr AS k FROM events) GROUP BY event_type"""),
+    "a1_unpivot" ->
+      ("""SELECT l_orderkey, l_linenumber, """ +
+        """CAST(SUM(CASE WHEN l_quantity > 0.02 THEN 1 ELSE 0 END + """ +
+        """CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END + """ +
+        """CASE WHEN l_tax > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_props, """ +
+        """CAST(round(SUM(CASE WHEN l_quantity > 0.02 THEN l_quantity ELSE 0 END + """ +
+        """CASE WHEN l_discount > 0.02 THEN l_discount ELSE 0 END + """ +
+        """CASE WHEN l_tax > 0.02 THEN l_tax ELSE 0 END) * 100, 0) AS BIGINT) AS sum_props_c """ +
+        """FROM lineitem GROUP BY l_orderkey, l_linenumber """ +
+        """HAVING SUM(CASE WHEN l_quantity > 0.02 THEN 1 ELSE 0 END + """ +
+        """CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END + """ +
+        """CASE WHEN l_tax > 0.02 THEN 1 ELSE 0 END) > 0"""),
+    "k1_pivot" ->
+      ("""SELECT user_id, """ +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+          .mkString(", ") +
+        """ FROM events GROUP BY user_id"""),
+    "k2_deadletter" ->
+      (s"""SELECT event_id, '{"k":' || CAST(k AS VARCHAR) || '}' AS data """ +
+        s"""FROM (SELECT event_id, $kExpr AS k FROM events) WHERE k <> 0 AND k <> 1"""),
+    "g1_alert_dedup" ->
+      ("""SELECT user_id, min(ts) AS first_error_ts, count(*) AS n_errors """ +
+        """FROM events WHERE event_type = 'error' GROUP BY user_id"""),
+    "x2_stream_window" ->
+      ("""SELECT date_trunc('hour', ts) AS hour_start, event_type, """ +
+        """count(*) AS n, CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_c """ +
+        """FROM events GROUP BY 1, 2"""),
+    "q1_agg" ->
+      ("""SELECT l_returnflag, l_linestatus, """ +
+        """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, """ +
+        """CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_c, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) AS sum_disc_price_dm, """ +
+        """CAST(floor(10000.0 * round(sum(l_quantity), 0) / count(*)) AS BIGINT) AS avg_qty_bp, """ +
+        """CAST(floor(100.0 * round(sum(l_discount) * 100, 0) / count(*)) AS BIGINT) AS avg_disc_bp, """ +
+        """count(*) AS count_order """ +
+        """FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' """ +
+        """GROUP BY l_returnflag, l_linestatus"""),
+    "q3_join" ->
+      ("""SELECT o_orderkey, o_orderdate, o_orderpriority, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) AS revenue_dm """ +
+        """FROM lineitem JOIN orders ON l_orderkey = o_orderkey """ +
+        """JOIN customer ON o_custkey = c_custkey """ +
+        """WHERE c_mktsegment = 'BUILDING' """ +
+        """AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' """ +
+        """AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' """ +
+        """GROUP BY 1, 2, 3 """ +
+        """HAVING CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) > 1000000000"""),
+    "q5_region" ->
+      ("""SELECT n_name, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) AS revenue_dm """ +
+        """FROM lineitem """ +
+        """JOIN orders ON l_orderkey = o_orderkey """ +
+        """JOIN supplier ON l_suppkey = s_suppkey """ +
+        """JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey """ +
+        """JOIN nation ON s_nationkey = n_nationkey """ +
+        """JOIN region ON n_regionkey = r_regionkey """ +
+        """WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' """ +
+        """GROUP BY n_name"""),
+    "w1_window" ->
+      ("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate FROM ( """ +
+        """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, """ +
+        """row_number() OVER (PARTITION BY l_suppkey """ +
+        """ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn """ +
+        """FROM lineitem) WHERE rn = 1"""),
+    "set_ops" ->
+      ("""SELECT nationkey FROM ( """ +
+        """SELECT DISTINCT c_nationkey AS nationkey FROM customer """ +
+        """UNION SELECT DISTINCT s_nationkey FROM supplier) """ +
+        """EXCEPT SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0"""),
+    "topk_orders" ->
+      ("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders """ +
+        """ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""),
+    "s3_catalog_join" ->
+      ("""SELECT r_name, count(*) AS n_cust, """ +
+        """CAST(round(sum(c_acctbal) * 100, 0) AS BIGINT) AS sum_acctbal_c """ +
+        """FROM customer JOIN nation ON c_nationkey = n_nationkey """ +
+        """JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""),
+    "dedup_exact" ->
+      ("""SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, """ +
+        """count(*) AS n_copies FROM documents GROUP BY md5(text)"""),
+    "dedup_ngram_jaccard" ->
+      (s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d WHERE len(w) >= 3) """ +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
+        """CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / """ +
+        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp """ +
+        """FROM s a JOIN s b ON a.doc_id < b.doc_id """ +
+        """WHERE 2 * len(list_intersect(a.sh, b.sh)) >= """ +
+        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""),
+    "dedup_minhash_sig" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+    "text_tokens" ->
+      ("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, """ +
+        """CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, """ +
+        """CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words """ +
+        """FROM documents"""),
+    "text_quality" ->
+      ("""WITH d AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w FROM documents), """ +
+        """q AS (SELECT doc_id, nc, len(w) AS n, """ +
+        s"""len(list_filter(w, x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) AS ns FROM d) """ +
+        """SELECT doc_id, CAST(nc AS BIGINT) AS n_chars_m, CAST(n AS BIGINT) AS n_tokens, """ +
+        """CAST(floor(10000.0 * ns / n) AS BIGINT) AS stop_ratio_bp, """ +
+        """CAST(least(5000, n * 25) + floor(5000.0 * ns / n) AS BIGINT) AS quality_bp FROM q"""),
+    "text_langid" -> {
+      val scoreCols = TextOps.langMarkers.map { case (lang, ms) =>
+        s"len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, lang, $scoreCols FROM d),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id, lang AS lang_label, $pred AS lang_pred,
+         |CAST(best AS BIGINT) AS marker_hits FROM b""".stripMargin
+    },
+    "text_fingerprint" ->
+      (s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s, """ +
+        """generate_subscripts(string_split(text, ' '), 1) AS i FROM documents), """ +
+        s"""h AS (SELECT doc_id, i * (${weakHashSql("s")}) AS term FROM t) """ +
+        s"""SELECT doc_id, CAST(CAST(sum(term) AS BIGINT) % ${TextOps.FP_MOD} AS BIGINT) AS fingerprint """ +
+        """FROM h GROUP BY doc_id"""),
+    "sim_knn" ->
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +
+        """scored AS (SELECT q.q_id, e.vec_id, """ +
+        """list_dot_product(q.q_emb, e.emb) / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) AS c """ +
+        """FROM e JOIN q ON e.vec_id <> q.q_id), """ +
+        """ranked AS (SELECT q_id, vec_id, c, row_number() OVER """ +
+        """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
+        """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
+        """FROM ranked WHERE rank <= 5"""),
+    "sim_embed_neardup" ->
+      ("""WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings) """ +
+        """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, """ +
+        """round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim """ +
+        """FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id """ +
+        """WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9"""),
+    "mm_meta" ->
+      ("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, """ +
+        """CAST(ascii(text) AS BIGINT) AS first_byte, """ +
+        """CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels """ +
+        """FROM documents"""))
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * array<float>, label) — approximate-nearest-neighbor building blocks for
+  * a training-data pipeline.
+  *
+  * Baseline: brute-force cosine top-k (exact, broadcast the small query
+  * side, scan the corpus once — at 100 TB this is the "re-rank" stage).
+  * Scale path: sign-random-projection LSH bucketing (Charikar '02) that
+  * prunes the corpus to matching buckets before exact re-ranking.
+  *
+  * All arithmetic is double, folded in index order, so the DuckDB oracle
+  * (same fold order) produces bit-identical values before rounding.
+  */
+object SimilarityOps {
+
+  import EventOps.tbl
+
+  /** Σ aᵢ·bᵢ over two float arrays, computed in double, in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k: queries = vec_id < 10 (broadcast),
+    * corpus scanned once; per-query top-5 via window with deterministic
+    * tie-break. */
+  def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for SRP-LSH:
+    * unit-free integer weights derived from (plane, dim) by a splitmix-like
+    * mix — reproducible across engines and runs with no RNG object. */
+  private def planeWeight(plane: Int, dim: Column): Column = {
+    // reduce mod p before multiplying so the product stays well under 2^63
+    val x = ((dim + lit(plane * 1315423911L)) % lit(1000003L)) *
+      lit(2654435761L) % lit(1000003L)
+    (x % lit(2001L)) - lit(1000L) // pseudo-uniform in [-1000, 1000]
+  }
+
+  /** Sign-random-projection bucket id (nBits hyperplanes → integer bucket). */
+  def srpBucket(emb: Column, nBits: Int): Column =
+    (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeWeight(p, i).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: hash corpus + queries to SRP buckets, search only
+    * same-bucket candidates, exact cosine re-rank. Approximate (recall <1),
+    * so no SQL oracle — spec-verified against knnBruteForce instead. */
+  def knnLsh(spark: SparkSession, dir: String, k: Int = 5,
+      nBits: Int = 8): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+      .withColumn("bucket", srpBucket(col("embedding"), nBits))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val scored = emb.join(broadcast(queries),
+        emb("bucket") === queries("bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold — exact
+    * all-pairs formulation with a block-join guard (same label block) to
+    * bound the quadratic term; oracle-matched. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings").select(
+      col("vec_id"), col("embedding"), col("label"))
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage beyond the reference's streaming dataflow — the
+  * aggregate/join/window/set/sort operators a complete engine needs,
+  * over the TPC-H-ish star schema. Each has a DuckDB oracle.
+  *
+  * Plan-shape goals at 100 TB:
+  *  - dimension joins (region/nation/customer-side) broadcast;
+  *  - aggregations partial (map-side combine) before the shuffle;
+  *  - filters and column pruning pushed into the parquet scan;
+  *  - sorts only where semantics demand (top-k via TakeOrderedAndProject).
+  */
+object StarOps {
+
+  import EventOps.tbl
+
+  /** Q1-style full-scan aggregation: partial agg → 1 small shuffle. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        // exact-integer recovery of fixed-decimal sums (cents / 1e-4 units)
+        // so double accumulation order can't flip a rounding boundary —
+        // see the Determinism note in SparkEntry
+        round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
+        round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+          .as("sum_base_price_c"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+          .cast("long").as("sum_disc_price_dm"),
+        floor(lit(10000.0) * round(sum(col("l_quantity")), 0) / count(lit(1)))
+          .cast("long").as("avg_qty_bp"),
+        floor(lit(100.0) * round(sum(col("l_discount")) * 100, 0) / count(lit(1)))
+          .cast("long").as("avg_disc_bp"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style shipping-priority join: selective dimension side broadcast,
+    * fact-side filters pushed down; HAVING avoids LIMIT float-tie risk. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+        .cast("long").as("revenue_dm"))
+      .filter(col("revenue_dm") > 1000000000L) // revenue > 100,000.0000
+  }
+
+  /** Q5-style local-supplier volume: two broadcast dims + two fact joins,
+    * customer and supplier constrained to the same nation. */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val region = tbl(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = tbl(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = tbl(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val supp = tbl(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val li = tbl(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn")),
+        col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+        .cast("long").as("revenue_dm"))
+  }
+
+  /** Window function: latest shipment per supplier (rank-1 with full
+    * deterministic tie-break). */
+  def w1Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+    tbl(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+  }
+
+  /** Set operations: UNION then EXCEPT over nation keys. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = tbl(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    val excluded = tbl(spark, dir, "nation")
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("int").as("nationkey"))
+    c.union(s).distinct().exceptAll(excluded.distinct())
+  }
+
+  /** Sort + limit (top-k): stored column ordering — no float arithmetic —
+    * with key tie-break; plans as TakeOrderedAndProject, no global sort. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(20)
+
+  /** S3 — catalog scan + broadcast dimension join chain (customers per
+    * region through nation → region). */
+  def s3CatalogJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nation = tbl(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+    val region = tbl(spark, dir, "region")
+    tbl(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")) * 100, 0).cast("long").as("sum_acctbal_c"))
+  }
+}

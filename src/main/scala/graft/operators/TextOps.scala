@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the LLM-training-pipeline extension surface (task north star; public
+  * techniques: MinHash (Broder '97), SimHash (Charikar '02), shingle-based
+  * near-dup mining as in web-dedup literature).
+  *
+  * Everything is expression-level (codegen'd, no UDFs): tokenization via
+  * split, shingling via sequence+transform, hashing via an explicit integer
+  * hash (`weakHash`) chosen to be reproducible in ANSI SQL so the DuckDB
+  * oracle can verify signatures exactly.
+  *
+  * Scale: all per-document ops are embarrassingly parallel scans. The
+  * near-dup pair join is an inverted-index self-join on shingles — exact
+  * (no LSH recall loss) and shuffle-bounded by shingle frequency; at 100 TB
+  * add prefix filtering (PPJoin) and/or frequency capping before the join,
+  * and the MinHash-LSH variant below becomes the approximate fast path.
+  */
+object TextOps {
+
+  import EventOps.tbl
+
+  val MOD = 1000003L
+  val FP_MOD = 1000000007L
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 3-word shingles (distinct), order-preserving construction. */
+  def shingles(text: Column): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", slice(w, i, lit(3)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Deterministic integer hash of a string, reproducible in DuckDB SQL:
+    * 7*len + 31*ascii(first) + 17*ascii(last) + Σ ascii(chars).
+    * Weak by design — it is the shared hash base for minhash/simhash
+    * signatures that the oracle recomputes exactly. */
+  def weakHash(s: Column): Column =
+    lit(7L) * length(s) +
+      lit(31L) * ascii(s) +
+      lit(17L) * ascii(substring(s, -1, 1)) +
+      aggregate(split(s, ""), lit(0L), (acc, c) => acc + ascii(c))
+
+  // -------------------------------------------------------------------------
+  // Dedup family
+  // -------------------------------------------------------------------------
+
+  /** Exact dedup: canonical representative (min doc_id) + multiplicity per
+    * distinct text; md5 matches DuckDB's for cross-engine verification.
+    * Scale: single hash-shuffle on the text digest, map-side combinable. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
+    * self-join on shingles — exact, no recall loss; the scalable exact path
+    * (candidates bounded by shared-shingle pairs, counts aggregated before
+    * the size join). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("union_sz",
+        (col("sa.n_sh") + col("sb.n_sh") - col("common")).cast("long"))
+      // threshold as pure integer comparison (j >= 0.5 ⟺ 2·common >= union)
+      // and jaccard in floored basis points — no float boundary anywhere
+      .filter(col("common") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
+          .as("jaccard_bp"))
+  }
+
+  /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
+  val minhashParams: Seq[(Long, Long)] =
+    Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+
+  /** Per-document MinHash signature (4 hashes) — oracle-verifiable since
+    * H is the explicit weakHash. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .withColumn("hv", weakHash(col("s")))
+    val mhCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hv") + lit(b)) % MOD).as(s"mh$i")
+    }
+    sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** 16-bit SimHash over whitespace tokens with the same hash base. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("hv", weakHash(col("t")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when((shiftright(col("hv"), j) % 2) === 1, 1L).otherwise(-1L))
+        .as(s"b$j")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash16"))
+  }
+
+  /** MinHash-LSH banded candidate generation + exact Jaccard verify: the
+    * approximate-fast-path near-dup operator (2 bands × 2 rows over the
+    * 4-hash signature). Output shape matches dedupNgramJaccard but recall
+    * is probabilistic — verified by spec against the exact op, not by the
+    * SQL oracle. */
+  def lshNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+      .withColumn("band0", concat_ws("_", col("mh0"), col("mh1")))
+      .withColumn("band1", concat_ws("_", col("mh2"), col("mh3")))
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(
+        concat(lit("0|"), col("band0")),
+        concat(lit("1|"), col("band1")))).as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on the candidates only
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("da.sh"), col("db.sh"))).cast("long"))
+      .withColumn("union_sz",
+        size(array_union(col("da.sh"), col("db.sh"))).cast("long"))
+      .filter(col("common").cast("double") / col("union_sz") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
+          .as("jaccard_bp"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------------
+
+  /** Token counting: whitespace tokens, regex word tokens, distinct count. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+        .as("n_words"))
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality scoring: length/stopword-ratio heuristics in integer basis
+    * points (floored rationals — cross-engine exact; see Determinism note
+    * in SparkEntry). quality_bp = min(5000, 25·n_tokens) + ⌊5000·n_stop/n⌋:
+    * half length score (saturating at 200 tokens), half stopword ratio. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isin(stopwords.map(lit): _*)))
+      .cast("long")
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      nTok.as("n_tokens"),
+      floor(lit(10000.0) * nStop / nTok).cast("long").as("stop_ratio_bp"),
+      (least(lit(5000L), nTok * 25) +
+        floor(lit(5000.0) * nStop / nTok).cast("long")).as("quality_bp"))
+  }
+
+  /** Marker-word language ID heuristic with fixed priority order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "et", "des"))
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, w => w.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // later folds override earlier: en (folded last) wins ties, then de, es, fr
+    val predFixed = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, s)) => when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    tbl(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("lang_label"),
+      predFixed.as("lang_pred"), best.cast("long").as("marker_hits"))
+  }
+
+  /** Position-weighted document fingerprint (rolling-hash style):
+    * Σ_i (i+1) * H(token_i) mod FP_MOD. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val weighted = zip_with(t, sequence(lit(1), size(t)),
+      (tok, i) => i.cast("long") * weakHash(tok))
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      (aggregate(weighted, lit(0L), (acc, x) => acc + x) % FP_MOD)
+        .as("fingerprint"))
+  }
+}
