@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.catalog.MetadataCatalog
+import graft.functions.Coerce
+import graft.model.ObservationRow
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.GroupState
+
+/** G1 — the Apiary alert channel with blacklist dedup
+  * (app/mapper.js:429-489), as a keyed stateful streaming op.
+  *
+  * Reference semantics: at most one alert per sensor while blacklisted; a
+  * "resolve" once the discrepancy clears. (The reference also emits
+  * resolves for cold-cache false discrepancies — an artifact of its async
+  * cache refresh with no analogue here: the catalog re-resolves every
+  * micro-batch, so an observation is never judged against stale metadata.
+  * See SURVEY.md §3.2.)
+  *
+  * Status derivation is MAP-ONLY (per-record catalog probe + coercion via
+  * the pure-Scala coercion twin — exactly the reference's invalid_keys /
+  * coerce_types pair, app/mapper.js:192-243/411-419), so the blacklist
+  * `flatMapGroupsWithState` is the only stateful operator in the query —
+  * a requirement for chaining legality in Structured Streaming, and the
+  * scale-correct shape: the catalog is a broadcast-sized Map, the status
+  * pass is embarrassingly parallel.
+  */
+object Alerts {
+
+  /** Per-observation status row feeding the stateful op. */
+  case class ObsStatus(
+      sensor: String,
+      network: String,
+      alertType: String, // does_not_exist | invalid_key | null (clean)
+      messages: Seq[String])
+
+  /** Emitted alert-channel event (the HTTP POST payload analogue). */
+  case class AlertEvent(sensor: String, kind: String, messages: Seq[String])
+
+  /** Blacklist state per sensor. */
+  case class SensorState(blacklisted: Boolean)
+
+  /** Reference message synthesis (app/mapper.js:431-453), exact strings —
+    * including the reference's missing space before "from network". */
+  def doesNotExistMsg(sensor: String, network: String): String =
+    s"Sensor $sensor not found in sensor metadata for network $network. " +
+      "Please add this sensor."
+
+  def unknownKeysMsg(sensor: String, keys: Seq[String], network: String): String =
+    s"Received data from sensor $sensor with unknown key(s) ${keys.mkString(",")}" +
+      s"from network $network. Please update the keys and properties in this " +
+      "sensors metadata."
+
+  def coercionMsg(sensor: String, property: String, ptype: String,
+      value: String, jstype: String): String =
+    s"Property $property of sensor $sensor expected type $ptype and could " +
+      s"not correctly coerce value $value of type $jstype"
+
+  type SensorIndex = Map[String, Map[String, MetadataCatalog.Mapping]]
+
+  def sensorIndex(catalog: MetadataCatalog): SensorIndex =
+    catalog.mappings.groupBy(_.sensor)
+      .map { case (s, ms) => s -> ms.map(m => m.key -> m).toMap }
+
+  /** Per-record status: the reference's parse_data discrepancy check
+    * (invalid_keys ∪ coercion errors ∪ unknown sensor) in one pass over a
+    * prebuilt (broadcast-sized) sensor index. */
+  def statusOf(obs: ObservationRow, index: SensorIndex): ObsStatus = {
+    val sensor = Option(obs.sensor).map(_.toLowerCase).getOrElse("")
+    val mappings = index.getOrElse(sensor, Map.empty)
+    if (mappings.isEmpty)
+      return ObsStatus(sensor, obs.network, "does_not_exist",
+        Seq(doesNotExistMsg(sensor, obs.network)))
+    // normalized key iteration preserves insertion order (VectorMap source)
+    val entries = obs.data.toSeq.map { case (k, v) => k.toLowerCase -> v }
+    val unknown = entries.collect {
+      case (k, _) if !mappings.contains(k) => k }
+    val coercionErrs = entries.flatMap { case (k, v) =>
+      mappings.get(k).flatMap { m =>
+        val (_, err) = Coerce.coerceScala(v.lex, v.jstype, m.ptype)
+        if (err) Some(coercionMsg(sensor, m.property, m.ptype, v.lex, v.jstype))
+        else None
+      }
+    }
+    if (unknown.nonEmpty || coercionErrs.nonEmpty) {
+      val msgs =
+        (if (unknown.nonEmpty) Seq(unknownKeysMsg(sensor, unknown, obs.network))
+        else Nil) ++ coercionErrs
+      ObsStatus(sensor, obs.network, "invalid_key", msgs)
+    } else ObsStatus(sensor, obs.network, null, Nil)
+  }
+
+  /** Map-only status derivation over the observation stream. */
+  def observationStatuses(observations: Dataset[ObservationRow],
+      catalog: MetadataCatalog): Dataset[ObsStatus] = {
+    val spark = observations.sparkSession
+    import spark.implicits._
+    val index = sensorIndex(catalog) // tiny, ships in the task closure
+    observations.map(statusOf(_, index))
+  }
+
+  /** The blacklist transition: errors first, then cleans (deterministic
+    * within-batch order; matches the reference's sequential trace for
+    * one-observation batches). */
+  def transition(sensor: String, it: Iterator[ObsStatus],
+      state: GroupState[SensorState]): Iterator[AlertEvent] = {
+    val batch = it.toSeq
+    val errors = batch.filter(_.alertType != null)
+    val cleans = batch.filter(_.alertType == null)
+    var blacklisted = state.getOption.exists(_.blacklisted)
+    val out = scala.collection.mutable.ArrayBuffer[AlertEvent]()
+    if (errors.nonEmpty && !blacklisted) {
+      out += AlertEvent(sensor, "alert", errors.head.messages)
+      blacklisted = true
+    }
+    if (cleans.nonEmpty && blacklisted && errors.isEmpty) {
+      out += AlertEvent(sensor, "resolve", Nil)
+      blacklisted = false
+    }
+    state.update(SensorState(blacklisted))
+    out.iterator
+  }
+
+  /** Wire the stateful op over a (streaming or batch) status dataset. */
+  def alertStream(statuses: Dataset[ObsStatus]): Dataset[AlertEvent] = {
+    val spark = statuses.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    statuses.groupByKey(_.sensor)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(transition)
+  }
+}

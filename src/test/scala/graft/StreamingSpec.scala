@@ -1,0 +1,143 @@
+package graft
+
+import graft.streaming.{Alerts, StreamPipeline}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import scala.collection.mutable
+
+/** End-to-end streaming suite: the 8 canonical observations fed as JSON
+  * through a MemoryStream, asserting the reference integration truths
+  * (integration_tests.js:334-425) — 7 publisher events, 4 dead-letter rows,
+  * per-table wide rows — plus blacklist alert/resolve transitions.
+  */
+class StreamingSpec extends SparkSpec {
+
+  class CollectingSinks extends StreamPipeline.Sinks {
+    val wide = mutable.Map[(String, String), mutable.Buffer[Map[String, Any]]]()
+    val deadLetters = mutable.Buffer[(String, String, String)]() // network, node, json
+    val events = mutable.Buffer[String]()
+    val alerts = mutable.Buffer[Alerts.AlertEvent]()
+    def writeWide(network: String, feature: String, df: DataFrame, batchId: Long): Unit =
+      synchronized {
+        val buf = wide.getOrElseUpdate((network, feature), mutable.Buffer())
+        df.collect().foreach { r =>
+          buf += r.schema.fieldNames.zip(r.toSeq).toMap
+        }
+      }
+    def writeDeadLetter(df: DataFrame, batchId: Long): Unit = synchronized {
+      df.select("network", "node_id", "data").collect().foreach(r =>
+        deadLetters += ((r.getString(0), r.getString(1), r.getString(2))))
+    }
+    def writeEvents(df: DataFrame, batchId: Long): Unit = synchronized {
+      events ++= df.select("event_json").collect().map(_.getString(0))
+    }
+    def writeAlerts(df: Dataset[Alerts.AlertEvent], batchId: Long): Unit =
+      synchronized { alerts ++= df.collect() }
+  }
+
+  def obsJson(i: Int): String = {
+    // the 8 fixtures rendered as raw JSON documents (original casing/types)
+    val o = Fixtures.observations(i)
+    val data = o.data.map { case (k, v) =>
+      val vs = v.jstype match {
+        case "string" => "\"" + v.lex + "\""
+        case _ => v.lex
+      }
+      "\"" + k + "\":" + vs
+    }.mkString(",")
+    s"""{"network":"${o.network}","node_id":"${o.node_id}","meta_id":${o.meta_id},""" +
+      s""""datetime":"2017-01-01T00:00:00","sensor":"${o.sensor}","data":{$data}}"""
+  }
+
+  test("streaming end-to-end: 8 observations in order, one batch each") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val sinks = new CollectingSinks
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    // one micro-batch per observation, in order (the reference's sequential
+    // trace) — start queries once per batch with AvailableNow
+    (0 until 8).foreach { i =>
+      source.addData(obsJson(i))
+      val queries = StreamPipeline.start(
+        source.toDF().withColumnRenamed("value", "value"),
+        () => Fixtures.catalog, sinks, ckpt)
+      queries.foreach(_.awaitTermination(60000))
+    }
+
+    // K3: 7 publisher events
+    assert(sinks.events.size === 7)
+    assert(sinks.events.count(_.contains("\"node\":\"001\"")) === 2)
+    assert(sinks.events.exists(e =>
+      e.contains("\"node\":\"003\"") && e.contains("\"results\":{\"z\":90.92}")))
+
+    // K2: 4 dead-letter rows with exact JSON
+    assert(sinks.deadLetters.size === 4)
+    val dlByNode = sinks.deadLetters.map(d => d._2 -> d._3).toMap
+    assert(dlByNode("003") === """{"x1":56.77,"y1":32.11}""")
+    assert(dlByNode("005") === """{"temp":"high","humdrum":27.48}""")
+
+    // K1: wide tables routed per (network, feature)
+    assert(sinks.wide(("array_of_things_chicago", "magnetic_field")).size === 2)
+    assert(sinks.wide(("array_of_things_chicago", "computer_vision")).size === 2)
+    assert(sinks.wide(("internet_of_stuff_seattle", "temperature")).size === 1)
+    val n2 = sinks.wide(("array_of_things_chicago", "magnetic_field"))
+      .find(_("node_id") == "002").get
+    assert(n2("x") == null && n2("y") == 32.11 && n2("z") == 90.92)
+
+    // G1: alerts for hmc5883l (unknown keys), camera (coercion), htu21d
+    // (both), wubdb89 (does_not_exist); resolves for camera + htu21d when
+    // clean observations follow (obs7, obs8)
+    val alertsByKind = sinks.alerts.groupBy(_.kind)
+    val alertSensors = alertsByKind("alert").map(_.sensor).toSet
+    assert(alertSensors === Set("hmc5883l", "camera", "htu21d", "wubdb89"))
+    val resolveSensors = alertsByKind("resolve").map(_.sensor).toSet
+    assert(resolveSensors === Set("camera", "htu21d"))
+    // 5 error messages total across the 4 alerts (htu21d carries 2)
+    assert(alertsByKind("alert").map(_.messages.size).sum === 5)
+    val htu = alertsByKind("alert").find(_.sensor == "htu21d").get
+    assert(htu.messages.exists(_.contains("unknown key(s) humdrum")))
+    assert(htu.messages.exists(_.contains("could not correctly coerce value high")))
+    val wub = alertsByKind("alert").find(_.sensor == "wubdb89").get
+    assert(wub.messages.head.contains("not found in sensor metadata"))
+  }
+
+  test("blacklist transition: alert suppressed while blacklisted, re-alerts after resolve") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // pure transition-function check across simulated batches
+    val st = new TestGroupState(None)
+    def step(statuses: Alerts.ObsStatus*): Seq[Alerts.AlertEvent] =
+      Alerts.transition("s1", statuses.iterator, st).toSeq
+    val err = Alerts.ObsStatus("s1", "net", "invalid_key", Seq("m1"))
+    val ok = Alerts.ObsStatus("s1", "net", null, Nil)
+    assert(step(err).map(_.kind) === Seq("alert"))
+    assert(step(err) === Nil)                       // suppressed
+    assert(step(ok).map(_.kind) === Seq("resolve")) // clears
+    assert(step(ok) === Nil)                        // no spurious resolve
+    assert(step(err).map(_.kind) === Seq("alert"))  // re-alerts
+  }
+
+  /** Minimal GroupState stub for unit-testing the transition function. */
+  class TestGroupState(var value: Option[Alerts.SensorState])
+      extends org.apache.spark.sql.streaming.GroupState[Alerts.SensorState] {
+    def exists: Boolean = value.isDefined
+    def get: Alerts.SensorState = value.get
+    def getOption: Option[Alerts.SensorState] = value
+    def update(s: Alerts.SensorState): Unit = value = Some(s)
+    def remove(): Unit = value = None
+    def hasTimedOut: Boolean = false
+    def setTimeoutDuration(d: Long): Unit = ()
+    def setTimeoutDuration(d: String): Unit = ()
+    def setTimeoutTimestamp(t: Long): Unit = ()
+    def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+    def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+    def getCurrentWatermarkMs(): Long = 0L
+    def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}
