@@ -31,14 +31,21 @@ object SimilarityOps {
 
   /** Brute-force exact cosine top-k: queries = vec_id < 10 (broadcast),
     * corpus scanned once; per-query top-5 via window with deterministic
-    * tie-break. */
+    * tie-break.
+    *
+    * Norms are computed ONCE per vector (projected before the join) rather
+    * than per pair — same values (identical per-vector fold), 3× fewer
+    * folds. At 100 TB: normalize-and-store at ingest, making the scan a
+    * single fused dot product per pair. */
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -74,12 +81,14 @@ object SimilarityOps {
       nBits: Int = 8): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
       .withColumn("bucket", srpBucket(col("embedding"), nBits))
+      .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket"))
+        col("bucket"), col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries),
         emb("bucket") === queries("bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -94,11 +103,14 @@ object SimilarityOps {
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     val emb = tbl(spark, dir, "embeddings").select(
-      col("vec_id"), col("embedding"), col("label"))
+      col("vec_id"), col("embedding"), col("label"),
+      norm(col("embedding")).as("nrm")) // once per vector, not per pair
     emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos_sim",
+        dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos_sim"), 6).as("cos_sim"))

@@ -60,28 +60,60 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
-    * self-join on shingles — exact, no recall loss; the scalable exact path
-    * (candidates bounded by shared-shingle pairs, counts aggregated before
-    * the size join). */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via PPJoin-style
+    * prefix filtering (Xiao et al., WWW '08): rank each document's shingles
+    * in a global rare-first canonical order; a pair with jaccard ≥ t MUST
+    * share a shingle within each side's first (n − ⌈t·n⌉ + 1) ranked
+    * shingles, so the inverted-index self-join runs only over prefixes —
+    * hot shingles (this corpus has a ~30-word vocabulary, so 3-gram
+    * frequencies are huge) land at the tail and never explode the join.
+    * A size window (min ≥ t·max) prunes further; survivors are verified
+    * EXACTLY via full-array intersection. Exact output, no recall loss. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: the shingle arrays are reused by three plan subtrees (inverted
+    // index build + both sides of the verify join) — without the cache the
+    // HOF shingling is recomputed each time
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .cache()
+    val inv = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+      explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
+    // PPJoin prefix bound: any partner b has n_b ≥ t·n_a (size filter), so
+    // required overlap o ≥ ⌈t/(1+t)·(n_a+n_b)⌉ ≥ ⌈2t/(1+t)·n_a⌉ — prefix
+    // length n − ⌈2t/(1+t)·n⌉ + 1 (tighter than the naive n − ⌈t·n⌉ + 1)
+    val pfrac = 2 * threshold / (1 + threshold)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val prefixes = inv.join(freq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(pfrac) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("n_sh"), col("rk"), col("s"))
+      .cache()
+    // positional filter (PPJoin): the shared prefix element at ranks
+    // (ra, rb) caps the achievable overlap at min(na−ra, nb−rb)+1
+    val reqOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh")))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
+          least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) + 1
+            >= reqOverlap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("da.sh"), col("db.sh"))).cast("long"))
       .withColumn("union_sz",
-        (col("sa.n_sh") + col("sb.n_sh") - col("common")).cast("long"))
-      // threshold as pure integer comparison (j >= 0.5 ⟺ 2·common >= union)
-      // and jaccard in floored basis points — no float boundary anywhere
-      .filter(col("common") * 2 >= col("union_sz"))
+        (size(col("da.sh")) + size(col("db.sh"))).cast("long") - col("common"))
+      // at t=0.5 this is exact integer math (0.5·u is binary-exact), same
+      // as the oracle's 2·common >= union; jaccard in floored basis points
+      .filter(col("common") >= lit(threshold) * col("union_sz"))
       .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
           .as("jaccard_bp"))
@@ -138,9 +170,10 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on the candidates only
+    // exact verify on the candidates only (cached: used by both join sides)
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .cache()
     cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
