@@ -78,6 +78,12 @@ object SparkEntry {
     "set_ops" -> ((s, d) => StarOps.setOps(s, d)),
     "topk_orders" -> ((s, d) => StarOps.topkOrders(s, d)),
     "s3_catalog_join" -> ((s, d) => StarOps.s3CatalogJoin(s, d)),
+    "rollup_agg" -> ((s, d) => ExtraOps.rollupAgg(s, d)),
+    "semi_join" -> ((s, d) => ExtraOps.semiJoin(s, d)),
+    "asof_join" -> ((s, d) => ExtraOps.asofErrorSignup(s, d)),
+    "range_join" -> ((s, d) => ExtraOps.rangeJoinEvents(s, d)),
+    "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
+    "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
     // --- dedup family over `documents` ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -236,6 +242,38 @@ object SparkEntry {
         """CAST(round(sum(c_acctbal) * 100, 0) AS BIGINT) AS sum_acctbal_c """ +
         """FROM customer JOIN nation ON c_nationkey = n_nationkey """ +
         """JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""),
+    "rollup_agg" ->
+      ("""SELECT l_returnflag, l_linestatus, """ +
+        """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, count(*) AS n """ +
+        """FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+    "semi_join" ->
+      ("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ( """ +
+        """SELECT o_custkey FROM orders """ +
+        """WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' """ +
+        """AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')"""),
+    "asof_join" ->
+      ("""SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts, """ +
+        """epoch_us(e.ts) - epoch_us(s.ts) AS gap_us """ +
+        """FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e """ +
+        """ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s """ +
+        """ON e.user_id = s.user_id AND e.ts >= s.ts"""),
+    "range_join" ->
+      ("""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b, """ +
+        """abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us """ +
+        """FROM events a JOIN events b ON a.user_id = b.user_id """ +
+        """AND a.event_id < b.event_id """ +
+        """AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000"""),
+    "sql_q6" ->
+      ("""SELECT CAST(round(sum(l_extendedprice * l_discount) * 10000, 0) AS BIGINT) """ +
+        """AS revenue_dm FROM lineitem """ +
+        """WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' """ +
+        """AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' """ +
+        """AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    "udaf_wavg" ->
+      ("""SELECT l_returnflag, """ +
+        """CAST(floor(100.0 * round(sum(l_extendedprice * l_quantity) * 100, 0) """ +
+        """/ round(sum(l_quantity), 0)) AS BIGINT) AS wavg_cc """ +
+        """FROM lineitem GROUP BY l_returnflag"""),
     "dedup_exact" ->
       ("""SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, """ +
         """count(*) AS n_copies FROM documents GROUP BY md5(text)"""),

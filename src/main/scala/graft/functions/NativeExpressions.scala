@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot scalar kernels.
+  *
+  * The expression-level formulations (aggregate/zip_with lambdas) are
+  * correct but interpreted per element — a lambda dispatch per character /
+  * per vector component. These expressions generate a tight Java loop via
+  * a static kernel call inside whole-stage codegen (no CodegenFallback, so
+  * the surrounding stage keeps codegen), producing IDENTICAL values to the
+  * lambda formulations (same fold order, same arithmetic).
+  */
+object Kernels {
+
+  /** weakHash kernel — must stay value-identical to TextOps.weakHash and
+    * the DuckDB oracle rendering: 7·len + 31·first + 17·last + Σ chars
+    * (char-code based; corpus is ASCII so bytes == chars == code points). */
+  def weakHash(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += str.charAt(i).toLong; i += 1 }
+    7L * n + 31L * str.charAt(0) + 17L * str.charAt(n - 1) + sum
+  }
+
+  /** Σ aᵢ·bᵢ over two float arrays in double, index order — identical to
+    * aggregate(zip_with(a, b, _*_), 0.0, _+_) on equal-length inputs. */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+}
+
+/** weak_hash(string) → long, codegen'd via a static kernel call. */
+case class WeakHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.weakHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.weakHash($c)")
+  override protected def withNewChildInternal(c: Expression): WeakHashExpr = copy(c)
+}
+
+/** dot_ff(array<float>, array<float>) → double, codegen'd. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotFF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+object NativeFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def weak_hash(c: Column): Column =
+    ColumnBridge.column(WeakHashExpr(ColumnBridge.expression(c)))
+  def dot_ff(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register as SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_weak_hash", exprs => WeakHashExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_weak_hash"),
+      new ExpressionInfo(classOf[WeakHashExpr].getName, "graft_weak_hash"),
+      (exprs: Seq[Expression]) => WeakHashExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each left row, attach the most recent right
+  * row with the same key and right.time <= left.time.
+  *
+  * Spark has no native as-of join; rather than a custom SparkPlan, this
+  * composes built-ins the way a sort-merge as-of executes anyway:
+  * union-tag both sides, one shuffle by key, sort by (time, side) within
+  * key, and carry the latest right payload forward with last(ignoreNulls)
+  * over the running window. One shuffle + one sort — the same cost profile
+  * as a dedicated as-of operator, with Catalyst handling spill/codegen.
+  *
+  * Ties (right.time == left.time) match, mirroring ASOF JOIN >= semantics
+  * (right side sorts before left at equal timestamps).
+  */
+object AsOfJoin {
+
+  /** @param left       fact side (keeps all its columns)
+    * @param right      lookup side
+    * @param key        equi-key column name present on both sides
+    * @param leftTime   event-time column on left
+    * @param rightTime  event-time column on right
+    * @param rightCols  right columns to carry (renamed as given)
+    * @param inner      drop left rows with no prior right match
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Map[String, String], inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(c => col(c)) ++
+        rightCols.values.toSeq.map(c => lit(null).cast(
+          right.schema(rightCols.find(_._2 == c).get._1).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
+    val unioned = l.unionByName(r)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.values.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val res = carried.filter(col("_side") === 1)
+      .withColumnRenamed("_k", key)
+      .drop("_t", "_side")
+    if (inner) res.filter(rightCols.values.map(col(_).isNotNull).reduce(_ && _))
+    else res
+  }
+}

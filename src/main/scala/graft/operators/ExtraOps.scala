@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Additional relational coverage: rollup, semi-join, as-of join, range
+  * (interval) join, SQL-API entry, and a custom typed Aggregator — the
+  * operator categories a complete engine offers beyond the reference's
+  * streaming dataflow. All oracle-checked.
+  */
+object ExtraOps {
+
+  import EventOps.tbl
+
+  /** ROLLUP aggregation (grouping sets): subtotals + grand total. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Left-semi join: customers having ≥1 order in 1998 (EXISTS). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord98 = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    tbl(spark, dir, "customer")
+      .join(ord98, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** As-of join: each error event matched to the user's most recent
+    * signup at-or-before it; gap in exact microseconds. */
+  def asofErrorSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts0"))
+    AsOfJoin.asof(errors, signups, key = "user_id",
+        leftTime = "ts", rightTime = "signup_ts0",
+        rightCols = Map("signup_ts0" -> "signup_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("gap_us"))
+  }
+
+  /** Range (interval) self-join: ordered event pairs of the same user
+    * within 60 seconds. Scalable shape: bucket time into 60 s cells, join
+    * on (user, cell) with the left side exploded to 3 adjacent cells —
+    * candidates ⊇ true pairs, each found exactly once, then exact filter.
+    * No quadratic per-user blowup beyond the true neighborhood. */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")).cast("long")).as("us"))
+      .withColumn("cell", expr("us div 60000000"))
+    val a = ev.select(col("user_id").as("u"), col("event_id").as("event_a"),
+        col("us").as("us_a"), explode(array(col("cell") - 1, col("cell"),
+          col("cell") + 1)).as("cell"))
+    val b = ev.select(col("user_id").as("u"), col("event_id").as("event_b"),
+      col("us").as("us_b"), col("cell"))
+    a.join(b, Seq("u", "cell"))
+      .filter(col("event_a") < col("event_b") &&
+        abs(col("us_a") - col("us_b")) <= 60000000L)
+      .select(col("u").as("user_id"), col("event_a"), col("event_b"),
+        abs(col("us_a") - col("us_b")).as("gap_us"))
+  }
+
+  /** SQL-API entry (TPC-H Q6 shape): revenue from discounted small lots —
+    * exercises spark.sql + temp views end to end. */
+  def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT CAST(round(sum(l_extendedprice * l_discount) * 10000, 0) AS LONG)
+        |  AS revenue_dm
+        |FROM lineitem_v
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |""".stripMargin)
+  }
+
+  /** Custom typed Aggregator: quantity-weighted average extended price.
+    * Buffer = (Σ price·qty, Σ qty); finish recovers exact integer cents
+    * then emits hundredth-of-cent units (cross-engine exact). Input rows
+    * are (returnflag, price, qty); the key is handled by groupByKey. */
+  object WeightedAvgPrice
+      extends Aggregator[(String, Double, Double), (Double, Double), Long] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (String, Double, Double)): (Double, Double) =
+      (b._1 + a._2 * a._3, b._2 + a._3)
+    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(b: (Double, Double)): Long = {
+      val cents = Math.round(b._1 * 100).toDouble // exact integer recovery
+      Math.floor(100.0 * cents / Math.round(b._2)).toLong
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** The Aggregator applied per return flag (typed groupByKey path). */
+  def weightedAvgPrice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tbl(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .agg(WeightedAvgPrice.toColumn.name("wavg_cc"))
+      .toDF("l_returnflag", "wavg_cc")
+  }
+}

@@ -20,8 +20,13 @@ object SimilarityOps {
 
   import EventOps.tbl
 
-  /** Σ aᵢ·bᵢ over two float arrays, computed in double, in index order. */
+  /** Σ aᵢ·bᵢ over two float arrays, computed in double, in index order —
+    * the native codegen kernel (DotProductExpr). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.dot_ff(a, b)
+
+  /** Lambda-expression twin of [[dot]] — kept for kernel cross-validation. */
+  def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -41,8 +41,14 @@ object TextOps {
   /** Deterministic integer hash of a string, reproducible in DuckDB SQL:
     * 7*len + 31*ascii(first) + 17*ascii(last) + Σ ascii(chars).
     * Weak by design — it is the shared hash base for minhash/simhash
-    * signatures that the oracle recomputes exactly. */
-  def weakHash(s: Column): Column =
+    * signatures that the oracle recomputes exactly. Evaluated by the
+    * native codegen kernel (WeakHashExpr); the expression-level twin below
+    * pins value identity in specs. */
+  def weakHash(s: Column): Column = graft.functions.NativeFunctions.weak_hash(s)
+
+  /** Lambda-expression twin of [[weakHash]] (interpreted HOFs) — kept for
+    * cross-validation of the native kernel. */
+  def weakHashLambda(s: Column): Column =
     lit(7L) * length(s) +
       lit(31L) * ascii(s) +
       lit(17L) * ascii(substring(s, -1, 1)) +
