@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.WindowedStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, k: String, v: Double)
+
+/** Event-time semantics under a real streaming execution: watermark
+  * finalization, late-data dropping, session merging, dedup state. */
+class WindowedStreamsSpec extends SparkSpec {
+
+  def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("tumbling windows with watermark drop late data (append mode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = WindowedStreams.tumbling(src.toDF(), "ts", "k", "v",
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumb")
+      .outputMode("append").start()
+    try {
+      // batch 1: events in the 10:00 and 10:10 windows
+      src.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 2.0), Ev(t(11), "a", 4.0))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past 10:10 window end
+      src.addData(Ev(t(40), "a", 8.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the long-closed 10:00 window → dropped
+      src.addData(Ev(t(3), "a", 100.0))
+      q.processAllAvailable()
+      // batch 4: nudge watermark so finalized state flushes
+      src.addData(Ev(t(55), "a", 16.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tumb").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getLong(3)))
+        .toSet
+      // 10:00 window finalized with ONLY the on-time events (1+2, not 100)
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 300L)), rows)
+      assert(rows.contains(("2024-01-01 10:10:00.0", 1L, 400L)), rows)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = WindowedStreams.sessions(src.toDF(), "ts", "k",
+      "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two bursts separated by > gap → two sessions for key a
+      src.addData(Ev(t(0), "a", 1), Ev(t(2), "a", 1), Ev(t(4), "a", 1),
+        Ev(t(20), "a", 1), Ev(t(21), "a", 1))
+      q.processAllAvailable()
+      src.addData(Ev(t(59), "z", 1)) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess WHERE k = 'a'").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+      assert(rows.toSet === Set(
+        ("2024-01-01 10:00:00.0", 3L),
+        ("2024-01-01 10:20:00.0", 2L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses within-watermark duplicates") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = WindowedStreams.dedup(src.toDF(), "ts", "10 minutes",
+      Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      src.addData(Ev(t(1), "a", 1), Ev(t(1), "a", 1), Ev(t(2), "b", 1))
+      q.processAllAvailable()
+      src.addData(Ev(t(1), "a", 1)) // cross-batch duplicate, still in state
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("sliding windows assign one event to len/slide windows") {
+    // batch-mode check of assignment arithmetic (no state needed)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Ev(t(7), "a", 1.0)).toDF()
+    val out = WindowedStreams.sliding(df, "ts", "k", "10 minutes",
+      "5 minutes", "1 minute")
+    val starts = out.collect().map(_.getTimestamp(0).toString).sorted
+    assert(starts === Array("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+  }
+}
