@@ -84,6 +84,9 @@ object SparkEntry {
     "range_join" -> ((s, d) => ExtraOps.rangeJoinEvents(s, d)),
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
     "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
+    "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
+    "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
+    "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
     // --- dedup family over `documents` ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -274,6 +277,17 @@ object SparkEntry {
         """CAST(floor(100.0 * round(sum(l_extendedprice * l_quantity) * 100, 0) """ +
         """/ round(sum(l_quantity), 0)) AS BIGINT) AS wavg_cc """ +
         """FROM lineitem GROUP BY l_returnflag"""),
+    "topk_per_key" ->
+      ("""SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, price, id FROM ( """ +
+        """SELECT l_suppkey, l_extendedprice AS price, """ +
+        """l_orderkey * 100 + l_linenumber AS id, """ +
+        """row_number() OVER (PARTITION BY l_suppkey """ +
+        """ORDER BY l_extendedprice DESC, l_orderkey * 100 + l_linenumber) AS rn """ +
+        """FROM lineitem) WHERE rn <= 3"""),
+    "salted_agg" ->
+      ("""SELECT user_id, count(*) AS n, """ +
+        """CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_c """ +
+        """FROM events GROUP BY user_id"""),
     "dedup_exact" ->
       ("""SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, """ +
         """count(*) AS n_copies FROM documents GROUP BY md5(text)"""),

@@ -104,6 +104,46 @@ object ExtraOps {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
+  /** Per-key top-k via the BoundedTopK TypedImperativeAggregate: top-3
+    * lineitems by extended price per supplier — map-side k-bounded heaps
+    * instead of a full per-key sort (see BoundedTopK). Output exploded to
+    * (suppkey, rank, price, id) rows for oracle comparison. */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        col("l_extendedprice"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("id"))
+    li.groupBy("l_suppkey")
+      .agg(graft.functions.BoundedTopK.topk(3, col("l_extendedprice"),
+        col("id")).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("price"), col("col.id").as("id"))
+  }
+
+  /** Skew-safe two-phase (salted) aggregation: identical result to a
+    * direct groupBy — demonstrated over the events table whose 15 user
+    * keys are maximally hot. Phase 1 aggregates (key, salt) partials;
+    * phase 2 combines per key. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value")).as("pv"))
+      .groupBy("user_id")
+      .agg(sum(col("pn")).cast("long").as("n"),
+        round(sum(col("pv")) * 100, 0).cast("long").as("sum_value_c"))
+
+  /** HLL sketch distinct counts (approx_count_distinct) next to exact —
+    * approximate across engines, so spec-checked for relative error
+    * rather than oracle-hashed. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   /** The Aggregator applied per return flag (typed groupByKey path). */
   def weightedAvgPrice(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

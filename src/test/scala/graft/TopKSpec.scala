@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.BoundedTopK
+import graft.operators.ExtraOps
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("BoundedTopK ships partial (map-side) aggregates — ObjectHashAggregate x2") {
+    val df = ExtraOps.topkPerKey(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial + final object hash aggregate = k-bounded heaps combine
+    // map-side before the shuffle (the scale contract of this operator)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("BoundedTopK equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("id"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("id"))
+    val windowed = li.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_suppkey"), col("rank").cast("long").as("rank"),
+        col("l_extendedprice").as("price"), col("id"))
+    val agg = ExtraOps.topkPerKey(spark, dir)
+    assert(agg.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(agg).count() === 0)
+  }
+
+  test("BoundedTopK buffer: insert/merge/tie-break unit semantics") {
+    val b1 = new BoundedTopK.Buffer(2)
+    b1.insert(1.0, 10); b1.insert(5.0, 20); b1.insert(3.0, 30)
+    assert(b1.sortedEntries.toSeq === Seq((5.0, 20L), (3.0, 30L)))
+    val b2 = new BoundedTopK.Buffer(2)
+    b2.insert(5.0, 15) // same score as b1's best, lower id wins tie
+    b2.insert(0.5, 40)
+    b1.insert(5.0, 15)
+    assert(b1.sortedEntries.toSeq === Seq((5.0, 15L), (5.0, 20L)))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = ExtraOps.approxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val salted = ExtraOps.saltedAgg(spark, dir)
+    val direct = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100, 0).cast("long").as("sum_value_c"))
+    assert(salted.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(salted).count() === 0)
+  }
+}
