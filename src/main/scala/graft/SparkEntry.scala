@@ -101,6 +101,7 @@ object SparkEntry {
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
+    "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     // --- multimodal metadata ---
     "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)))

@@ -69,8 +69,21 @@ object Coerce {
   /** Full coercion: (lex, jstype, ptype) → struct<value string, error boolean>.
     * `error=true` ⇒ `value` holds nothing useful; the router (R1) sends the
     * ORIGINAL pair to the dead-letter sink. Unknown/null ptype is an error
-    * (mapper.js:233-239). */
+    * (mapper.js:233-239).
+    *
+    * Evaluated by the native CoerceExpr (regex-free codegen kernel); the
+    * when/otherwise chain below ([[coerceChain]]) is the reference
+    * formulation, spec-pinned value-identical. */
   def coerce(lex: Column, jstype: Column, ptype: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CoerceExpr(
+      ColumnBridge.expression(lex),
+      ColumnBridge.expression(jstype),
+      ColumnBridge.expression(ptype)))
+  }
+
+  /** Column-chain formulation of [[coerce]] (built-ins only). */
+  def coerceChain(lex: Column, jstype: Column, ptype: Column): Column = {
     val isStr = jstype === "string"
     val isNum = jstype === "number"
     val isBool = jstype === "boolean"

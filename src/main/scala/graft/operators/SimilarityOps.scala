@@ -102,6 +102,48 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-style ANN: deterministic coarse quantizer (the first nCentroids
+    * vectors serve as centroids — a production system would k-means these),
+    * corpus assigned to its nearest cell, queries probe the nProbe nearest
+    * cells, exact cosine re-rank inside the probed cells.
+    *
+    * Scale path: the assignment pass is one broadcast join over the corpus;
+    * the search touches ~nProbe/nCentroids of the data. Approximate, so no
+    * SQL oracle — spec-verified per-pair against the exact cosine. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"),
+        col("nrm"))
+    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(probes, "q_id")
+    val scored = cells.join(broadcast(queries),
+        cells("cell") === queries("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — exact
     * all-pairs formulation with a block-join guard (same label block) to
     * bound the quadratic term; oracle-matched. */

@@ -116,6 +116,21 @@ class CoerceSpec extends SparkSpec {
     }
   }
 
+  test("native CoerceExpr agrees with the Column chain on the truth table") {
+    import spark.implicits._
+    val in = truthTable.map { case ((lex, jt, pt), _) => (lex, jt, pt) }
+      .toDF("lex", "jstype", "ptype")
+    val out = in.select(
+        Coerce.coerce(col("lex"), col("jstype"), col("ptype")).as("n"),
+        Coerce.coerceChain(col("lex"), col("jstype"), col("ptype")).as("c"))
+      .select("n.value", "n.error", "c.value", "c.error")
+      .collect()
+    out.foreach { r =>
+      assert(r.getBoolean(1) === r.getBoolean(3))
+      assert(r.getString(0) === r.getString(2))
+    }
+  }
+
   test("property: Column chain agrees with Scala twin") {
     import spark.implicits._
     val cases = (for {

@@ -54,6 +54,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("IVF knn: every returned neighbor carries its true exact cosine") {
+    val bfAll = SimilarityOps.knnBruteForce(spark, dir, k = 499)
+      .select("q_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SimilarityOps.knnIvf(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // the IVF result must quote the same cosine the exact op computes
+      assert(bfAll.contains(key), s"pair $key not a valid corpus pair")
+      assert(math.abs(bfAll(key) - r.getDouble(2)) < 1e-9)
+    }
+    // every query that probed non-empty cells returns k results
+    val perQ = ivf.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perQ.foreach { case (q, n) => assert(n <= 5 && n > 0, s"q=$q n=$n") }
+  }
+
   test("multimodal batch decode: deterministic metadata through mapPartitions") {
     val meta = Multimodal.decodeBatch(Multimodal.withPayload(spark, dir))
     val rows = meta.collect()
