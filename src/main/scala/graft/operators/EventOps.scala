@@ -112,11 +112,11 @@ object EventOps {
     * regroup), restated over lineitem's measure columns. */
   def a1Unpivot(spark: SparkSession, dir: String): DataFrame = {
     val li = tbl(spark, dir, "lineitem")
+    // stack() generates rows without building an intermediate map per input
+    // row (same relation as posexplode(map(...)), codegen-friendlier)
     li.select(col("l_orderkey"), col("l_linenumber"),
-        posexplode(map(
-          lit("quantity"), col("l_quantity"),
-          lit("discount"), col("l_discount"),
-          lit("tax"), col("l_tax"))))
+        expr("stack(3, 'quantity', l_quantity, 'discount', l_discount, " +
+          "'tax', l_tax) AS (key, value)"))
       .filter(col("value") > 0.02)
       .groupBy("l_orderkey", "l_linenumber")
       .agg(count(lit(1)).as("n_props"),
