@@ -306,7 +306,8 @@ object SparkEntry {
     "text_tokens" ->
       ("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, """ +
         """CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, """ +
-        """CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words """ +
+        """CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words, """ +
+        s"""CAST(len(regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens """ +
         """FROM documents"""),
     "text_quality" ->
       ("""WITH d AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w FROM documents), """ +

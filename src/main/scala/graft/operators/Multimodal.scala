@@ -51,6 +51,61 @@ object Multimodal {
       }
   }
 
+  /** Extracted feature vector (a decoder would emit e.g. CLIP embeddings).
+    * STUB: deterministic 8-dim histogram of byte value buckets — the real
+    * contract is the shape: bytes in, fixed-width Array[Float] out, batch
+    * iteration, no shuffle. */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  def fakeFeatures(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1f; i += 1 }
+    val n = math.max(bytes.length, 1).toFloat
+    MediaFeatures(docId, hist.map(_ / n))
+  }
+
+  def featureExtractBatch(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => fakeFeatures(id, b) })
+  }
+
+  /** Resize: a real decoder would decode→scale→re-encode; the STUB keeps
+    * the byte-in/byte-out contract with a deterministic downsample (every
+    * k-th byte) plus the target dimensions in metadata. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  def fakeResize(docId: Long, bytes: Array[Byte], w: Int, h: Int): ResizedMedia = {
+    val stride = math.max(1, bytes.length / math.max(1, w * h))
+    ResizedMedia(docId, w, h, bytes.indices.by(stride).map(bytes).toArray)
+  }
+
+  def resizeBatch(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => fakeResize(id, b, w, h) })
+  }
+
+  /** Frame sampling: a video payload yields N frames (1 row → N rows, the
+    * generator shape). STUB frames are deterministic byte slices. */
+  case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  def frameSampleBatch(df: DataFrame, nFrames: Int): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val len = math.max(1, b.length / math.max(1, nFrames))
+        (0 until math.min(nFrames, math.max(1, b.length / len))).map { f =>
+          MediaFrame(id, f, b.slice(f * len, math.min(b.length, (f + 1) * len)))
+        }
+      }
+  }
+
   /** Oracle-checkable restatement over documents: byte metadata of the
     * text payload treated as an opaque blob (pure expressions, no stub). */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =

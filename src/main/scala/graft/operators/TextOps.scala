@@ -197,7 +197,13 @@ object TextOps {
   // Text analysis
   // -------------------------------------------------------------------------
 
-  /** Token counting: whitespace tokens, regex word tokens, distinct count. */
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style contractions / letter runs
+    * / digit runs / punctuation runs / whitespace runs — no lookarounds, so
+    * Java and RE2 dialects agree). */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** Token counting: whitespace tokens, distinct, regex words, BPE-ish. */
   def textTokens(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     tbl(spark, dir, "documents").select(
@@ -205,7 +211,9 @@ object TextOps {
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct"),
       size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
-        .as("n_words"))
+        .as("n_words"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long")
+        .as("n_bpe_tokens"))
   }
 
   val stopwords: Seq[String] =

@@ -86,6 +86,26 @@ class QueriesSpec extends SparkSpec {
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("multimodal: feature extract, resize, frame sample batch stubs") {
+    val payloads = Multimodal.withPayload(spark, dir)
+    val feats = Multimodal.featureExtractBatch(payloads).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.features.length === 8)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // normalized histogram
+    }
+    val resized = Multimodal.resizeBatch(payloads, 8, 8).collect()
+    assert(resized.length === 500)
+    resized.foreach(r => assert(r.width === 8 && r.payload.nonEmpty))
+    val frames = Multimodal.frameSampleBatch(payloads, 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.size === 500)
+    byDoc.values.foreach { fs =>
+      assert(fs.length <= 4 && fs.nonEmpty)
+      assert(fs.map(_.frame_no).sorted.toSeq === (0 until fs.length))
+    }
+  }
+
   test("simhash near-dup docs have close hamming distance") {
     val sh = TextOps.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
