@@ -33,6 +33,29 @@ object Kernels {
     7L * n + 31L * str.charAt(0) + 17L * str.charAt(n - 1) + sum
   }
 
+  /** Distinct 3-word shingles of a space-tokenized string, one pass.
+    * Must match: split(' ') (Java semantics: trailing empties dropped,
+    * consecutive spaces yield empty tokens), 3-grams joined by ' ',
+    * first-occurrence dedup. */
+  def shingles3(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1) match {
+      // Java split(regex) drops trailing empties; split(x, -1) keeps them —
+      // use the same semantics as Spark's split(col, " "): keep limit -1
+      case w => w
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < words.length) {
+      seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Σ aᵢ·bᵢ over two float arrays in double, index order — identical to
     * aggregate(zip_with(a, b, _*_), 0.0, _+_) on equal-length inputs. */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
@@ -45,6 +68,19 @@ object Kernels {
     }
     sum
   }
+}
+
+/** shingles(text) → array<string>: distinct 3-word shingles in one pass
+  * (vs split + transform + slice + concat_ws + array_distinct — five
+  * interpreted HOF evaluations). Set-identical to TextOps.shinglesLambda
+  * and the oracle's list comprehension; first-occurrence order preserved. */
+case class ShinglesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingles3(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingles3($c)")
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr = copy(c)
 }
 
 /** weak_hash(string) → long, codegen'd via a static kernel call. */

@@ -28,8 +28,16 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** 3-word shingles (distinct), order-preserving construction. */
+  /** 3-word shingles (distinct), first-occurrence order — native one-pass
+    * kernel (ShinglesExpr); lambda twin below pins set identity. */
   def shingles(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.ShinglesExpr(
+      ColumnBridge.expression(text)))
+  }
+
+  /** HOF-chain formulation of [[shingles]] (built-ins only). */
+  def shinglesLambda(text: Column): Column = {
     val w = tokens(text)
     array_distinct(
       when(size(w) >= 3,

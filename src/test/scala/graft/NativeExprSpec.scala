@@ -39,6 +39,22 @@ class NativeExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("shingles kernel == HOF chain on the whole corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val diff = docs.select(
+        TextOps.shingles(col("text")).as("k"),
+        TextOps.shinglesLambda(col("text")).as("l"))
+      .filter(col("k") =!= col("l")).count()
+    assert(diff === 0)
+    // edge cases: <3 words, exactly 3 words, duplicate shingles
+    import spark.implicits._
+    val edges = Seq("a b", "a b c", "x y x y x y x y").toDF("text")
+      .select(TextOps.shingles(col("text")).as("k"),
+        TextOps.shinglesLambda(col("text")).as("l"))
+      .collect()
+    edges.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("SQL registration: graft_weak_hash and graft_dot usable from spark.sql") {
     graft.functions.NativeFunctions.register(spark)
     val r = spark.sql("SELECT graft_weak_hash('abc') AS h").collect().head.getLong(0)
