@@ -66,6 +66,48 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("bucketed fact-fact join runs without a shuffle exchange") {
+    val spark2 = spark
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_ord")
+    // the in-memory catalog forgets tables across JVMs but their files
+    // remain — clear the locations or CREATE TABLE AS SELECT refuses
+    val wh = new java.io.File("/tmp/graft-test-warehouse")
+    Seq("b_li", "b_ord").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_li")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_ord")
+    // disable broadcast so the join must pick a shuffle-or-bucketed plan
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val j = spark.table("b_li").join(spark.table("b_ord"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val s = planString(j)
+      // co-located buckets: no Exchange feeds the join
+      assert(!s.contains("Exchange"), s)
+      assert(j.count() > 0)
+    }
+  }
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("events scan prunes columns for the pivot") {
     val s = planString(EventOps.k1Pivot(spark, dir))
     val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
