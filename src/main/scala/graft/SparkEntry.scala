@@ -84,6 +84,8 @@ object SparkEntry {
     "range_join" -> ((s, d) => ExtraOps.rangeJoinEvents(s, d)),
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
     "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
+    "q4_exists" -> ((s, d) => ExtraOps.q4Exists(s, d)),
+    "q17_scalar_subq" -> ((s, d) => ExtraOps.q17ScalarSubquery(s, d)),
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
     "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
     "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
@@ -278,6 +280,18 @@ object SparkEntry {
         """CAST(floor(100.0 * round(sum(l_extendedprice * l_quantity) * 100, 0) """ +
         """/ round(sum(l_quantity), 0)) AS BIGINT) AS wavg_cc """ +
         """FROM lineitem GROUP BY l_returnflag"""),
+    "q4_exists" ->
+      ("""SELECT o_orderpriority, count(*) AS order_count FROM orders """ +
+        """WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' """ +
+        """AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00' """ +
+        """AND EXISTS (SELECT 1 FROM lineitem """ +
+        """WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) """ +
+        """GROUP BY o_orderpriority"""),
+    "q17_scalar_subq" ->
+      ("""SELECT CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS total_c, """ +
+        """count(*) AS n FROM lineitem outer_li """ +
+        """WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem """ +
+        """WHERE l_partkey = outer_li.l_partkey)"""),
     "topk_per_key" ->
       ("""SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, price, id FROM ( """ +
         """SELECT l_suppkey, l_extendedprice AS price, """ +

@@ -83,6 +83,35 @@ object ExtraOps {
         |""".stripMargin)
   }
 
+  /** Correlated EXISTS (TPC-H Q4 shape): orders with ≥1 late lineitem,
+    * counted per priority — exercises Catalyst's subquery decorrelation
+    * (rewritten to a left-semi join; no per-row subquery execution). */
+  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
+    tbl(spark, dir, "orders").createOrReplaceTempView("ord_v")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM ord_v
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM li_v
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): revenue of small-lot
+    * lineitems below 20% of their part's average quantity — decorrelates
+    * to an aggregate + join. Exact-integer output. */
+  def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
+    spark.sql(
+      """SELECT CAST(round(sum(l_extendedprice) * 100, 0) AS LONG) AS total_c,
+        |       count(*) AS n
+        |FROM li_v outer_li
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM li_v
+        |                    WHERE l_partkey = outer_li.l_partkey)""".stripMargin)
+  }
+
   /** Custom typed Aggregator: quantity-weighted average extended price.
     * Buffer = (Σ price·qty, Σ qty); finish recovers exact integer cents
     * then emits hundredth-of-cent units (cross-engine exact). Input rows

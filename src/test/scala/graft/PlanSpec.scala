@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val s = planString(graft.operators.ExtraOps.q4Exists(spark, dir))
+    assert(s.contains("LeftSemi") || s.contains("SemiJoin"), s)
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val df = graft.operators.ExtraOps.q17ScalarSubquery(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // after decorrelation there is no Subquery node left in the plan
+    assert(!optimized.contains("scalar-subquery"), optimized)
+    assert(optimized.contains("Join"), optimized)
+  }
+
   test("bucketed fact-fact join runs without a shuffle exchange") {
     val spark2 = spark
     spark.sql("DROP TABLE IF EXISTS b_li")
