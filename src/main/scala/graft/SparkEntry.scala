@@ -33,27 +33,8 @@ object SparkEntry {
     * viewed as observations. Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val events = EventOps.tbl(spark, dir, "events")
-    val obs = events.select(
-      lit("events_network").as("network"),
-      col("user_id").cast("string").as("node_id"),
-      col("event_id").as("meta_id"),
-      col("ts").as("datetime"),
-      col("event_type").as("sensor"),
-      map(
-        lit("k"), struct(get_json_object(col("props"), "$.k").as("lex"),
-          lit("number").as("jstype")),
-        lit("value"), struct(
-          graft.functions.Coerce.jsNumberStringCol(col("value")).as("lex"),
-          lit("number").as("jstype"))).as("data"))
-    val catalog = MetadataCatalog.fromMaps(
-      sensorMap = Seq("click", "view", "purchase", "signup", "error").map {
-        t => t -> Map("k" -> s"metrics_$t.k", "value" -> s"metrics_$t.value")
-      }.toMap,
-      featureMap = Seq("click", "view", "purchase", "signup", "error").map {
-        t => s"metrics_$t" -> Seq("k" -> "integer", "value" -> "float")
-      }.toMap)
-    Pipeline.featureObservations(Pipeline.pairRelation(obs, catalog))
+    Pipeline.featureObservations(Pipeline.pairRelation(
+      EventOps.eventsAsObservations(spark, dir), EventOps.eventsCatalog))
   }
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -70,6 +51,7 @@ object SparkEntry {
     "k2_deadletter" -> ((s, d) => EventOps.k2DeadLetter(s, d)),
     "g1_alert_dedup" -> ((s, d) => EventOps.g1AlertDedup(s, d)),
     "x2_stream_window" -> ((s, d) => EventOps.x2StreamWindow(s, d)),
+    "pipeline_pairs" -> ((s, d) => EventOps.pipelinePairs(s, d)),
     // --- relational coverage over the star schema ---
     "q1_agg" -> ((s, d) => StarOps.q1Agg(s, d)),
     "q3_join" -> ((s, d) => StarOps.q3Join(s, d)),
@@ -198,6 +180,17 @@ object SparkEntry {
       ("""SELECT date_trunc('hour', ts) AS hour_start, event_type, """ +
         """count(*) AS n, CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_c """ +
         """FROM events GROUP BY 1, 2"""),
+    "pipeline_pairs" ->
+      // each event yields two valid pairs: k coerced to integer, value
+      // coerced to float (rendered like JS String(number): integral values
+      // have no decimal point)
+      (s"""SELECT event_id AS meta_id, 'metrics_' || event_type AS feature, """ +
+        s"""'k' AS property, CAST($kExpr AS VARCHAR) AS value FROM events """ +
+        """UNION ALL """ +
+        """SELECT event_id AS meta_id, 'metrics_' || event_type AS feature, """ +
+        """'value' AS property, """ +
+        """CASE WHEN value = trunc(value) THEN CAST(CAST(value AS BIGINT) AS VARCHAR) """ +
+        """ELSE CAST(value AS VARCHAR) END AS value FROM events"""),
     "q1_agg" ->
       ("""SELECT l_returnflag, l_linestatus, """ +
         """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, """ +

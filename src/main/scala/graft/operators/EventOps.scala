@@ -157,6 +157,42 @@ object EventOps {
       .groupBy("user_id")
       .agg(min(col("ts")).as("first_error_ts"), count(lit(1)).as("n_errors"))
 
+  /** The FULL observation pipeline (P1→J1/J2→C4→R1) over events viewed as
+    * observations — normalize, explode, broadcast-enrich, coerce, classify —
+    * emitting the valid pair relation. This runs the exact production
+    * dataflow (graft.operators.Pipeline) on driver data at bench scale,
+    * oracle-checked. */
+  /** Events viewed as tagged observations (the flagship's input). */
+  def eventsAsObservations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Coerce
+    tbl(spark, dir, "events").select(
+      lit("events_network").as("network"),
+      col("user_id").cast("string").as("node_id"),
+      col("event_id").as("meta_id"),
+      col("ts").as("datetime"),
+      col("event_type").as("sensor"),
+      map(
+        lit("k"), struct(get_json_object(col("props"), "$.k").as("lex"),
+          lit("number").as("jstype")),
+        lit("value"), struct(Coerce.jsNumberStringCol(col("value")).as("lex"),
+          lit("number").as("jstype"))).as("data"))
+  }
+
+  /** Derived catalog for the events-as-observations view. */
+  val eventsCatalog: graft.catalog.MetadataCatalog =
+    graft.catalog.MetadataCatalog.fromMaps(
+      sensorMap = Seq("click", "view", "purchase", "signup", "error").map {
+        t => t -> Map("k" -> s"metrics_$t.k", "value" -> s"metrics_$t.value")
+      }.toMap,
+      featureMap = Seq("click", "view", "purchase", "signup", "error").map {
+        t => s"metrics_$t" -> Seq("k" -> "integer", "value" -> "float")
+      }.toMap)
+
+  def pipelinePairs(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.validPairs(Pipeline.pairRelation(
+        eventsAsObservations(spark, dir), eventsCatalog))
+      .select(col("meta_id"), col("feature"), col("property"), col("value"))
+
   /** X2 — event-time tumbling window aggregation (Structured Streaming's
     * windowed agg, batch-equivalent restatement). */
   def x2StreamWindow(spark: SparkSession, dir: String): DataFrame =
