@@ -66,6 +66,7 @@ object SparkEntry {
     "range_join" -> ((s, d) => ExtraOps.rangeJoinEvents(s, d)),
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
     "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
+    "pct_agg" -> ((s, d) => ExtraOps.percentileAgg(s, d)),
     "q4_exists" -> ((s, d) => ExtraOps.q4Exists(s, d)),
     "q17_scalar_subq" -> ((s, d) => ExtraOps.q17ScalarSubquery(s, d)),
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
@@ -272,6 +273,11 @@ object SparkEntry {
       ("""SELECT l_returnflag, """ +
         """CAST(floor(100.0 * round(sum(l_extendedprice * l_quantity) * 100, 0) """ +
         """/ round(sum(l_quantity), 0)) AS BIGINT) AS wavg_cc """ +
+        """FROM lineitem GROUP BY l_returnflag"""),
+    "pct_agg" ->
+      ("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, """ +
+        """quantile_cont(l_quantity, 0.5) AS p50, """ +
+        """quantile_cont(l_quantity, 0.75) AS p75 """ +
         """FROM lineitem GROUP BY l_returnflag"""),
     "q4_exists" ->
       ("""SELECT o_orderpriority, count(*) AS order_count FROM orders """ +

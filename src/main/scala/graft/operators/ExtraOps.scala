@@ -83,6 +83,18 @@ object ExtraOps {
         |""".stripMargin)
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition;
+    * integer-valued quantities make the results exactly representable). */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      // one aggregation buffer for all three percentiles (array form), not
+      // three independent TypedImperativeAggregates over the same column
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag"), col("ps")(0).as("p25"),
+        col("ps")(1).as("p50"), col("ps")(2).as("p75"))
+
   /** Correlated EXISTS (TPC-H Q4 shape): orders with ≥1 late lineitem,
     * counted per priority — exercises Catalyst's subquery decorrelation
     * (rewritten to a left-semi join; no per-row subquery execution). */
