@@ -91,9 +91,17 @@ object BoundedTopK {
     val ids = new Array[Long](k)
     var size = 0
 
-    /** true if (s1,i1) ranks better than (s2,i2): score desc, id asc. */
-    @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long) =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    /** true if (s1,i1) ranks better than (s2,i2): score desc, id asc.
+      * NaN scores rank WORST (below -Inf) so they evict first and can
+      * never block a slot. */
+    @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long) = {
+      val n1 = s1.isNaN
+      val n2 = s2.isNaN
+      if (n1 && n2) i1 < i2
+      else if (n1) false
+      else if (n2) true
+      else s1 > s2 || (s1 == s2 && i1 < i2)
+    }
 
     def insert(s: Double, i: Long): Unit = {
       if (size < k) { scores(size) = s; ids(size) = i; size += 1 }

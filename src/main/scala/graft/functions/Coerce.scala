@@ -26,39 +26,56 @@ import org.apache.spark.sql.functions._
 object Coerce {
 
   private val intRe = "^[+-]?[0-9]+"
-  private val hexRe = "^[+-]?0[xX][0-9a-fA-F]+$"
+  private val hexRe = "^0[xX][0-9a-fA-F]+$"
   private val floatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
-  /** JS parseInt over the canonical lexeme → long (null = NaN). */
+  /** JS parseInt over the canonical lexeme → long (null = NaN); values
+    * beyond Long range saturate (same rule as JsValues.jsParseInt). */
   def jsParseIntCol(lex: Column): Column = {
     val t = trim(lex)
     val leading = regexp_extract(t, intRe, 0)
+    val digits = regexp_replace(leading, "^[+-]", "")
+    val sigDigits = regexp_replace(digits, "^0+", "")
     val hexBody = regexp_extract(t, "^[+-]?0[xX]([0-9a-fA-F]+)", 1)
-    val hexSign = when(t.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val sigHex = regexp_replace(hexBody, "^0+", "")
+    val sign = when(t.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val saturated = when(sign < 0, lit(Long.MinValue))
+      .otherwise(lit(Long.MaxValue))
     when(t.rlike("^[+-]?0[xX][0-9a-fA-F]"),
-        hexSign * conv(hexBody, 16, 10).cast("long"))
+        when(length(sigHex) > 15, saturated)
+          .otherwise(sign * conv(hexBody, 16, 10).cast("long")))
       .when(length(leading) > 0,
-        // overflow beyond long falls back through double like JS Number
-        coalesce(leading.cast("long"), leading.cast("double").cast("long")))
+        when(length(sigDigits) > 18, saturated)
+          .otherwise(when(length(sigDigits) === 0, lit(0L))
+            .otherwise(sign * sigDigits.cast("long"))))
       .otherwise(lit(null).cast("long"))
   }
 
-  /** JS Number over a *string* lexeme → double (null = NaN). */
+  /** JS Number over a *string* lexeme → double (null = NaN). Hex accepts
+    * NO sign: JS Number('-0x10') is NaN. */
   def jsNumberCol(lex: Column): Column = {
     val t = trim(lex)
     when(length(t) === 0, lit(0.0))
       .when(t.isin("Infinity", "+Infinity"), lit(Double.PositiveInfinity))
       .when(t === "-Infinity", lit(Double.NegativeInfinity))
       .when(t.rlike(hexRe),
-        when(t.startsWith("-"), -conv(regexp_extract(t, "0[xX]([0-9a-fA-F]+)", 1), 16, 10).cast("double"))
-          .otherwise(conv(regexp_extract(t, "0[xX]([0-9a-fA-F]+)", 1), 16, 10).cast("double")))
+        conv(regexp_extract(t, "0[xX]([0-9a-fA-F]+)", 1), 16, 10).cast("double"))
       .when(t.rlike(floatRe), t.cast("double"))
       .otherwise(lit(null).cast("double"))
   }
 
-  /** JS String(number) of a double column: integral values print without a
-    * decimal point (JS `String(1)` = "1", Java renders "1.0"). */
+  /** JS String(number) of a double column — native expression with
+    * full-range parity to JsValues.jsNumberString (Java's cast-to-string
+    * switches to E-notation at 1e7/1e-3; JS at 1e21/1e-6). */
   def jsNumberStringCol(d: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(JsNumberStringExpr(ColumnBridge.expression(d)))
+  }
+
+  /** Built-ins-only twin of [[jsNumberStringCol]] — correct for values in
+    * Java's plain-notation range (|d| in [1e-3, 1e7) or integral); used by
+    * the chain formulation and its specs. */
+  def jsNumberStringChainCol(d: Column): Column = {
     val isIntegral = d === floor(d) && abs(d) < lit(1e21) && !isnan(d)
     when(d.isNull, lit(null).cast("string"))
       .when(isIntegral && abs(d) <= lit(9.0e18), d.cast("long").cast("string"))
@@ -118,7 +135,7 @@ object Coerce {
       when(pt.isin("varchar", "string"), varcharVal)
         .when(pt.isin("integer", "int"), intParsed.cast("string"))
         .when(pt.isin("float", "double", "double precision"),
-          jsNumberStringCol(floatParsed))
+          jsNumberStringChainCol(floatParsed))
         .when(pt.isin("bool", "boolean"), boolParsed.cast("string"))
         .otherwise(lit(null).cast("string"))
 

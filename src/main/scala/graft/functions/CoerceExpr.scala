@@ -128,12 +128,10 @@ object CoerceKernel {
     if (s == "-Infinity") return Some(Double.NegativeInfinity)
     var i = 0
     val n = s.length
-    var neg = false
-    if (s.charAt(0) == '+' || s.charAt(0) == '-') { neg = s.charAt(0) == '-'; i = 1 }
-    // hex
-    if (i + 1 < n && s.charAt(i) == '0' &&
-        (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
-      var j = i + 2
+    // hex: only UNSIGNED is valid (JS Number('-0x10') is NaN)
+    if (n > 1 && s.charAt(0) == '0' &&
+        (s.charAt(1) == 'x' || s.charAt(1) == 'X')) {
+      var j = 2
       if (j >= n) return None
       var v = BigInt(0)
       while (j < n) {
@@ -142,9 +140,9 @@ object CoerceKernel {
         v = v * 16 + d
         j += 1
       }
-      val dv = v.toDouble
-      return Some(if (neg) -dv else dv)
+      return Some(v.toDouble)
     }
+    if (s.charAt(0) == '+' || s.charAt(0) == '-') i = 1
     // decimal float: digits [.digits] [e[+-]digits] | .digits [exp]
     var j = i
     var intDigits = 0

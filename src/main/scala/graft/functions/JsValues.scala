@@ -22,9 +22,18 @@ object JsValues {
       val l = d.toLong
       if (l.toDouble == d) l.toString
       else new java.math.BigDecimal(d).toBigInteger.toString
+    } else if (Math.abs(d) >= 1e-6 && Math.abs(d) < 1e21) {
+      // JS prints plain positional notation in this whole range, while
+      // Java switches to E-notation at 1e7 / 1e-3 — expand Java's
+      // shortest-round-trip digits positionally and strip trailing zeros.
+      val plain = new java.math.BigDecimal(java.lang.Double.toString(d))
+        .toPlainString
+      if (plain.contains('.')) {
+        val stripped = plain.reverse.dropWhile(_ == '0').reverse
+        if (stripped.endsWith(".")) stripped.dropRight(1) else stripped
+      } else plain
     } else {
-      // Java's shortest-round-trip repr matches JS for the non-exponent
-      // range; normalize Java's "E" notation to JS's "e+"/"e-".
+      // outside [1e-6, 1e21): JS uses exponent notation "e+"/"e-"
       val s = java.lang.Double.toString(d)
       if (s.contains('E')) {
         val Array(m, e) = s.split('E')
@@ -40,6 +49,10 @@ object JsValues {
     * the reference's data surface; parseInt with no radix arg on "0x.." is
     * hex in JS — supported for fidelity.)
     */
+  /** Values beyond Long range saturate (JS would return a lossy double;
+    * a long-typed engine column cannot carry it — saturation is the
+    * deterministic, crash-free choice, applied identically in the Column
+    * twin and the codegen kernel). */
   def jsParseInt(s0: String): Option[Long] = {
     val s = s0.trim
     val (sign, rest) =
@@ -47,11 +60,16 @@ object JsValues {
       else if (s.startsWith("+")) (1L, s.drop(1)) else (1L, s)
     if (rest.startsWith("0x") || rest.startsWith("0X")) {
       val hex = rest.drop(2).takeWhile(c => Character.digit(c, 16) >= 0)
-      if (hex.isEmpty) None else Some(sign * java.lang.Long.parseLong(hex, 16))
+      if (hex.isEmpty) None
+      else if (hex.dropWhile(_ == '0').length > 15)
+        Some(if (sign < 0) Long.MinValue else Long.MaxValue)
+      else Some(sign * java.lang.Long.parseLong(hex, 16))
     } else {
       val digits = rest.takeWhile(_.isDigit)
       if (digits.isEmpty) None
-      else Some(sign * BigInt(digits).toLong)
+      else if (digits.dropWhile(_ == '0').length > 18)
+        Some(if (sign < 0) Long.MinValue else Long.MaxValue)
+      else Some(sign * java.lang.Long.parseLong(if (digits.forall(_ == '0')) "0" else digits))
     }
   }
 
@@ -63,11 +81,9 @@ object JsValues {
     if (s.isEmpty) Some(0.0)
     else if (s == "Infinity" || s == "+Infinity") Some(Double.PositiveInfinity)
     else if (s == "-Infinity") Some(Double.NegativeInfinity)
-    else if (s.matches("[+-]?0[xX][0-9a-fA-F]+")) {
-      val neg = s.startsWith("-")
-      val hex = s.dropWhile(c => c == '+' || c == '-').drop(2)
-      val v = BigInt(hex, 16).toDouble
-      Some(if (neg) -v else v)
+    else if (s.matches("0[xX][0-9a-fA-F]+")) {
+      // hex is only valid UNSIGNED in JS: Number('-0x10') is NaN
+      Some(BigInt(s.drop(2), 16).toDouble)
     } else if (s.matches("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")) {
       Some(java.lang.Double.parseDouble(s))
     } else None

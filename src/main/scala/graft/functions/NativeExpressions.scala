@@ -83,6 +83,21 @@ case class ShinglesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShinglesExpr = copy(c)
 }
 
+/** js_number_string(double) → string: JS String(number) rendering
+  * (plain positional in [1e-6, 1e21), integral without decimal point) —
+  * full-range parity with JsValues.jsNumberString. */
+case class JsNumberStringExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(JsValues.jsNumberString(v.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.JsValues.jsNumberString($c))")
+  override protected def withNewChildInternal(c: Expression): JsNumberStringExpr =
+    copy(c)
+}
+
 /** weak_hash(string) → long, codegen'd via a static kernel call. */
 case class WeakHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

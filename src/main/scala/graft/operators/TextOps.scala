@@ -96,14 +96,17 @@ object TextOps {
     val inv = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
-    // PPJoin prefix bound: any partner b has n_b ≥ t·n_a (size filter), so
-    // required overlap o ≥ ⌈t/(1+t)·(n_a+n_b)⌉ ≥ ⌈2t/(1+t)·n_a⌉ — prefix
-    // length n − ⌈2t/(1+t)·n⌉ + 1 (tighter than the naive n − ⌈t·n⌉ + 1)
-    val pfrac = 2 * threshold / (1 + threshold)
+    // PPJoin prefix bound, per side: j ≥ t ⇒ common ≥ ⌈t·n⌉ for EACH side
+    // (common ≥ t·union ≥ t·max(na,nb) ≥ t·n), so any qualifying pair
+    // shares an element within each side's first n − ⌈t·n⌉ + 1 ranked
+    // shingles. (The tighter 2t/(1+t) fraction is only sound for the
+    // smaller side and would drop unequal-size pairs — e.g. a 3-shingle
+    // doc fully contained in a 6-shingle doc at exactly j = t.)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
     val prefixes = inv.join(freq, "s")
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n_sh") - ceil(lit(pfrac) * col("n_sh")) + 1)
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("n_sh"), col("rk"), col("s"))
       .cache()
     // positional filter (PPJoin): the shared prefix element at ranks

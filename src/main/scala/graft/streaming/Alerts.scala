@@ -12,8 +12,9 @@ import org.apache.spark.sql.streaming.GroupState
   * Reference semantics: at most one alert per sensor while blacklisted; a
   * "resolve" once the discrepancy clears. (The reference also emits
   * resolves for cold-cache false discrepancies — an artifact of its async
-  * cache refresh with no analogue here: the catalog re-resolves every
-  * micro-batch, so an observation is never judged against stale metadata.
+  * cache refresh with no analogue here: the DATAFLOW path re-resolves the
+  * catalog every micro-batch so routing is never stale; the alert path's
+  * sensor index refreshes at query (re)start — see StreamPipeline.start.
   * See SURVEY.md §3.2.)
   *
   * Status derivation is MAP-ONLY (per-record catalog probe + coercion via

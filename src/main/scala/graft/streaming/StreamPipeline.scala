@@ -44,7 +44,9 @@ object StreamPipeline {
     def writeDeadLetter(df: DataFrame, batchId: Long): Unit =
       df.select("network").distinct().collect().map(_.getString(0))
         .foreach { network =>
-          df.filter(col("network") === network)
+          // null-safe comparison: observations without a network field
+          // still land in a dead-letter table instead of vanishing
+          df.filter(col("network") <=> network)
             .write.mode("append").parquet(s"$baseDir/${network}__unknown_feature")
         }
     def writeEvents(df: DataFrame, batchId: Long): Unit =
@@ -97,6 +99,12 @@ object StreamPipeline {
 
     val alertQuery = {
       val typed = graft.sources.ObservationSource.parse(raw)
+      // NOTE: the alert path resolves the catalog at query (re)start, not
+      // per micro-batch — the status closure ships a fixed sensor index to
+      // executors. The DATAFLOW path (above) re-reads per batch, so routing
+      // is never stale; a catalog change can at most delay alert/resolve
+      // transitions until the next (re)start. With Trigger.AvailableNow in
+      // a restart loop (the test/ops pattern here) both paths refresh.
       val statuses = Alerts.observationStatuses(typed, catalogProvider())
       Alerts.alertStream(statuses).writeStream
         .queryName("graft-alerts")

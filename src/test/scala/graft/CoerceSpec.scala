@@ -58,7 +58,22 @@ class CoerceSpec extends SparkSpec {
     (("12abc", "string", "integer"), ("12", false)),   // parseInt leading digits
     (("abc", "string", "integer"), (null, true)),
     (("56.77", "number", "unknown_type"), (null, true)),
-    (("56.77", "number", null), (null, true)))
+    (("56.77", "number", null), (null, true)),
+    // review regressions: signed hex is NaN for Number(); huge magnitudes
+    // saturate deterministically instead of throwing/wrapping
+    (("-0x10", "string", "float"), (null, true)),
+    (("0x10", "string", "float"), ("16", false)),
+    (("-0x10", "string", "integer"), ("-16", false)),  // parseInt DOES take sign
+    (("0xFFFFFFFFFFFFFFFFFF", "string", "integer"),
+      (Long.MaxValue.toString, false)),
+    (("99999999999999999999", "string", "integer"),
+      (Long.MaxValue.toString, false)),
+    (("-99999999999999999999", "string", "integer"),
+      (Long.MinValue.toString, false)),
+    (("000", "string", "integer"), ("0", false)),
+    // JS String(number) plain-notation range (Java would print E-notation)
+    (("12345678.5", "number", "float"), ("12345678.5", false)),
+    (("12345678.5", "number", "varchar"), ("12345678.5", false)))
 
   test("coercion truth table (Column chain)") {
     import spark.implicits._
@@ -92,6 +107,11 @@ class CoerceSpec extends SparkSpec {
     assert(JsValues.jsNumberString(0.38) === "0.38")
     assert(JsValues.jsNumberString(90.92) === "90.92")
     assert(JsValues.jsNumberString(1e21) === "1e+21")
+    // JS keeps plain notation through [1e-6, 1e21); Java flips at 1e7/1e-3
+    assert(JsValues.jsNumberString(12345678.5) === "12345678.5")
+    assert(JsValues.jsNumberString(0.0001) === "0.0001")
+    assert(JsValues.jsNumberString(-98765432.25) === "-98765432.25")
+    assert(JsValues.jsNumberString(1e-7) === "1e-7")
   }
 
   test("property: coercion is total — every input is coerced or errored") {
@@ -118,7 +138,12 @@ class CoerceSpec extends SparkSpec {
 
   test("native CoerceExpr agrees with the Column chain on the truth table") {
     import spark.implicits._
+    // the chain's float renderer (jsNumberStringChainCol) is documented as
+    // correct only inside Java's plain-notation range — exclude the values
+    // where only the native kernel has full JS parity
+    val chainOutOfRange = Set("12345678.5")
     val in = truthTable.map { case ((lex, jt, pt), _) => (lex, jt, pt) }
+      .filterNot { case (lex, _, _) => chainOutOfRange(lex) }
       .toDF("lex", "jstype", "ptype")
     val out = in.select(
         Coerce.coerce(col("lex"), col("jstype"), col("ptype")).as("n"),

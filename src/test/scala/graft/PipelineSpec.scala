@@ -100,6 +100,25 @@ class PipelineSpec extends SparkSpec {
     assert(total === Fixtures.observations.map(_.data.size).sum)
   }
 
+  test("K2: dead-letter JSON escapes quotes/control chars in keys and values") {
+    import spark2.implicits._
+    import graft.model.{ObservationRow, TaggedScalar}
+    import scala.collection.immutable.VectorMap
+    val nasty = Seq(ObservationRow("net", "x1", 1, Fixtures.t0, "htu21d",
+      VectorMap(
+        "bad\"key" -> TaggedScalar("va\"l\nue\r", "string"),
+        "ctrl" -> TaggedScalar("ab", "string")))).toDF()
+    val rel = Pipeline.pairRelation(nasty, Fixtures.catalog)
+    val blob = Pipeline.misfits(rel).select("data").collect().head.getString(0)
+    // must parse as valid JSON with the original content round-tripped
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = om.readTree(blob)
+    assert(parsed.get("bad\"key").asText() === "va\"l\nue\r")
+    assert(parsed.get("ctrl").asText() === "ab")
+  }
+
+  lazy val spark2 = spark
+
   test("K3: event JSON rendering (coerced values, typed quoting)") {
     val ev = Pipeline.eventJson(
       Pipeline.featureObservations(classified), Fixtures.catalog)

@@ -27,6 +27,23 @@ class QueriesSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
   }
 
+  test("ngram jaccard finds unequal-size containment pairs (prefix-bound regression)") {
+    // A (3 shingles) fully contained in B (5 shingles), J = 3/5 = 0.6 ≥ t.
+    // The unsound 2t/(1+t) both-sided prefix bound missed this pair; the
+    // per-side n − ⌈t·n⌉ + 1 bound must find it.
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ngram").toString
+    Seq(
+      (1L, "a b c d e", "en", "src0", 9L),
+      (2L, "x y a b c d e", "en", "src0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.operators.TextOps.dedupNgramJaccard(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 6000L)), pairs.mkString(","))
+  }
+
   test("LSH near-dup pairs ⊆ exact pairs, with full recall on this data") {
     val exact = TextOps.dedupNgramJaccard(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

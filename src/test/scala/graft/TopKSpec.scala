@@ -43,6 +43,13 @@ class TopKSpec extends SparkSpec {
     assert(b1.sortedEntries.toSeq === Seq((5.0, 15L), (5.0, 20L)))
   }
 
+  test("BoundedTopK: NaN scores rank worst and never block a slot") {
+    val b = new BoundedTopK.Buffer(3)
+    b.insert(Double.NaN, 1); b.insert(10.0, 2); b.insert(9.0, 3)
+    b.insert(8.0, 4) // must evict the NaN, not be rejected by it
+    assert(b.sortedEntries.toSeq === Seq((10.0, 2L), (9.0, 3L), (8.0, 4L)))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val rows = ExtraOps.approxDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
