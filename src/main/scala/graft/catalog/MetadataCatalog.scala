@@ -25,7 +25,11 @@ final case class MetadataCatalog(
     /** (sensor, key) → feature/property/type, lowercased. */
     mappings: Seq[MetadataCatalog.Mapping],
     /** ordered pivot columns per feature: (feature, property, ptype, pos). */
-    featureProps: Seq[MetadataCatalog.FeatureProp]) {
+    featureProps: Seq[MetadataCatalog.FeatureProp],
+    /** all registered sensor names, incl. sensors with ZERO key mappings —
+      * the reference keeps such a sensor in `map`, so its observations are
+      * invalid_key (unknown keys), not does_not_exist. */
+    registeredSensors: Set[String] = Set.empty) {
 
   import MetadataCatalog._
 
@@ -40,7 +44,7 @@ final case class MetadataCatalog(
   }
 
   /** Known sensor names (a sensor absent here ⇒ does_not_exist alert). */
-  def sensors: Set[String] = mappings.map(_.sensor).toSet
+  def sensors: Set[String] = registeredSensors ++ mappings.map(_.sensor)
 
   /** Features observed by a given sensor. */
   def featuresOf(sensor: String): Set[String] =
@@ -92,7 +96,8 @@ object MetadataCatalog {
         FeatureProp(f.toLowerCase, p.toLowerCase, t.toLowerCase, i)
       }
     }
-    MetadataCatalog(mappings, featureProps)
+    MetadataCatalog(mappings, featureProps,
+      registeredSensors = sensorMap.keySet.map(_.toLowerCase))
   }
 
   /** Load from two catalog DataFrames with the reference's shapes:

@@ -116,6 +116,7 @@ object Coerce {
     val floatParsed =
       when(isNum, lex.cast("double"))                       // canonical, always parses
         .when(isBool, when(lex === "true", 1.0).otherwise(0.0))
+        .when(jstype === "null", lit(0.0))                  // JS Number(null) = 0
         .otherwise(jsNumberCol(lex))                        // string semantics
 
     // --- bool/boolean: the reference's exact acceptance set.
@@ -164,6 +165,7 @@ object Coerce {
         val parsed = jstype match {
           case "number" => Some(lex.toDouble)
           case "boolean" => Some(if (lex == "true") 1.0 else 0.0)
+          case "null" => Some(0.0) // JS Number(null) = 0
           case _ => JsValues.jsNumber(lex)
         }
         parsed match {

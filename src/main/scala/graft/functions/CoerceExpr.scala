@@ -85,6 +85,7 @@ object CoerceKernel {
           val parsed = jt match {
             case "number" => try Some(l.toDouble) catch { case _: Exception => None }
             case "boolean" => Some(if (l == "true") 1.0 else 0.0)
+            case "null" => Some(0.0) // JS Number(null) = 0
             case _ => numberJs(l)
           }
           parsed match {

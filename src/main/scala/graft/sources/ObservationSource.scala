@@ -27,9 +27,16 @@ object ObservationSource {
   // Jackson is on Spark's own classpath; mapper is thread-safe after config.
   @transient private lazy val om = new ObjectMapper()
 
-  private val dtFormats = Seq(
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]"))
+  private def dtFormat(sep: Char) =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(s"yyyy-MM-dd'$sep'HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .optionalEnd()
+      .toFormatter()
+
+  // 'T' or space separator; 0–9 fractional digits (not just 3/6)
+  private val dtFormats = Seq(dtFormat('T'), dtFormat(' '))
 
   private[graft] def parseDatetime(s: String): Option[Timestamp] = {
     dtFormats.view.flatMap { f =>
@@ -43,6 +50,7 @@ object ObservationSource {
     if (n.isBoolean) TaggedScalar(if (n.asBoolean) "true" else "false", "boolean")
     else if (n.isNumber) TaggedScalar(JsValues.jsNumberString(n.asDouble), "number")
     else if (n.isTextual) TaggedScalar(n.asText, "string")
+    else if (n.isNull) TaggedScalar("null", "null") // Number(null)=0, String(null)="null"
     else TaggedScalar(n.toString, "string") // nested values: carried as text
   }
 
@@ -81,5 +89,5 @@ object ObservationSource {
 
   /** Convenience: read newline-delimited JSON files as observations. */
   def readJsonLines(spark: SparkSession, path: String): Dataset[ObservationRow] =
-    parse(spark.read.text(path).withColumnRenamed("value", "value"))
+    parse(spark.read.text(path))
 }

@@ -59,20 +59,29 @@ object Alerts {
   type SensorIndex = Map[String, Map[String, MetadataCatalog.Mapping]]
 
   def sensorIndex(catalog: MetadataCatalog): SensorIndex =
-    catalog.mappings.groupBy(_.sensor)
-      .map { case (s, ms) => s -> ms.map(m => m.key -> m).toMap }
+    // registered sensors with zero mappings get an EMPTY entry (present in
+    // the index ⇒ invalid_key semantics, not does_not_exist)
+    catalog.sensors.map(_ -> Map.empty[String, MetadataCatalog.Mapping]).toMap ++
+      catalog.mappings.groupBy(_.sensor)
+        .map { case (s, ms) => s -> ms.map(m => m.key -> m).toMap }
 
   /** Per-record status: the reference's parse_data discrepancy check
     * (invalid_keys ∪ coercion errors ∪ unknown sensor) in one pass over a
     * prebuilt (broadcast-sized) sensor index. */
   def statusOf(obs: ObservationRow, index: SensorIndex): ObsStatus = {
     val sensor = Option(obs.sensor).map(_.toLowerCase).getOrElse("")
-    val mappings = index.getOrElse(sensor, Map.empty)
-    if (mappings.isEmpty)
-      return ObsStatus(sensor, obs.network, "does_not_exist",
-        Seq(doesNotExistMsg(sensor, obs.network)))
-    // normalized key iteration preserves insertion order (VectorMap source)
-    val entries = obs.data.toSeq.map { case (k, v) => k.toLowerCase -> v }
+    val mappings = index.get(sensor) match {
+      case None =>
+        return ObsStatus(sensor, obs.network, "does_not_exist",
+          Seq(doesNotExistMsg(sensor, obs.network)))
+      case Some(m) => m
+    }
+    // normalized keys fold last-wins like the dataflow path's LAST_WIN
+    // (and the reference's JS assignment, mapper.js:63-68) — without the
+    // fold this path could flag an observation the dataflow routes clean
+    val folded = new scala.collection.mutable.LinkedHashMap[String, graft.model.TaggedScalar]
+    obs.data.foreach { case (k, v) => folded.put(k.toLowerCase, v) }
+    val entries = folded.toSeq
     val unknown = entries.collect {
       case (k, _) if !mappings.contains(k) => k }
     val coercionErrs = entries.flatMap { case (k, v) =>
@@ -117,7 +126,11 @@ object Alerts {
       out += AlertEvent(sensor, "resolve", Nil)
       blacklisted = false
     }
-    state.update(SensorState(blacklisted))
+    // only blacklisted=true carries information — removing state for clean
+    // sensors bounds the state store by |currently-blacklisted sensors|
+    // instead of growing with every sensor name ever seen
+    if (blacklisted) state.update(SensorState(blacklisted))
+    else state.remove()
     out.iterator
   }
 

@@ -36,19 +36,32 @@ object StreamPipeline {
   /** Parquet sinks: per-(network, feature) directories named
     * `<network>__<feature>` exactly like the reference's Redshift tables,
     * partitioned write, sort-within-partitions on datetime matching the
-    * reference DDL's SORTKEY (tests/configure_tests.js:85-86). */
+    * reference DDL's SORTKEY (tests/configure_tests.js:85-86).
+    *
+    * Delivery: at-least-once — foreachBatch can replay a batch after a
+    * crash between append and checkpoint commit, duplicating its rows
+    * (same as the reference's checkpoint-after-async-inserts,
+    * kcl_app.js:56-59). `batchId` is passed so a production sink can
+    * upgrade to effectively-once with a transactional/idempotent write
+    * (e.g. batchId-keyed overwrite or a Delta-style commit). */
   class ParquetSinks(baseDir: String) extends Sinks {
     def writeWide(network: String, feature: String, df: DataFrame, batchId: Long): Unit =
       df.sortWithinPartitions("datetime").write.mode("append")
         .parquet(s"$baseDir/${network}__$feature")
-    def writeDeadLetter(df: DataFrame, batchId: Long): Unit =
-      df.select("network").distinct().collect().map(_.getString(0))
-        .foreach { network =>
-          // null-safe comparison: observations without a network field
-          // still land in a dead-letter table instead of vanishing
-          df.filter(col("network") <=> network)
-            .write.mode("append").parquet(s"$baseDir/${network}__unknown_feature")
-        }
+    def writeDeadLetter(df: DataFrame, batchId: Long): Unit = {
+      // materialize once — the misfits aggregation would otherwise re-run
+      // per distinct network (N+1 jobs)
+      val cached = df.cache()
+      try {
+        cached.select("network").distinct().collect().map(_.getString(0))
+          .foreach { network =>
+            // null-safe comparison: observations without a network field
+            // still land in a dead-letter table instead of vanishing
+            cached.filter(col("network") <=> network)
+              .write.mode("append").parquet(s"$baseDir/${network}__unknown_feature")
+          }
+      } finally cached.unpersist()
+    }
     def writeEvents(df: DataFrame, batchId: Long): Unit =
       df.write.mode("append").parquet(s"$baseDir/_events")
     def writeAlerts(df: Dataset[Alerts.AlertEvent], batchId: Long): Unit =
@@ -62,7 +75,7 @@ object StreamPipeline {
     try {
       Pipeline.presentFeatures(classified).foreach { case (network, feature) =>
         sinks.writeWide(network, feature,
-          Pipeline.widen(classified.filter(col("network") === network),
+          Pipeline.widen(classified.filter(col("network") <=> network),
             catalog, feature), batchId)
       }
       sinks.writeDeadLetter(Pipeline.misfits(classified), batchId)

@@ -73,7 +73,12 @@ class CoerceSpec extends SparkSpec {
     (("000", "string", "integer"), ("0", false)),
     // JS String(number) plain-notation range (Java would print E-notation)
     (("12345678.5", "number", "float"), ("12345678.5", false)),
-    (("12345678.5", "number", "varchar"), ("12345678.5", false)))
+    (("12345678.5", "number", "varchar"), ("12345678.5", false)),
+    // JSON null: Number(null)=0, String(null)="null", parseInt/bool error
+    (("null", "null", "float"), ("0", false)),
+    (("null", "null", "varchar"), ("null", false)),
+    (("null", "null", "integer"), (null, true)),
+    (("null", "null", "bool"), (null, true)))
 
   test("coercion truth table (Column chain)") {
     import spark.implicits._
