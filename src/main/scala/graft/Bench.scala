@@ -4,11 +4,25 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON metrics line (driver contract). A session warmup runs
-  * first so the first measured query doesn't absorb JVM/codegen startup. */
+  * first so the first measured query doesn't absorb JVM/codegen startup.
+  *
+  * Optional args (driver passes none; used for isolation re-measurement):
+  *   args(0) — comma-separated query-name filter ("all" = everything)
+  *   args(1) — repeat count per query (default 1); every repetition is
+  *             timed in the same JVM and all samples are printed, so a
+  *             one-off GC/JIT artifact is distinguishable from a real cost.
+  *
+  * A query that throws is reported in an `errors` map (name → exception
+  * class) and its wall-clock entry is negated — a broken query must never
+  * look like a fast successful one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only: Option[Set[String]] = args.headOption.filter(_ != "all")
+      .map(_.split(",").map(_.trim).toSet)
+    val repeats = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,15 +34,29 @@ object Bench {
     // warmup: session init, codegen pipeline, parquet reader paths
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    var errors = List.empty[(String, String)]
+    val results = selected.map { case (name, fn) =>
+      val samples = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors ::= name -> e.getClass.getSimpleName; false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
+      }
+      if (repeats > 1)
+        System.err.println(s"$name samples: " +
+          samples.map(s => f"$s%.3f").mkString(", "))
+      name -> samples.min // best-of-n when repeating; the single sample otherwise
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

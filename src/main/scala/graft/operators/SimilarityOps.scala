@@ -107,31 +107,64 @@ object SimilarityOps {
     * corpus assigned to its nearest cell, queries probe the nProbe nearest
     * cells, exact cosine re-rank inside the probed cells.
     *
-    * Scale path: the assignment pass is one broadcast join over the corpus;
-    * the search touches ~nProbe/nCentroids of the data. Approximate, so no
-    * SQL oracle — spec-verified per-pair against the exact cosine. */
+    * Scale path: the centroid set is a small CONSTANT (nCentroids), so it is
+    * collected once and inlined as a literal array; every corpus row computes
+    * its nearest cell as a per-row argmax expression — map-only, zero
+    * shuffle. (The previous formulation crossJoined the corpus ×nCentroids
+    * and ran a row_number window over the amplified relation, i.e. a full
+    * corpus shuffle just to pick each vector's cell.) The search then touches
+    * ~nProbe/nCentroids of the data. Approximate, so no SQL oracle —
+    * spec-verified per-pair against the exact cosine. */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("c_sim",
-        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("crn", row_number().over(wAssign))
-    val cells = assigned.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"),
-        col("nrm"))
-    val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    // driver-side collect is bounded by the constant nCentroids (16 rows);
+    // norms are folded exactly like Kernels.dotFF (index order, double acc)
+    val cents: Array[(Long, Seq[Float], Double)] =
+      tbl(spark, dir, "embeddings")
+        .filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map { r =>
+          val e: Seq[Float] = r.getSeq[Float](1)
+          var s = 0.0
+          e.foreach(f => s += f.toDouble * f.toDouble)
+          (r.getLong(0), e, math.sqrt(s))
+        }.sortBy(_._1)
+    val centArr = array(cents.map { case (id, e, cn) =>
+      struct(lit(id).as("cent_id"), typedlit(e).as("c_emb"), lit(cn).as("c_nrm"))
+    }: _*)
+    // per-row cosine to every centroid, evaluated in cent_id order
+    def centSims(e: Column, n: Column): Column =
+      transform(centArr, c => struct(
+        (dot(e, c.getField("c_emb")) / (n * c.getField("c_nrm"))).as("sim"),
+        c.getField("cent_id").as("cent_id")))
+    // argmax: strictly-greater keeps the earliest (lowest cent_id) on ties —
+    // identical tie-break to a (sim desc, cent_id asc) rank-1 window
+    def nearestCell(e: Column, n: Column): Column =
+      aggregate(centSims(e, n),
+        struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cent_id")),
+        (acc, s) => when(s.getField("sim") > acc.getField("sim"), s)
+          .otherwise(acc))
+        .getField("cent_id")
+    val cells = emb
+      .select(col("vec_id"), nearestCell(col("embedding"), col("nrm")).as("cell"),
+        col("embedding"), col("nrm"))
+    // queries probe their nProbe nearest cells: sort the tiny sims array
+    // (sim desc, cent_id asc) and explode the head
+    val bySimDesc = (l: Column, r: Column) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(l.getField("sim") < r.getField("sim"), lit(1))
+        .when(l.getField("cent_id") < r.getField("cent_id"), lit(-1))
+        .otherwise(lit(1))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-      .join(probes, "q_id")
+        col("nrm").as("q_nrm"),
+        explode(transform(
+          slice(array_sort(centSims(col("embedding"), col("nrm")), bySimDesc),
+            1, nProbe),
+          c => c.getField("cent_id"))).as("cell"))
     val scored = cells.join(broadcast(queries),
         cells("cell") === queries("cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",

@@ -38,8 +38,11 @@ object StarOps {
           .cast("long").as("avg_disc_bp"),
         count(lit(1)).as("count_order"))
 
-  /** Q3-style shipping-priority join: selective dimension side broadcast,
-    * fact-side filters pushed down; HAVING avoids LIMIT float-tie risk. */
+  /** Q3-style shipping-priority join: fact-side filters pushed down; the
+    * customer side carries NO broadcast hint — customer scales with SF
+    * (15 M rows at SF100), so a forced broadcast would OOM at target scale.
+    * AQE / autoBroadcastJoinThreshold picks broadcast when the filtered
+    * side is actually small. HAVING avoids LIMIT float-tie risk. */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val cust = tbl(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -50,15 +53,18 @@ object StarOps {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
         .cast("long").as("revenue_dm"))
       .filter(col("revenue_dm") > 1000000000L) // revenue > 100,000.0000
   }
 
-  /** Q5-style local-supplier volume: two broadcast dims + two fact joins,
-    * customer and supplier constrained to the same nation. */
+  /** Q5-style local-supplier volume: fixed-cardinality dims (region: 5 rows,
+    * nation: 25) keep explicit broadcast hints; customer and supplier grow
+    * linearly with SF, so they carry NO hint — the optimizer broadcasts them
+    * only while their size estimate stays under the threshold, and falls
+    * back to a shuffled hash join at cluster scale instead of OOMing. */
   def q5Region(spark: SparkSession, dir: String): DataFrame = {
     val region = tbl(spark, dir, "region").filter(col("r_name") === "ASIA")
     val nation = tbl(spark, dir, "nation")
@@ -72,8 +78,8 @@ object StarOps {
     val li = tbl(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust.withColumnRenamed("c_nationkey", "cn")),
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust.withColumnRenamed("c_nationkey", "cn"),
         col("o_custkey") === col("c_custkey") && col("cn") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis and deduplication operators over the `documents` table —
   * the LLM-training-pipeline extension surface (task north star; public
@@ -86,13 +87,16 @@ object TextOps {
   def dedupNgramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: the shingle arrays are reused by three plan subtrees (inverted
-    // index build + both sides of the verify join) — without the cache the
-    // HOF shingling is recomputed each time
+    // persisted: the shingle arrays are reused by three plan subtrees
+    // (inverted index build + both sides of the verify join) — without the
+    // cache the shingling is recomputed each time. MEMORY_AND_DISK (not
+    // cache(): on a cluster, shingle relations can exceed executor memory)
+    // and explicitly unpersisted below once the small result materializes —
+    // nothing pinned outlives the query.
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inv = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
@@ -108,7 +112,7 @@ object TextOps {
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("n_sh"), col("rk"), col("s"))
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // positional filter (PPJoin): the shared prefix element at ranks
     // (ra, rb) caps the achievable overlap at min(na−ra, nb−rb)+1
     val reqOverlap =
@@ -121,7 +125,7 @@ object TextOps {
             >= reqOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val result = cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
       .withColumn("common",
@@ -134,6 +138,13 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
           .as("jaccard_bp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) pair list while the intermediates are hot,
+    // then free them — the persisted relations do not outlive the query
+    result.count()
+    docs.unpersist(false)
+    prefixes.unpersist(false)
+    result
   }
 
   /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
@@ -187,11 +198,12 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on the candidates only (cached: used by both join sides)
+    // exact verify on the candidates only (persisted: used by both join
+    // sides; spill-capable and freed once the result materializes)
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .cache()
-    cand
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
       .withColumn("common",
@@ -202,6 +214,10 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
           .as("jaccard_bp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    docs.unpersist(false)
+    result
   }
 
   // -------------------------------------------------------------------------

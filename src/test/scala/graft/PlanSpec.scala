@@ -66,6 +66,16 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("ivf: centroid assignment is map-only — the only shuffle is the final top-k window") {
+    val s = planString(SimilarityOps.knnIvf(spark, dir))
+    // the corpus must reach the cell join without being shuffled: exactly one
+    // hash-partitioned exchange in the whole plan (the per-query rank window);
+    // BroadcastExchange (the query side) is fine and not counted
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"expected <=1 shuffle exchange, got $shuffles:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     val s = planString(graft.operators.ExtraOps.q4Exists(spark, dir))
     assert(s.contains("LeftSemi") || s.contains("SemiJoin"), s)
