@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Divergences from Spark's `cast` that force a custom chain:
   *  - bool ↤ number accepts ONLY 0/1 (Spark cast: any nonzero → true);
-  *  - bool ↤ string accepts only '1'/'0'/'true'/'false' (ci) (Spark cast
-  *    accepts 't','yes','y',…);
+  *  - bool ↤ string accepts '1'/'0'/'true'/'false' (ci) PLUS any lexeme
+  *    whose JS Number() is exactly 1 or 0 — the reference's `v == true`
+  *    is loose equality, whose ToNumber path admits '1.0', ' 1', '0x1'
+  *    (→ true) and '', '0.0', ' 0' (→ false);
   *  - int ↤ "3.9" must truncate like JS parseInt (Spark cast → null);
   *  - float ↤ boolean is 0/1 (JS Number(false)=0) while float ↤ "false"
   *    errors — the JSON type tag, not the lexeme, decides;
@@ -126,9 +128,12 @@ object Coerce {
           when(lex.cast("double") === 1.0, lit(true))
             .when(lex.cast("double") === 0.0, lit(false))
             .otherwise(lit(null).cast("boolean")))
-        .otherwise( // string
-          when(lex === "1" || upper(lex) === "TRUE", lit(true))
-            .when(lex === "0" || upper(lex) === "FALSE", lit(false))
+        .otherwise( // string: '1' / ci-'TRUE' / JS loose `v == true` (Number(v)==1),
+                    // then the symmetric false set (mapper.js:217-231)
+          when(lex === "1" || upper(lex) === "TRUE" || jsNumberCol(lex) === 1.0,
+              lit(true))
+            .when(lex === "0" || upper(lex) === "FALSE" || jsNumberCol(lex) === 0.0,
+              lit(false))
             .otherwise(lit(null).cast("boolean")))
 
     val pt = lower(ptype)
@@ -179,8 +184,10 @@ object Coerce {
             val d = lex.toDouble
             if (d == 1.0) Some(true) else if (d == 0.0) Some(false) else None
           case _ =>
-            if (lex == "1" || lex.toUpperCase == "TRUE") Some(true)
-            else if (lex == "0" || lex.toUpperCase == "FALSE") Some(false)
+            if (lex == "1" || lex.toUpperCase == "TRUE" ||
+              JsValues.jsNumber(lex).contains(1.0)) Some(true)
+            else if (lex == "0" || lex.toUpperCase == "FALSE" ||
+              JsValues.jsNumber(lex).contains(0.0)) Some(false)
             else None
         }
         b match {

@@ -103,8 +103,12 @@ object CoerceKernel {
               val d = try l.toDouble catch { case _: Exception => return ERROR }
               if (d == 1.0) Some(true) else if (d == 0.0) Some(false) else None
             case _ =>
-              if (l == "1" || l.equalsIgnoreCase("true")) Some(true)
-              else if (l == "0" || l.equalsIgnoreCase("false")) Some(false)
+              // '1' / ci-'TRUE' / JS loose `v == true` (Number(v) == 1),
+              // then the symmetric false set (mapper.js:217-231)
+              if (l == "1" || l.equalsIgnoreCase("true") ||
+                numberJs(l).contains(1.0)) Some(true)
+              else if (l == "0" || l.equalsIgnoreCase("false") ||
+                numberJs(l).contains(0.0)) Some(false)
               else None
           }
           b match {

@@ -59,6 +59,14 @@ object Observation {
 /** Typed twin for Dataset[TaggedScalar] use in tests/builders. */
 case class TaggedScalar(lex: String, jstype: String)
 
+/** One (key, tagged value) data pair in DOCUMENT order. Typed consumers
+  * must use Seq[DataPair] (array-backed, order-preserving through the
+  * Dataset encoder) rather than Map: Spark's deserializer rebuilds a
+  * Map[String, _] as an order-scrambling HashMap for >4 entries, so the
+  * VectorMap built at parse time does not survive a Dataset round-trip.
+  * Field names match map_entries() output (key, value). */
+case class DataPair(key: String, value: TaggedScalar)
+
 /** Typed observation for fixture construction in tests. */
 case class ObservationRow(
     network: String,

@@ -195,6 +195,21 @@ object Pipeline {
     }.withColumn("meta_id", col("meta_id").cast("double"))
   }
 
+  /** K1 off the ALREADY-AGGREGATED relation: typed wide projection of one
+    * feature from featureObservations' `results` map — a narrow map job
+    * (element_at per declared property), no pivot, no second aggregation.
+    * Lets a sink derive every wide table from ONE shared featureObservations
+    * pass instead of re-running the pair relation per feature. */
+  def widenFromResults(featureObs: DataFrame, catalog: MetadataCatalog,
+      feature: String): DataFrame = {
+    val props = catalog.propsOf(feature)
+    featureObs.filter(col("feature") === feature)
+      .select(obs ++ props.map(p =>
+        element_at(col("results"), p.property).cast(sparkType(p.ptype))
+          .as(p.property)): _*)
+      .withColumn("meta_id", col("meta_id").cast("double"))
+  }
+
   /** Declared SQL type → Spark type (sink-side DDL parity:
     * tests/configure_tests.js:79-161 uses VARCHAR/DOUBLE/INT/BOOL columns). */
   def sparkType(ptype: String): String = ptype match {

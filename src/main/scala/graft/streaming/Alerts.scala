@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.catalog.MetadataCatalog
 import graft.functions.Coerce
-import graft.model.ObservationRow
-import org.apache.spark.sql.Dataset
+import graft.model.DataPair
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, map_entries}
 import org.apache.spark.sql.streaming.GroupState
 
 /** G1 — the Apiary alert channel with blacklist dedup
@@ -12,9 +13,9 @@ import org.apache.spark.sql.streaming.GroupState
   * Reference semantics: at most one alert per sensor while blacklisted; a
   * "resolve" once the discrepancy clears. (The reference also emits
   * resolves for cold-cache false discrepancies — an artifact of its async
-  * cache refresh with no analogue here: the DATAFLOW path re-resolves the
-  * catalog every micro-batch so routing is never stale; the alert path's
-  * sensor index refreshes at query (re)start — see StreamPipeline.start.
+  * cache refresh with no analogue here: statuses are derived INSIDE the
+  * dataflow micro-batch against that batch's freshly-read catalog — see
+  * StreamPipeline.start — so the alert path is never stale either.
   * See SURVEY.md §3.2.)
   *
   * Status derivation is MAP-ONLY (per-record catalog probe + coercion via
@@ -33,6 +34,10 @@ object Alerts {
       network: String,
       alertType: String, // does_not_exist | invalid_key | null (clean)
       messages: Seq[String])
+
+  /** Status-derivation input: data pairs carried as an ORDERED seq (array
+    * survives the Dataset encoder in document order; a Map does not). */
+  case class ObsPairs(network: String, sensor: String, data: Seq[DataPair])
 
   /** Emitted alert-channel event (the HTTP POST payload analogue). */
   case class AlertEvent(sensor: String, kind: String, messages: Seq[String])
@@ -68,7 +73,7 @@ object Alerts {
   /** Per-record status: the reference's parse_data discrepancy check
     * (invalid_keys ∪ coercion errors ∪ unknown sensor) in one pass over a
     * prebuilt (broadcast-sized) sensor index. */
-  def statusOf(obs: ObservationRow, index: SensorIndex): ObsStatus = {
+  def statusOf(obs: ObsPairs, index: SensorIndex): ObsStatus = {
     val sensor = Option(obs.sensor).map(_.toLowerCase).getOrElse("")
     val mappings = index.get(sensor) match {
       case None =>
@@ -78,9 +83,11 @@ object Alerts {
     }
     // normalized keys fold last-wins like the dataflow path's LAST_WIN
     // (and the reference's JS assignment, mapper.js:63-68) — without the
-    // fold this path could flag an observation the dataflow routes clean
+    // fold this path could flag an observation the dataflow routes clean.
+    // obs.data is an ordered Seq, so insertion order IS document order and
+    // message key order / duplicate-key winners match the reference.
     val folded = new scala.collection.mutable.LinkedHashMap[String, graft.model.TaggedScalar]
-    obs.data.foreach { case (k, v) => folded.put(k.toLowerCase, v) }
+    obs.data.foreach(p => folded.put(p.key.toLowerCase, p.value))
     val entries = folded.toSeq
     val unknown = entries.collect {
       case (k, _) if !mappings.contains(k) => k }
@@ -99,13 +106,19 @@ object Alerts {
     } else ObsStatus(sensor, obs.network, null, Nil)
   }
 
-  /** Map-only status derivation over the observation stream. */
-  def observationStatuses(observations: Dataset[ObservationRow],
+  /** Map-only status derivation over an observation relation (map-typed
+    * `data` column). map_entries preserves the stored (document) order and
+    * the array encoder keeps it — unlike a Map field, whose deserialized
+    * HashMap scrambles key order for >4 entries. */
+  def observationStatuses(observations: DataFrame,
       catalog: MetadataCatalog): Dataset[ObsStatus] = {
     val spark = observations.sparkSession
     import spark.implicits._
     val index = sensorIndex(catalog) // tiny, ships in the task closure
-    observations.map(statusOf(_, index))
+    observations
+      .select(col("network"), col("sensor"), map_entries(col("data")).as("data"))
+      .as[ObsPairs]
+      .map(statusOf(_, index))
   }
 
   /** The blacklist transition: errors first, then cleans (deterministic

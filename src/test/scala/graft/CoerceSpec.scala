@@ -52,6 +52,20 @@ class CoerceSpec extends SparkSpec {
     (("yes", "string", "bool"), (null, true)),
     (("2", "string", "bool"), (null, true)),
     (("1.0", "number", "bool"), ("true", false)),      // 1.0 == '1' loosely
+    // JS loose equality: `v == true` ToNumber path admits every lexeme with
+    // Number(v) == 1, and `v == false` every lexeme with Number(v) == 0
+    (("1.0", "string", "bool"), ("true", false)),
+    ((" 1", "string", "bool"), ("true", false)),
+    (("0x1", "string", "bool"), ("true", false)),
+    (("1e0", "string", "bool"), ("true", false)),
+    (("", "string", "bool"), ("false", false)),        // Number('') = 0
+    ((" ", "string", "bool"), ("false", false)),
+    (("0.0", "string", "bool"), ("false", false)),
+    ((" 0", "string", "bool"), ("false", false)),
+    (("-0", "string", "bool"), ("false", false)),      // -0 == 0
+    (("true ", "string", "bool"), (null, true)),       // Number NaN, not ci-TRUE
+    (("Infinity", "string", "bool"), (null, true)),
+    (("1.5", "string", "bool"), (null, true)),
     (("cumulonimbus", "string", "varchar"), ("cumulonimbus", false)),
     (("90", "number", "float"), ("90", false)),
     (("high", "string", "float"), (null, true)),

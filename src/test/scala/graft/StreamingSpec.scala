@@ -1,5 +1,7 @@
 package graft
 
+import graft.catalog.MetadataCatalog
+import graft.operators.Pipeline
 import graft.streaming.{Alerts, StreamPipeline}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -20,13 +22,21 @@ class StreamingSpec extends SparkSpec {
     val deadLetters = mutable.Buffer[(String, String, String)]() // network, node, json
     val events = mutable.Buffer[String]()
     val alerts = mutable.Buffer[Alerts.AlertEvent]()
-    def writeWide(network: String, feature: String, df: DataFrame, batchId: Long): Unit =
-      synchronized {
-        val buf = wide.getOrElseUpdate((network, feature), mutable.Buffer())
-        df.collect().foreach { r =>
-          buf += r.schema.fieldNames.zip(r.toSeq).toMap
+    def writeWide(featureObs: DataFrame, catalog: MetadataCatalog,
+        batchId: Long): Unit = synchronized {
+      // regroup the single aggregated relation into per-(network, feature)
+      // typed wide rows — same shape the per-feature loop used to deliver
+      featureObs.select("network", "feature").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .foreach { case (network, feature) =>
+          val buf = wide.getOrElseUpdate((network, feature), mutable.Buffer())
+          Pipeline.widenFromResults(
+              featureObs.filter(col("network") <=> network), catalog, feature)
+            .collect().foreach { r =>
+              buf += r.schema.fieldNames.zip(r.toSeq).toMap
+            }
         }
-      }
+    }
     def writeDeadLetter(df: DataFrame, batchId: Long): Unit = synchronized {
       df.select("network", "node_id", "data").collect().foreach(r =>
         deadLetters += ((r.getString(0), r.getString(1), r.getString(2))))
@@ -105,6 +115,40 @@ class StreamingSpec extends SparkSpec {
     assert(htu.messages.exists(_.contains("could not correctly coerce value high")))
     val wub = alertsByKind("alert").find(_.sensor == "wubdb89").get
     assert(wub.messages.head.contains("not found in sensor metadata"))
+  }
+
+  test("catalog fix mid-stream emits resolve in the next batch — no restart") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val sinks = new CollectingSinks
+    val ckpt = Files.createTempDirectory("graft-ckpt-midstream").toString
+    val ghostObs =
+      """{"network":"net","node_id":"n1","meta_id":1,""" +
+        """"datetime":"2017-01-01T00:00:00","sensor":"ghost","data":{"a":1}}"""
+    // catalog V1: sensor unknown -> does_not_exist alert
+    @volatile var catalog = MetadataCatalog.fromMaps(
+      Map.empty[String, Map[String, String]],
+      Map.empty[String, Seq[(String, String)]])
+    val queries = StreamPipeline.start(
+      source.toDF(), () => catalog, sinks, ckpt, availableNow = false)
+    try {
+      source.addData(ghostObs)
+      queries(0).processAllAvailable()
+      queries(1).processAllAvailable()
+      assert(sinks.alerts.map(_.kind) === Seq("alert"))
+      assert(sinks.alerts.head.sensor === "ghost")
+      // register the sensor MID-STREAM — queries keep running
+      catalog = MetadataCatalog.fromMaps(
+        Map("ghost" -> Map("a" -> "f.a")),
+        Map("f" -> Seq("a" -> "integer")))
+      source.addData(ghostObs)
+      queries(0).processAllAvailable()
+      queries(1).processAllAvailable()
+      // the fix is visible in the very next batch: resolve, no restart
+      assert(sinks.alerts.map(_.kind) === Seq("alert", "resolve"))
+    } finally queries.foreach(_.stop())
   }
 
   test("blacklist transition: alert suppressed while blacklisted, re-alerts after resolve") {
