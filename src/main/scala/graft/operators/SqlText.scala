@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.catalog.MetadataCatalog
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K1/K2 sink-side SQL-text generation — the reference's exact quoted
+  * INSERT statements (app/mapper.js:306-358, pinned by the goldens in
+  * tests/travis_tests/unit_tests.js:54-161), generated as codegen'd column
+  * expressions over the pipeline's relations: the text assembly is
+  * distributed, never driver-side.
+  *
+  * Fidelity notes:
+  *  - property identifiers are double-quoted — digit-leading names like
+  *    "500nm" require it (mapper.js:330-332);
+  *  - varchar values single-quoted, bools rendered TRUE/FALSE
+  *    (String(v).toUpperCase(), mapper.js:344-351), numbers bare;
+  *  - column and value order is the observation's document key order;
+  *  - datetime renders as the ISO-'T' micros form the reference carries in
+  *    obs.datetime ('2016-08-05T00:00:08.246000'); inputs whose original
+  *    lexeme used a different fraction width re-canonicalize to 6 digits;
+  *  - the emitted text ends with ';' exactly like the reference — JDBC
+  *    executors strip the terminator before Statement.execute.
+  */
+object SqlText {
+
+  private def dtCol: Column =
+    date_format(col("datetime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** INSERT text per (observation × feature) row of
+    * Pipeline.featureObservations (mapper.js:319-358). Adds a `sql` column. */
+  def featureInsertText(featureObs: DataFrame,
+      catalog: MetadataCatalog): DataFrame = {
+    val types = catalog.featureProps.map(p => (p.feature, p.property) -> p.ptype).toMap
+    val typesMap = map(types.toSeq.flatMap { case ((f, p), t) =>
+      Seq(lit(f + "\u0000" + p), lit(t)) }: _*)
+    val entries = map_entries(col("results")) // document (pos) order
+    val colList = concat_ws(", ",
+      transform(entries, e => concat(lit("\""), e.getField("key"), lit("\""))))
+    val valList = concat_ws(", ", transform(entries, { e =>
+      val t = element_at(typesMap,
+        concat(col("feature"), lit("\u0000"), e.getField("key")))
+      when(t.isin("varchar", "string"),
+          concat(lit("'"), e.getField("value"), lit("'")))
+        .when(t.isin("bool", "boolean"), upper(e.getField("value")))
+        .otherwise(e.getField("value"))
+    }))
+    featureObs.withColumn("sql", concat(
+      lit("INSERT INTO "), col("network"), lit("__"), lower(col("feature")),
+      lit(" (node_id, datetime, meta_id, sensor, "), colList,
+      lit(") VALUES ('"), col("node_id"), lit("', '"), dtCol, lit("', "),
+      col("meta_id").cast("string"), lit(", '"), col("sensor"), lit("', "),
+      valList, lit(");")))
+  }
+
+  /** INSERT text per dead-letter row of Pipeline.misfits
+    * (mapper.js:306-310). Adds a `sql` column. */
+  def misfitInsertText(misfits: DataFrame): DataFrame =
+    misfits.withColumn("sql", concat(
+      lit("INSERT INTO "), col("network"),
+      lit("__unknown_feature VALUES ('"), col("node_id"), lit("', '"),
+      dtCol, lit("', "), col("meta_id").cast("string"), lit(", '"),
+      col("sensor"), lit("', '"), col("data"), lit("');")))
+}
