@@ -56,6 +56,8 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => StarOps.q1Agg(s, d)),
     "q3_join" -> ((s, d) => StarOps.q3Join(s, d)),
     "q5_region" -> ((s, d) => StarOps.q5Region(s, d)),
+    "q2_min_cost" -> ((s, d) => StarOps.q2MinCost(s, d)),
+    "q7_nation_volume" -> ((s, d) => StarOps.q7NationVolume(s, d)),
     "w1_window" -> ((s, d) => StarOps.w1Window(s, d)),
     "set_ops" -> ((s, d) => StarOps.setOps(s, d)),
     "topk_orders" -> ((s, d) => StarOps.topkOrders(s, d)),
@@ -223,6 +225,28 @@ object SparkEntry {
         """JOIN region ON n_regionkey = r_regionkey """ +
         """WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' """ +
         """GROUP BY n_name"""),
+    "q2_min_cost" ->
+      ("""SELECT p.p_partkey, p.p_brand, s.s_name, """ +
+        """CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS min_price_c """ +
+        """FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey """ +
+        """JOIN supplier s ON s.s_suppkey = l.l_suppkey """ +
+        """WHERE p.p_size = 15 """ +
+        """AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2 """ +
+        """WHERE l2.l_partkey = p.p_partkey)"""),
+    "q7_nation_volume" ->
+      ("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, """ +
+        """CAST(year(l.l_shipdate) AS BIGINT) AS l_year, """ +
+        """CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS revenue_dm """ +
+        """FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey """ +
+        """JOIN orders o ON o.o_orderkey = l.l_orderkey """ +
+        """JOIN customer c ON c.c_custkey = o.o_custkey """ +
+        """JOIN nation n1 ON s.s_nationkey = n1.n_nationkey """ +
+        """JOIN nation n2 ON c.c_nationkey = n2.n_nationkey """ +
+        """WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') """ +
+        """OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) """ +
+        """AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' """ +
+        """AND TIMESTAMP '1996-12-31 00:00:00' """ +
+        """GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)"""),
     "w1_window" ->
       ("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate FROM ( """ +
         """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, """ +

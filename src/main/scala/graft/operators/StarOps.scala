@@ -87,6 +87,57 @@ object StarOps {
         .cast("long").as("revenue_dm"))
   }
 
+  /** Q2-shape correlated min-cost subquery: cheapest lineitem per selected
+    * part, supplier attached (testdata has no partsupp, so lineitem plays
+    * the partsupp role). Catalyst decorrelates the scalar subquery into an
+    * aggregate + join — no per-row subquery execution; the equality probe
+    * is a SELECTION on stored doubles (no arithmetic), so it is
+    * cross-engine exact. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "part").createOrReplaceTempView("part_v")
+    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
+    tbl(spark, dir, "supplier").createOrReplaceTempView("supp_v")
+    spark.sql(
+      """SELECT p.p_partkey, p.p_brand, s.s_name,
+        |       CAST(round(l.l_extendedprice * 100, 0) AS LONG) AS min_price_c
+        |FROM part_v p
+        |JOIN li_v l ON l.l_partkey = p.p_partkey
+        |JOIN supp_v s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size = 15
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM li_v l2
+        |                           WHERE l2.l_partkey = p.p_partkey)
+        |""".stripMargin)
+  }
+
+  /** Q7-shape multi-way date-bounded join: bilateral shipping volume
+    * between two nations by year. Five joins — nation twice (tiny,
+    * broadcast by stats), customer/supplier/orders shuffled on their keys
+    * at scale; the shipdate bound is pushed into the lineitem scan. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "supplier").createOrReplaceTempView("supp_v")
+    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
+    tbl(spark, dir, "orders").createOrReplaceTempView("ord_v")
+    tbl(spark, dir, "customer").createOrReplaceTempView("cust_v")
+    tbl(spark, dir, "nation").createOrReplaceTempView("nat_v")
+    spark.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS LONG) AS l_year,
+        |       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+        |            AS LONG) AS revenue_dm
+        |FROM supp_v s
+        |JOIN li_v l ON s.s_suppkey = l.l_suppkey
+        |JOIN ord_v o ON o.o_orderkey = l.l_orderkey
+        |JOIN cust_v c ON c.c_custkey = o.o_custkey
+        |JOIN nat_v n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nat_v n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                       AND TIMESTAMP '1996-12-31 00:00:00'
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |""".stripMargin)
+  }
+
   /** Window function: latest shipment per supplier (rank-1 with full
     * deterministic tie-break). */
   def w1Window(spark: SparkSession, dir: String): DataFrame = {

@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("LeftSemi") || s.contains("SemiJoin"), s)
   }
 
+  test("q2: correlated min-cost subquery decorrelates to aggregate + join") {
+    val df = StarOps.q2MinCost(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"), optimized)
+    assert(optimized.contains("Join"), optimized)
+    // the p_size filter must reach the part scan
+    val s = planString(df)
+    assert(s.contains("PushedFilters"), s)
+  }
+
+  test("q7: nation dims broadcast; shipdate bound pushed to the lineitem scan") {
+    val s = planString(StarOps.q7NationVolume(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("l_shipdate"), s)
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val df = graft.operators.ExtraOps.q17ScalarSubquery(spark, dir)
     val optimized = df.queryExecution.optimizedPlan.toString
