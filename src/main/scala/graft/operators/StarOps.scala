@@ -130,8 +130,8 @@ object StarOps {
         |JOIN cust_v c ON c.c_custkey = o.o_custkey
         |JOIN nat_v n1 ON s.s_nationkey = n1.n_nationkey
         |JOIN nat_v n2 ON c.c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
         |  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
         |                       AND TIMESTAMP '1996-12-31 00:00:00'
         |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)

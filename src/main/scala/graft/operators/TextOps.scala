@@ -123,8 +123,21 @@ object TextOps {
           col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
           least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk")) + 1
             >= reqOverlap)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      // PPJoin+-style suffix bound, replacing a plain distinct() with a
+      // per-pair aggregate (same single shuffle): the cnt prefix-prefix
+      // matches rank consistently with the global canonical order, so the
+      // max-matched element is the SAME shingle on both sides and every
+      // other common element must rank after it on BOTH sides —
+      //   common ≤ cnt + min(na − max_ra, nb − max_rb).
+      // Pairs whose cap cannot reach the required overlap never hit the
+      // exact verify join.
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.rk")).as("mra"), max(col("b.rk")).as("mrb"),
+        max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
+      .filter(col("cnt") + least(col("na") - col("mra"), col("nb") - col("mrb"))
+        >= ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
+      .select(col("doc_a"), col("doc_b"))
     val result = cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
