@@ -151,6 +151,29 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("alert message key order follows document order for >4 data keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    // >4 entries is where a Map-typed field deserializes into a
+    // HashMap and scrambles order — the status path must carry pairs as
+    // an ordered array instead (DataPair seq via map_entries)
+    val json =
+      """{"network":"net","node_id":"n1","meta_id":1,""" +
+        """"datetime":"2017-01-01T00:00:00","sensor":"tmp112","data":""" +
+        """{"zk1":1,"yk2":2,"xk3":3,"wk4":4,"vk5":5,"uk6":6,"temperature":7}}"""
+    val catalog = MetadataCatalog.fromMaps(
+      Map("tmp112" -> Map("temperature" -> "temperature.temp")),
+      Map("temperature" -> Seq("temp" -> "float")))
+    val obs = graft.sources.ObservationSource.parse(
+      Seq(json).toDF("value")).toDF()
+    val statuses = graft.streaming.Alerts.observationStatuses(obs, catalog)
+      .collect()
+    assert(statuses.length === 1)
+    val msg = statuses.head.messages.head
+    assert(msg.contains("unknown key(s) zk1,yk2,xk3,wk4,vk5,uk6"),
+      s"keys out of document order: $msg")
+  }
+
   test("blacklist transition: alert suppressed while blacklisted, re-alerts after resolve") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     // pure transition-function check across simulated batches
