@@ -53,9 +53,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors.reverse.distinctBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total is real wall clock (abs: a failed query still consumed its time;
+    // the negative per-query entry + errors map carry the failure signal)
+    val total = if (results.nonEmpty) results.map(r => math.abs(r._2)).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

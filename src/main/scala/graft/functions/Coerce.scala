@@ -31,10 +31,17 @@ object Coerce {
   private val hexRe = "^0[xX][0-9a-fA-F]+$"
   private val floatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
+  /** Java String.trim parity (all chars <= U+0020, not just space) — the
+    * Scala twin and codegen kernel trim with String.trim, and Spark's
+    * trim() removes only ' ', which would break three-way value identity
+    * for lexemes like "\t1". */
+  private def javaTrim(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+
   /** JS parseInt over the canonical lexeme → long (null = NaN); values
     * beyond Long range saturate (same rule as JsValues.jsParseInt). */
   def jsParseIntCol(lex: Column): Column = {
-    val t = trim(lex)
+    val t = javaTrim(lex)
     val leading = regexp_extract(t, intRe, 0)
     val digits = regexp_replace(leading, "^[+-]", "")
     val sigDigits = regexp_replace(digits, "^0+", "")
@@ -56,7 +63,7 @@ object Coerce {
   /** JS Number over a *string* lexeme → double (null = NaN). Hex accepts
     * NO sign: JS Number('-0x10') is NaN. */
   def jsNumberCol(lex: Column): Column = {
-    val t = trim(lex)
+    val t = javaTrim(lex)
     when(length(t) === 0, lit(0.0))
       .when(t.isin("Infinity", "+Infinity"), lit(Double.PositiveInfinity))
       .when(t === "-Infinity", lit(Double.NegativeInfinity))

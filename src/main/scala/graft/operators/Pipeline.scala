@@ -155,11 +155,16 @@ object Pipeline {
   /** K3 — publisher event payloads: exact JSON the reference emits
     * (feature, node, sensor, datetime, network, results) with coerced values
     * typed (numbers bare, bools bare, strings quoted). */
+  /** Literal (feature, property) -> declared-type lookup map, NUL-separated
+    * compound key (NUL cannot occur in catalog identifiers). Shared by the
+    * event JSON renderer and the SQL-text sink (SqlText). */
+  def ptypeMap(catalog: MetadataCatalog): Column =
+    map(catalog.featureProps.flatMap(p =>
+      Seq(lit(p.feature + "\u0000" + p.property), lit(p.ptype))): _*)
+
   def eventJson(featureObs: DataFrame, catalog: MetadataCatalog): DataFrame = {
     // re-derive bare-vs-quoted from the declared type of each property
-    val types = catalog.featureProps.map(p => (p.feature, p.property) -> p.ptype).toMap
-    val typesMap = map(types.toSeq.flatMap { case ((f, p), t) =>
-      Seq(lit(f + "\u0000" + p), lit(t)) }: _*)
+    val typesMap = ptypeMap(catalog)
     featureObs.withColumn("event_json",
       concat(
         lit("{\"feature\":\""), col("feature"),
@@ -219,12 +224,6 @@ object Pipeline {
     case "bool" | "boolean" => "boolean"
     case _ => "string"
   }
-
-  /** Distinct (network, feature) pairs present in the valid relation —
-    * drives which wide tables receive rows for a batch. */
-  def presentFeatures(classified: DataFrame): Array[(String, String)] =
-    validPairs(classified).select("network", "feature").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1)))
 
   // ---------------------------------------------------------------------------
   // Alert derivation (G1 inputs — the stateful dedup lives in streaming)

@@ -21,44 +21,58 @@ import org.apache.spark.sql.functions._
   *    lexeme used a different fraction width re-canonicalize to 6 digits;
   *  - the emitted text ends with ';' exactly like the reference — JDBC
   *    executors strip the terminator before Statement.execute.
+  *
+  * Two DELIBERATE divergences where the reference's raw util.format
+  * interpolation emits broken SQL (goldens unaffected by either):
+  *  - apostrophes inside quoted values are SQL-standard doubled ('' —
+  *    the reference would emit malformed/injectable text for "o'clock");
+  *  - null fields render as the literal text null the way
+  *    util.format('%s', null) does, instead of nulling out the whole
+  *    statement (a null network reaches the dead-letter sink by design).
   */
 object SqlText {
 
   private def dtCol: Column =
     date_format(col("datetime"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
+  /** util.format('%s', v) parity: null renders as the text `null`. */
+  private def jsStr(c: Column): Column = coalesce(c.cast("string"), lit("null"))
+
+  /** SQL-quote a value: apostrophes doubled (divergence note above). */
+  private def sqlQuoted(c: Column): Column =
+    concat(lit("'"), regexp_replace(jsStr(c), "'", "''"), lit("'"))
+
   /** INSERT text per (observation × feature) row of
     * Pipeline.featureObservations (mapper.js:319-358). Adds a `sql` column. */
   def featureInsertText(featureObs: DataFrame,
       catalog: MetadataCatalog): DataFrame = {
-    val types = catalog.featureProps.map(p => (p.feature, p.property) -> p.ptype).toMap
-    val typesMap = map(types.toSeq.flatMap { case ((f, p), t) =>
-      Seq(lit(f + "\u0000" + p), lit(t)) }: _*)
+    val typesMap = Pipeline.ptypeMap(catalog)
     val entries = map_entries(col("results")) // document (pos) order
     val colList = concat_ws(", ",
       transform(entries, e => concat(lit("\""), e.getField("key"), lit("\""))))
     val valList = concat_ws(", ", transform(entries, { e =>
       val t = element_at(typesMap,
         concat(col("feature"), lit("\u0000"), e.getField("key")))
-      when(t.isin("varchar", "string"),
-          concat(lit("'"), e.getField("value"), lit("'")))
+      when(t.isin("varchar", "string"), sqlQuoted(e.getField("value")))
         .when(t.isin("bool", "boolean"), upper(e.getField("value")))
         .otherwise(e.getField("value"))
     }))
     featureObs.withColumn("sql", concat(
-      lit("INSERT INTO "), col("network"), lit("__"), lower(col("feature")),
+      lit("INSERT INTO "), jsStr(col("network")), lit("__"),
+      jsStr(lower(col("feature"))),
       lit(" (node_id, datetime, meta_id, sensor, "), colList,
-      lit(") VALUES ('"), col("node_id"), lit("', '"), dtCol, lit("', "),
-      col("meta_id").cast("string"), lit(", '"), col("sensor"), lit("', "),
-      valList, lit(");")))
+      lit(") VALUES ("), sqlQuoted(col("node_id")), lit(", "),
+      sqlQuoted(dtCol), lit(", "), jsStr(col("meta_id")), lit(", "),
+      sqlQuoted(col("sensor")), lit(", "), valList, lit(");")))
   }
 
   /** INSERT text per dead-letter row of Pipeline.misfits
     * (mapper.js:306-310). Adds a `sql` column. */
   def misfitInsertText(misfits: DataFrame): DataFrame =
     misfits.withColumn("sql", concat(
-      lit("INSERT INTO "), col("network"),
-      lit("__unknown_feature VALUES ('"), col("node_id"), lit("', '"),
-      dtCol, lit("', "), col("meta_id").cast("string"), lit(", '"),
-      col("sensor"), lit("', '"), col("data"), lit("');")))
+      lit("INSERT INTO "), jsStr(col("network")),
+      lit("__unknown_feature VALUES ("), sqlQuoted(col("node_id")),
+      lit(", "), sqlQuoted(dtCol), lit(", "), jsStr(col("meta_id")),
+      lit(", "), sqlQuoted(col("sensor")), lit(", "),
+      sqlQuoted(col("data")), lit(");")))
 }

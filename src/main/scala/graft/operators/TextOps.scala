@@ -151,13 +151,15 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
           .as("jaccard_bp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) pair list while the intermediates are hot,
-    // then free them — the persisted relations do not outlive the query
-    result.count()
+    // Eagerly materialize the (small) pair list while the intermediates are
+    // hot, then free them deterministically — this operator is a dedup JOB,
+    // not a view. localCheckpoint (vs persist) truncates lineage and its
+    // blocks are reclaimed by the ContextCleaner once the returned frame is
+    // unreferenced, so nothing stays pinned for the session lifetime.
+    val out = result.localCheckpoint(true)
     docs.unpersist(false)
     prefixes.unpersist(false)
-    result
+    out
   }
 
   /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
@@ -227,10 +229,11 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         floor(lit(10000.0) * col("common") / col("union_sz")).cast("long")
           .as("jaccard_bp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
+    // same eager-job materialization + deterministic cleanup as
+    // dedupNgramJaccard (see comment there)
+    val out = result.localCheckpoint(true)
     docs.unpersist(false)
-    result
+    out
   }
 
   // -------------------------------------------------------------------------

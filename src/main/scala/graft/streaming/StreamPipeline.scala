@@ -137,7 +137,12 @@ object StreamPipeline {
     val spark = raw.sparkSession
     val observations = graft.sources.ObservationSource.parse(raw).toDF()
     val statusSpool = s"$checkpointDir/status-spool"
-    new java.io.File(statusSpool).mkdirs()
+    // create via the path's own FileSystem — checkpointDir may be on a DFS
+    // (hdfs://, s3a://) where a local File.mkdirs would silently do nothing
+    // and the alert query's file source would fail on the missing dir
+    val spoolPath = new org.apache.hadoop.fs.Path(statusSpool)
+    spoolPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(spoolPath)
 
     val dataQuery = {
       val w = observations.writeStream

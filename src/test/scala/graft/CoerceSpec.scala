@@ -66,6 +66,12 @@ class CoerceSpec extends SparkSpec {
     (("true ", "string", "bool"), (null, true)),       // Number NaN, not ci-TRUE
     (("Infinity", "string", "bool"), (null, true)),
     (("1.5", "string", "bool"), (null, true)),
+    // Java-trim parity: tab/newline whitespace trims like String.trim in
+    // ALL THREE formulations (Spark's trim() is space-only)
+    (("\t1", "string", "bool"), ("true", false)),
+    (("\n0", "string", "bool"), ("false", false)),
+    (("\t3.9", "string", "integer"), ("3", false)),
+    (("\t42.5", "string", "float"), ("42.5", false)),
     (("cumulonimbus", "string", "varchar"), ("cumulonimbus", false)),
     (("90", "number", "float"), ("90", false)),
     (("high", "string", "float"), (null, true)),

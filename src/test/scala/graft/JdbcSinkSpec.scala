@@ -106,6 +106,25 @@ class JdbcSinkSpec extends SparkSpec {
         "'spectro', 0.75);"))
   }
 
+  test("apostrophes in varchar values are SQL-doubled (deliberate divergence)") {
+    val obs = ObservationRow(aot, "00a", 23, dt, "camera",
+      VectorMap("cloud_type" -> str("o'clock")))
+    val sqls = sqlsOf(obs)
+    assert(sqls.length === 1)
+    assert(sqls.head.contains("'o''clock'"), sqls.head)
+  }
+
+  test("null fields render as the literal text null (util.format parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Option.empty[String], "n1", 23L,
+        Option.empty[java.sql.Timestamp], "htu21d", """{"a":1}"""))
+      .toDF("network", "node_id", "meta_id", "datetime", "sensor", "data")
+    val sql = SqlText.misfitInsertText(df).select("sql").head.getString(0)
+    assert(sql === "INSERT INTO null__unknown_feature VALUES " +
+      "('n1', 'null', 23, 'htu21d', '{\"a\":1}');")
+  }
+
   test("JdbcTextSinks executes the generated text end-to-end (Derby)") {
     val spark2 = spark
     import spark2.implicits._
@@ -125,9 +144,12 @@ class JdbcSinkSpec extends SparkSpec {
       VectorMap("temp" -> num("37.91"), "humidity" -> num("27.48")))
     val bad = ObservationRow(aot, "005", 23, dt, "htu21d",
       VectorMap("temp" -> str("high"), "humdrum" -> num("27.48")))
+    // apostrophe round-trip: doubled in the INSERT, stored single
+    val badQuote = ObservationRow(aot, "006", 23, dt, "htu21d",
+      VectorMap("temp" -> str("o'clock")))
     val sinks = new JdbcTextSinks(url)
-    StreamPipeline.processBatch(Seq(good, bad).toDF(), Fixtures.catalog,
-      sinks, 0L)
+    StreamPipeline.processBatch(Seq(good, bad, badQuote).toDF(),
+      Fixtures.catalog, sinks, 0L)
 
     val rs1 = st.executeQuery("SELECT node_id, sensor, \"temperature\" " +
       "FROM array_of_things_chicago__temperature")
@@ -139,10 +161,13 @@ class JdbcSinkSpec extends SparkSpec {
       "FROM array_of_things_chicago__relative_humidity")
     assert(rs2.next() && rs2.getDouble(1) === 27.48)
     val rs3 = st.executeQuery("SELECT node_id, data " +
-      "FROM array_of_things_chicago__unknown_feature")
+      "FROM array_of_things_chicago__unknown_feature ORDER BY node_id")
     assert(rs3.next())
     assert(rs3.getString(1) === "005")
     assert(rs3.getString(2) === """{"temp":"high","humdrum":27.48}""")
+    assert(rs3.next())
+    assert(rs3.getString(1) === "006")
+    assert(rs3.getString(2) === """{"temp":"o'clock"}""")
     assert(!rs3.next())
     conn.close()
   }
