@@ -77,6 +77,7 @@ object SparkEntry {
     // --- dedup family over `documents` ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "dedup_minhash_sig" -> ((s, d) => TextOps.minhashSignatures(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
@@ -106,6 +107,15 @@ object SparkEntry {
 
   private val shinglesSql =
     "list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])"
+
+  /** Shared CTEs + threshold condition for the exact ngram near-dup pair
+    * graph (dedup_ngram_jaccard and dedup_clusters build on the same). */
+  private val ngramPairCtes =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+      s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d WHERE len(w) >= 3)"""
+  private val ngramPairCond =
+    """2 * len(list_intersect(a.sh, b.sh)) >= """ +
+      """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""
 
   private def simhashSql: String = {
     val bitSums = (0 until 16).map(j =>
@@ -330,14 +340,22 @@ object SparkEntry {
       ("""SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, """ +
         """count(*) AS n_copies FROM documents GROUP BY md5(text)"""),
     "dedup_ngram_jaccard" ->
-      (s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
-        s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d WHERE len(w) >= 3) """ +
+      (s"""WITH $ngramPairCtes """ +
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
         """CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / """ +
         """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp """ +
         """FROM s a JOIN s b ON a.doc_id < b.doc_id """ +
-        """WHERE 2 * len(list_intersect(a.sh, b.sh)) >= """ +
-        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""),
+        s"""WHERE $ngramPairCond"""),
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE $ngramPairCtes, """ +
+        """pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
+        s"""FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $ngramPairCond), """ +
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs """ +
+        """UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """reach(src, dst) AS (SELECT src, dst FROM edges """ +
+        """UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) """ +
+        """SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_rep """ +
+        """FROM reach GROUP BY src"""),
     "dedup_minhash_sig" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "text_tokens" ->

@@ -162,6 +162,41 @@ object TextOps {
     out
   }
 
+  /** Near-dup cluster resolution — the "keep one per duplicate cluster"
+    * final stage of a training-data dedup pipeline: connected components
+    * over the exact near-dup pair graph, each doc labeled with the min
+    * doc_id of its component (the canonical survivor).
+    *
+    * Iterative min-label propagation to fixpoint — the MapReduce-CC family
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14): O(log n) rounds, one keyed shuffle each, over the PAIR
+    * graph (orders of magnitude smaller than the corpus — never the corpus
+    * itself). Each round localCheckpoints so lineage stays flat. Docs in
+    * no pair are their own survivor and are not emitted (a write-side left
+    * join reattaches them for free). Deterministic: min-label. */
+  def dedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // every node adopts the min rep among itself and its neighbors
+      val next = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("rep"))
+        .union(labels)
+        .groupBy("doc_id").agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
+        .filter(col("rep") =!= col("old_rep")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
   val minhashParams: Seq[(Long, Long)] =
     Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))

@@ -22,6 +22,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: pair endpoints share a rep; rep is the component min") {
+    val pairs = TextOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val reps = TextOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && reps.nonEmpty)
+    // connectivity: both endpoints of every near-dup pair resolve to the
+    // same canonical survivor
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) === reps(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical: the rep is the min of its component and its own rep
+    reps.foreach { case (d, r) =>
+      assert(r <= d, s"rep $r above doc $d")
+      assert(reps(r) === r, s"rep $r is not a fixpoint")
+    }
+  }
+
   test("every oracle key has a matching query key") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
