@@ -86,6 +86,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(s, d)),
     "text_langid" -> ((s, d) => TextOps.textLangId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.textFingerprint(s, d)),
+    "text_corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
+    "text_sample_split" -> ((s, d) => TextOps.sampleSplit(s, d)),
+    "text_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
@@ -391,6 +394,20 @@ object SparkEntry {
         s"""h AS (SELECT doc_id, i * (${weakHashSql("s")}) AS term FROM t) """ +
         s"""SELECT doc_id, CAST(CAST(sum(term) AS BIGINT) % ${TextOps.FP_MOD} AS BIGINT) AS fingerprint """ +
         """FROM h GROUP BY doc_id"""),
+    "text_corpus_stats" ->
+      ("""SELECT lang, count(*) AS n_docs, """ +
+        """CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, """ +
+        """CAST(sum(length(text)) AS BIGINT) AS sum_chars, """ +
+        """CAST(floor(100.0 * sum(len(string_split(text, ' '))) / count(*)) AS BIGINT) """ +
+        """AS avg_tokens_c FROM documents GROUP BY lang"""),
+    "text_sample_split" ->
+      ("""SELECT doc_id, lang, """ +
+        """CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'valid' END AS split """ +
+        """FROM documents"""),
+    "text_vocab_topk" ->
+      ("""SELECT token, CAST(count(*) AS BIGINT) AS n FROM """ +
+        """(SELECT unnest(string_split(text, ' ')) AS token FROM documents) """ +
+        """GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +

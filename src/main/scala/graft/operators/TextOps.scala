@@ -337,6 +337,44 @@ object TextOps {
       predFixed.as("lang_pred"), best.cast("long").as("marker_hits"))
   }
 
+  /** Corpus-level rollup per language: doc counts, token/char volume, and
+    * floored-centibasis mean token length — the "what is in this corpus"
+    * summary every dataset card needs. Map + one small keyed agg; exact
+    * integers only (see Determinism note in SparkEntry). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    tbl(spark, dir, "documents")
+      .select(col("lang"), size(t).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        floor(lit(100.0) * sum(col("n_tok")) / count(lit(1))).cast("long")
+          .as("avg_tokens_c"))
+  }
+
+  /** Deterministic stratified train/valid split: assignment is a pure
+    * function of doc_id (mod-100 bucketing, 80/20), reproducible across
+    * engines, runs, and repartitioning — never rand()-based, which would
+    * unfix the split under retries. Map-only. */
+  def sampleSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 80): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(100)) < trainPct, lit("train"))
+          .otherwise(lit("valid")).as("split"))
+
+  /** Global vocabulary top-k by frequency with a total tie-break
+    * (count desc, token asc) — plans as partial-agg → shuffle →
+    * TakeOrderedAndProject, never a full sort. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Position-weighted document fingerprint (rolling-hash style):
     * Σ_i (i+1) * H(token_i) mod FP_MOD. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {

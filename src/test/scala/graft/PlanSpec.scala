@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("vocab topk: partial agg + TakeOrderedAndProject, no global sort") {
+    val s = planString(graft.operators.TextOps.vocabTopK(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+
   test("catalog enrichment join broadcasts the catalog side") {
     val s = planString(EventOps.j2Enrich(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s)
