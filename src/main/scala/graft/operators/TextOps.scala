@@ -182,17 +182,20 @@ object TextOps {
       .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // per-node labels only ever decrease, so Σrep is strictly monotone
+    // until the fixpoint — sum equality IS convergence (one tiny aggregate
+    // per round instead of a change-detection join)
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("rep")).head.getLong(0)
+    while (sum != prevSum) {
       // every node adopts the min rep among itself and its neighbors
-      val next = edges.join(labels, edges("src") === labels("doc_id"))
+      labels = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("rep"))
         .union(labels)
         .groupBy("doc_id").agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
-        .filter(col("rep") =!= col("old_rep")).count()
-      labels = next
+      prevSum = sum
+      sum = labels.agg(org.apache.spark.sql.functions.sum("rep")).head.getLong(0)
     }
     labels.select(col("doc_id"), col("rep").as("cluster_rep"))
   }
