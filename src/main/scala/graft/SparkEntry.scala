@@ -66,6 +66,7 @@ object SparkEntry {
     "semi_join" -> ((s, d) => ExtraOps.semiJoin(s, d)),
     "asof_join" -> ((s, d) => ExtraOps.asofErrorSignup(s, d)),
     "range_join" -> ((s, d) => ExtraOps.rangeJoinEvents(s, d)),
+    "sessionize" -> ((s, d) => ExtraOps.sessionize(s, d)),
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
     "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
     "pct_agg" -> ((s, d) => ExtraOps.percentileAgg(s, d)),
@@ -300,6 +301,15 @@ object SparkEntry {
         """FROM events a JOIN events b ON a.user_id = b.user_id """ +
         """AND a.event_id < b.event_id """ +
         """AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000"""),
+    "sessionize" ->
+      ("""WITH g AS (SELECT user_id, event_id, ts, """ +
+        """CASE WHEN lag(ts) OVER w IS NULL """ +
+        """OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 """ +
+        """THEN 1 ELSE 0 END AS new_sess FROM events """ +
+        """WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) """ +
+        """SELECT user_id, event_id, CAST(sum(new_sess) OVER """ +
+        """(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) """ +
+        """AS BIGINT) AS session_seq FROM g"""),
     "sql_q6" ->
       ("""SELECT CAST(round(sum(l_extendedprice * l_discount) * 10000, 0) AS BIGINT) """ +
         """AS revenue_dm FROM lineitem """ +

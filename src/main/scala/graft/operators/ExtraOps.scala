@@ -68,6 +68,25 @@ object ExtraOps {
         abs(col("us_a") - col("us_b")).as("gap_us"))
   }
 
+  /** Sessionization: assign each event a per-user session sequence number
+    * using the 30-minute-gap rule — lag to detect session starts, running
+    * sum to number them. ROWS frame (not the default RANGE) so timestamp
+    * ties — ordered deterministically by event_id — don't sum peers
+    * together. One shuffle on user_id serves both window passes. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    tbl(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_sess",
+        when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .select(col("user_id"), col("event_id"),
+        col("session_seq").cast("long").as("session_seq"))
+  }
+
   /** SQL-API entry (TPC-H Q6 shape): revenue from discounted small lots —
     * exercises spark.sql + temp views end to end. */
   def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
