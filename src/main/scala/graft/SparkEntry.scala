@@ -305,7 +305,7 @@ object SparkEntry {
       ("""WITH g AS (SELECT user_id, event_id, ts, """ +
         """CASE WHEN lag(ts) OVER w IS NULL """ +
         """OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 """ +
-        """THEN 1 ELSE 0 END AS new_sess FROM events """ +
+        """THEN 1 ELSE 0 END AS new_sess FROM events WHERE ts IS NOT NULL """ +
         """WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) """ +
         """SELECT user_id, event_id, CAST(sum(new_sess) OVER """ +
         """(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) """ +

@@ -72,13 +72,17 @@ object ExtraOps {
     * using the 30-minute-gap rule — lag to detect session starts, running
     * sum to number them. ROWS frame (not the default RANGE) so timestamp
     * ties — ordered deterministically by event_id — don't sum peers
-    * together. One shuffle on user_id serves both window passes. */
+    * together. One shuffle on user_id serves both window passes.
+    * Null-timestamp events are excluded up front: engines disagree on both
+    * null ordering (Spark nulls-first, DuckDB nulls-last) and NULL-gap
+    * comparison, so a session number for them is not well-defined. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     tbl(spark, dir, "events")
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("new_sess",
         when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))

@@ -152,9 +152,6 @@ object Pipeline {
         map_from_entries(transform(array_sort(collect_list(col("entry"))),
           e => struct(e.getField("property"), e.getField("value")))).as("results"))
 
-  /** K3 — publisher event payloads: exact JSON the reference emits
-    * (feature, node, sensor, datetime, network, results) with coerced values
-    * typed (numbers bare, bools bare, strings quoted). */
   /** Literal (feature, property) -> declared-type lookup map, NUL-separated
     * compound key (NUL cannot occur in catalog identifiers). Shared by the
     * event JSON renderer and the SQL-text sink (SqlText). */
@@ -162,6 +159,9 @@ object Pipeline {
     map(catalog.featureProps.flatMap(p =>
       Seq(lit(p.feature + "\u0000" + p.property), lit(p.ptype))): _*)
 
+  /** K3 — publisher event payloads: exact JSON the reference emits
+    * (feature, node, sensor, datetime, network, results) with coerced values
+    * typed (numbers bare, bools bare, strings quoted). */
   def eventJson(featureObs: DataFrame, catalog: MetadataCatalog): DataFrame = {
     // re-derive bare-vs-quoted from the declared type of each property
     val typesMap = ptypeMap(catalog)

@@ -156,6 +156,10 @@ object TextOps {
     // not a view. localCheckpoint (vs persist) truncates lineage and its
     // blocks are reclaimed by the ContextCleaner once the returned frame is
     // unreferenced, so nothing stays pinned for the session lifetime.
+    // Trade-off: checkpoint blocks are NOT fault-tolerant — an executor
+    // loss between materialization and consumption fails the job instead
+    // of recomputing; on a long-lived cluster with dynamic allocation,
+    // write the result to durable storage instead.
     val out = result.localCheckpoint(true)
     docs.unpersist(false)
     prefixes.unpersist(false)
@@ -167,13 +171,16 @@ object TextOps {
     * over the exact near-dup pair graph, each doc labeled with the min
     * doc_id of its component (the canonical survivor).
     *
-    * Iterative min-label propagation to fixpoint — the MapReduce-CC family
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC '14): O(log n) rounds, one keyed shuffle each, over the PAIR
-    * graph (orders of magnitude smaller than the corpus — never the corpus
-    * itself). Each round localCheckpoints so lineage stays flat. Docs in
-    * no pair are their own survivor and are not emitted (a write-side left
-    * join reattaches them for free). Deterministic: min-label. */
+    * Iterative min-label propagation to fixpoint: O(component diameter)
+    * rounds, one keyed shuffle each, over the PAIR graph (orders of
+    * magnitude smaller than the corpus — never the corpus itself).
+    * Near-dup components are dense/shallow in practice so few rounds
+    * suffice; a corpus with long duplicate CHAINS would want the
+    * large-star/small-star transforms (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14) for O(log n) rounds.
+    * Each round localCheckpoints so lineage stays flat. Docs in no pair
+    * are their own survivor and are not emitted (a write-side left join
+    * reattaches them for free). Deterministic: min-label. */
   def dedupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val pairs = dedupNgramJaccard(spark, dir, threshold)
@@ -184,18 +191,22 @@ object TextOps {
       .withColumn("rep", col("doc_id")).localCheckpoint(true)
     // per-node labels only ever decrease, so Σrep is strictly monotone
     // until the fixpoint — sum equality IS convergence (one tiny aggregate
-    // per round instead of a change-detection join)
+    // per round instead of a change-detection join). coalesce: an empty
+    // pair graph sums to NULL, which must read as converged-at-zero, not
+    // an unboxing NPE
+    def repSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
     var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("rep")).head.getLong(0)
-    while (sum != prevSum) {
+    var sum0 = repSum(labels)
+    while (sum0 != prevSum) {
       // every node adopts the min rep among itself and its neighbors
       labels = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("rep"))
         .union(labels)
         .groupBy("doc_id").agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
-      prevSum = sum
-      sum = labels.agg(org.apache.spark.sql.functions.sum("rep")).head.getLong(0)
+      prevSum = sum0
+      sum0 = repSum(labels)
     }
     labels.select(col("doc_id"), col("rep").as("cluster_rep"))
   }
@@ -360,12 +371,14 @@ object TextOps {
   /** Deterministic stratified train/valid split: assignment is a pure
     * function of doc_id (mod-100 bucketing, 80/20), reproducible across
     * engines, runs, and repartitioning — never rand()-based, which would
-    * unfix the split under retries. Map-only. */
+    * unfix the split under retries. Map-only. Signed % (not pmod): its
+    * remainder-takes-dividend-sign semantics match ANSI SQL engines, so a
+    * negative doc_id splits identically everywhere. */
   def sampleSplit(spark: SparkSession, dir: String,
       trainPct: Int = 80): DataFrame =
     tbl(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        when(pmod(col("doc_id"), lit(100)) < trainPct, lit("train"))
+        when(col("doc_id") % 100 < trainPct, lit("train"))
           .otherwise(lit("valid")).as("split"))
 
   /** Global vocabulary top-k by frequency with a total tie-break

@@ -41,6 +41,10 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: empty pair graph yields an empty result, not a crash") {
+    assert(TextOps.dedupClusters(spark, dir, threshold = 1.5).count() === 0)
+  }
+
   test("every oracle key has a matching query key") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
