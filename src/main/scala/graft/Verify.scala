@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same semantic + scale posture as Engine.builder/Bench
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
