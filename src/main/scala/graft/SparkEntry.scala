@@ -95,6 +95,7 @@ object SparkEntry {
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
+    "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
     // --- multimodal metadata ---
     "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)))
 
@@ -434,6 +435,12 @@ object SparkEntry {
         """round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim """ +
         """FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id """ +
         """WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9"""),
+    "sim_normalize" ->
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm, emb FROM e), """ +
+        """u AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, """ +
+        """unnest(emb) AS x, nrm FROM n) """ +
+        """SELECT vec_id, dim, round(x / nrm, 6) AS unit_val FROM u"""),
     "mm_meta" ->
       ("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, """ +
         """CAST(ascii(text) AS BIGINT) AS first_byte, """ +

@@ -177,6 +177,21 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Ingest-time unit-normalization — the precompute the kNN scan stage
+    * assumes ("normalize-and-store at ingest" in knnBruteForce's doc):
+    * divide every component by the vector's L2 norm so cosine becomes a
+    * single fused dot product per pair. Map-only; emitted exploded as
+    * (vec_id, dim, unit_val) rows with 6-dp rounding for cross-engine
+    * exactness. */
+  def normalizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = norm(col("embedding"))
+    tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(
+        transform(col("embedding"), x => round(x.cast("double") / nrm, 6))))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("unit_val"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — exact
     * all-pairs formulation with a block-join guard (same label block) to
     * bound the quadratic term; oracle-matched. */

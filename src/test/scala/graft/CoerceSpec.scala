@@ -186,7 +186,9 @@ class CoerceSpec extends SparkSpec {
     val cases = (for {
       lex <- Seq("1", "0", "true", "false", "TRUE", "3.9", "-3.9", "", " 42 ",
         "abc", "12abc", "0x1F", "Infinity", "-Infinity", "NaN", "1e3", ".5",
-        "high", "cumulonimbus", "90.92")
+        "high", "cumulonimbus", "90.92",
+        // JS-loose bool lexemes + non-space whitespace (Java-trim parity)
+        "1.0", " 1", "0x1", "1e0", "0.0", " 0", "-0", "\t1", "\n0", "\t3.9", " ")
       jt <- Seq("string", "number", "boolean")
       pt <- Seq("varchar", "integer", "float", "bool", "mystery")
     } yield {
