@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("sessionize: lag and running-sum windows share at most one user_id shuffle") {
+    val s = planString(graft.operators.ExtraOps.sessionize(spark, dir))
+    // both window passes have the same partitioning, so they must never
+    // introduce a second exchange (0 at this scale: a single input
+    // partition already satisfies the distribution)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n$s")
+  }
+
   test("vocab topk: partial agg + TakeOrderedAndProject, no global sort") {
     val s = planString(graft.operators.TextOps.vocabTopK(spark, dir))
     assert(s.contains("TakeOrderedAndProject"), s)
