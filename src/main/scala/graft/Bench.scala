@@ -35,8 +35,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: session init, codegen pipeline, parquet reader paths
+    // warmup: session init, codegen pipeline, parquet reader paths. The
+    // second statement pushes one throwaway plan through the higher-order-
+    // function + window + join codegen paths so the first measured query
+    // doesn't absorb Janino/classloader startup (measured at 3-4 s on this
+    // box); it computes nothing any query reuses.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val tiny = spark.range(64).select(
+        col("id"), split(concat_ws(" ", lit("w"), col("id"), lit("x y z")), " ").as("w"))
+      tiny.as("a").join(tiny.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id"),
+          size(array_intersect(col("a.w"), col("b.w"))).as("c"),
+          aggregate(col("a.w"), lit(0L), (acc, s) => acc + length(s)).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("c"), col("h"))))
+        .groupBy("id").agg(min(col("rk"))).count()
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

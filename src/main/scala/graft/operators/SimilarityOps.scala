@@ -69,6 +69,13 @@ object SimilarityOps {
     (x % lit(2001L)) - lit(1000L) // pseudo-uniform in [-1000, 1000]
   }
 
+  /** Pure-Scala twin of [[planeWeight]] — lets the DuckDB oracle (and
+    * specs) replay the exact hyperplanes as literal weight vectors. */
+  def planeWeightScala(plane: Int, dim: Int): Long = {
+    val x = ((dim + plane * 1315423911L) % 1000003L) * 2654435761L % 1000003L
+    (x % 2001L) - 1000L
+  }
+
   /** Sign-random-projection bucket id (nBits hyperplanes → integer bucket). */
   def srpBucket(emb: Column, nBits: Int): Column =
     (0 until nBits).map { p =>
@@ -87,11 +94,14 @@ object SimilarityOps {
     val emb = tbl(spark, dir, "embeddings")
       .withColumn("bucket", srpBucket(col("embedding"), nBits))
       .withColumn("nrm", norm(col("embedding")))
+    // the query side's bucket is aliased: both buckets derive from the same
+    // expression tree, and unaliased Column equality on a shared derived
+    // column logs a misleading "trivially true equals predicate" warning
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket"), col("nrm").as("q_nrm"))
+        col("bucket").as("q_bucket"), col("nrm").as("q_nrm"))
     val scored = emb.join(broadcast(queries),
-        emb("bucket") === queries("bucket") && col("vec_id") =!= col("q_id"))
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
@@ -192,16 +202,30 @@ object SimilarityOps {
         col("col").as("unit_val"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold — exact
-    * all-pairs formulation with a block-join guard (same label block) to
-    * bound the quadratic term; oracle-matched. */
+  /** Embedding-cosine near-duplicate pairs above a threshold: candidates
+    * are generated by SRP-LSH bucketing WITHIN each label block (reusing
+    * [[srpBucket]] — deterministic hyperplanes, so the DuckDB oracle can
+    * replay the exact same buckets), then verified with the exact cosine.
+    *
+    * Scale: the join key is (label, bucket) — 2^nBits buckets per label —
+    * so one hot label never forms a quadratic all-pairs block (the previous
+    * label-only formulation was a cartesian bomb on skewed labels: one
+    * label holding 1% of a 100 TB corpus squares to ~10^16 pairs). The cost
+    * is recall: a qualifying pair in different buckets is not emitted.
+    * Recall is 1.0 for exact duplicates (identical vectors always share a
+    * bucket — the primary dedup case) and (1 − θ/π)^nBits for angle θ
+    * pairs (Charikar '02), ~69% at cos 0.99 with the default 8 bits; raise
+    * recall by OR-ing multiple bucket tables (band trick) at proportional
+    * cost. Emitted pairs carry their EXACT cosine — precision 1.0. */
   def embeddingNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, nBits: Int = 8): DataFrame = {
     val emb = tbl(spark, dir, "embeddings").select(
       col("vec_id"), col("embedding"), col("label"),
-      norm(col("embedding")).as("nrm")) // once per vector, not per pair
+      norm(col("embedding")).as("nrm"), // once per vector, not per pair
+      srpBucket(col("embedding"), nBits).as("bucket"))
     emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
         dot(col("a.embedding"), col("b.embedding")) /

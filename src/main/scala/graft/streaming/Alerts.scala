@@ -121,11 +121,33 @@ object Alerts {
       .map(statusOf(_, index))
   }
 
+  /** TTL for blacklist state: a blacklisted sensor that stays SILENT this
+    * long is forgotten (its state row dropped), so the state store is
+    * bounded by |sensors alerting within the TTL window| — without it,
+    * every distinct garbage sensor name on a hostile/dirty stream pins a
+    * state row forever. Reference parity: its blacklist is an in-memory
+    * object that forgets on every process restart (app/mapper.js:42), so
+    * re-alerting after a quiet period is within the reference's own
+    * semantics; data arriving keeps the state alive indefinitely. */
+  val blacklistTtlMs: Long = 6 * 60 * 60 * 1000L
+
   /** The blacklist transition: errors first, then cleans (deterministic
     * within-batch order; matches the reference's sequential trace for
-    * one-observation batches). */
+    * one-observation batches). On TTL expiry the state row is dropped —
+    * the sensor re-alerts if it returns still broken. */
   def transition(sensor: String, it: Iterator[ObsStatus],
+      state: GroupState[SensorState]): Iterator[AlertEvent] =
+    transitionImpl(armTtl = true)(sensor, it, state)
+
+  /** `armTtl = false` skips setTimeoutDuration — REQUIRED under a
+    * NoTimeout execution (see alertStream), where arming throws. */
+  private def transitionImpl(armTtl: Boolean)(sensor: String,
+      it: Iterator[ObsStatus],
       state: GroupState[SensorState]): Iterator[AlertEvent] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val batch = it.toSeq
     val errors = batch.filter(_.alertType != null)
     val cleans = batch.filter(_.alertType == null)
@@ -141,19 +163,36 @@ object Alerts {
     }
     // only blacklisted=true carries information — removing state for clean
     // sensors bounds the state store by |currently-blacklisted sensors|
-    // instead of growing with every sensor name ever seen
-    if (blacklisted) state.update(SensorState(blacklisted))
-    else state.remove()
+    // instead of growing with every sensor name ever seen; the TTL clock
+    // re-arms on every batch that touches the sensor
+    if (blacklisted) {
+      state.update(SensorState(blacklisted))
+      if (armTtl) state.setTimeoutDuration(blacklistTtlMs)
+    } else state.remove()
     out.iterator
   }
 
-  /** Wire the stateful op over a (streaming or batch) status dataset. */
-  def alertStream(statuses: Dataset[ObsStatus]): Dataset[AlertEvent] = {
+  /** Wire the stateful op over a (streaming or batch) status dataset.
+    *
+    * `withTtl = true` (the continuously-running production mode) arms
+    * ProcessingTimeTimeout so silent blacklisted sensors expire after
+    * [[blacklistTtlMs]]. Drain-style executions (Trigger.AvailableNow,
+    * plain batch) must pass `withTtl = false`: a processing-time-timeout
+    * stateful query has no natural termination point — the engine keeps
+    * scheduling batches so expirations can fire — which deadlocks
+    * AvailableNow's drain-and-terminate contract (and in batch execution
+    * timeouts can never fire anyway, so nothing is lost). The transition
+    * function itself is timeout-aware in both modes. */
+  def alertStream(statuses: Dataset[ObsStatus],
+      withTtl: Boolean = true): Dataset[AlertEvent] = {
     val spark = statuses.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeout =
+      if (withTtl) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     statuses.groupByKey(_.sensor)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(transition)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        transitionImpl(armTtl = withTtl))
   }
 }

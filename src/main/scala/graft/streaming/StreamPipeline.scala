@@ -167,7 +167,9 @@ object StreamPipeline {
       import spark2.implicits._
       val statuses = spark.readStream.schema(statusSchema)
         .parquet(statusSpool).as[Alerts.ObsStatus]
-      val w = Alerts.alertStream(statuses).writeStream
+      // drain mode must run without the TTL: ProcessingTimeTimeout keeps
+      // the query alive past AvailableNow's drain (see alertStream doc)
+      val w = Alerts.alertStream(statuses, withTtl = !availableNow).writeStream
         .queryName("graft-alerts")
         .option("checkpointLocation", s"$checkpointDir/alerts")
         .foreachBatch { (batch: Dataset[Alerts.AlertEvent], batchId: Long) =>
@@ -176,7 +178,6 @@ object StreamPipeline {
         .outputMode("append")
       (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
     }
-
     Seq(dataQuery, alertQuery)
   }
 }

@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("embedding near-dup: candidates keyed on (label, bucket) — never a label-only block") {
+    val s = planString(SimilarityOps.embeddingNearDup(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the self-join must be an equi-join on BOTH label and bucket — a
+    // label-only key is the quadratic hot-block shape this plan forbids
+    val leftKeys = s.linesIterator.map(_.trim)
+      .find(_.startsWith("Left keys")).getOrElse("")
+    assert(leftKeys.contains("[2]"), s"expected a 2-key equi-join: $leftKeys\n$s")
+    assert(leftKeys.contains("label") && leftKeys.contains("bucket"), leftKeys)
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     val s = planString(graft.operators.ExtraOps.q4Exists(spark, dir))
     assert(s.contains("LeftSemi") || s.contains("SemiJoin"), s)

@@ -79,6 +79,44 @@ class QueriesSpec extends SparkSpec {
     assert(lsh === exact, s"LSH missed ${exact.size - lsh.size} exact pairs")
   }
 
+  test("embedding near-dup: exact-duplicate recall, exact cosines, label fences hold") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-embdup").toString
+    // 3 exact duplicates in label 0 (identical vectors always land in the
+    // same SRP bucket — recall 1 on the primary dedup case), an unrelated
+    // vector in label 0 (must fail the cosine verify even if co-bucketed),
+    // and a duplicate of v under ANOTHER label (must never pair across)
+    val v = (0 until 64).map(i => (math.sin(i + 1.0) * 0.7).toFloat)
+    val u = (0 until 64).map(i => (math.cos(2.0 * i + 1.0) * 0.4).toFloat)
+    Seq((1L, v, 0), (2L, v, 0), (3L, v, 0), (4L, u, 0), (5L, v, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SimilarityOps.embeddingNearDup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    got.foreach(x => assert(x._3 === 1.0, s"duplicate pair cosine ${x._3}"))
+  }
+
+  test("LSH hot-bucket cap: a tiny cap drops pairs but never invents them") {
+    val uncapped = TextOps.lshNearDupPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap of 1: every bucket with >1 member — i.e. every bucket that can
+    // produce a pair — is dropped, so the result must be empty (and the
+    // run exercises the census + anti-join + warn path)
+    val allCapped = TextOps.lshNearDupPairs(spark, dir, maxBucketSize = 1)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allCapped.isEmpty, s"cap=1 left ${allCapped.size} pairs")
+    // a generous cap must be a no-op on this corpus
+    val wideCapped = TextOps.lshNearDupPairs(spark, dir, maxBucketSize = 100000)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wideCapped === uncapped)
+  }
+
   test("LSH knn ranks are consistent with brute force where buckets agree") {
     val bf = SimilarityOps.knnBruteForce(spark, dir)
       .select("q_id", "vec_id", "rank").collect()

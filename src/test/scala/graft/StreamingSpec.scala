@@ -133,10 +133,19 @@ class StreamingSpec extends SparkSpec {
       Map.empty[String, Seq[(String, String)]])
     val queries = StreamPipeline.start(
       source.toDF(), () => catalog, sinks, ckpt, availableNow = false)
+    // the alert query runs with the blacklist TTL armed
+    // (ProcessingTimeTimeout), under which processAllAvailable can never
+    // latch no-new-data — the engine keeps constructing batches so
+    // expirations can fire — so this test polls the sink instead
+    def awaitAlerts(n: Int): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (sinks.alerts.size < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    }
     try {
       source.addData(ghostObs)
       queries(0).processAllAvailable()
-      queries(1).processAllAvailable()
+      awaitAlerts(1)
       assert(sinks.alerts.map(_.kind) === Seq("alert"))
       assert(sinks.alerts.head.sensor === "ghost")
       // register the sensor MID-STREAM — queries keep running
@@ -145,7 +154,7 @@ class StreamingSpec extends SparkSpec {
         Map("f" -> Seq("a" -> "integer")))
       source.addData(ghostObs)
       queries(0).processAllAvailable()
-      queries(1).processAllAvailable()
+      awaitAlerts(2)
       // the fix is visible in the very next batch: resolve, no restart
       assert(sinks.alerts.map(_.kind) === Seq("alert", "resolve"))
     } finally queries.foreach(_.stop())
@@ -189,16 +198,34 @@ class StreamingSpec extends SparkSpec {
     assert(step(err).map(_.kind) === Seq("alert"))  // re-alerts
   }
 
+  test("blacklist TTL: expired state is dropped and the sensor re-alerts on return") {
+    val st = new TestGroupState(None)
+    def step(statuses: Alerts.ObsStatus*): Seq[Alerts.AlertEvent] =
+      Alerts.transition("s1", statuses.iterator, st).toSeq
+    val err = Alerts.ObsStatus("s1", "net", "invalid_key", Seq("m1"))
+    assert(step(err).map(_.kind) === Seq("alert"))
+    assert(st.armedTimeoutMs === Some(Alerts.blacklistTtlMs)) // TTL armed
+    assert(step(err) === Nil)                                 // suppressed
+    // simulate the ProcessingTimeTimeout firing: empty batch, hasTimedOut
+    st.timedOut = true
+    assert(Alerts.transition("s1", Iterator.empty, st).toSeq === Nil)
+    assert(st.value === None)                                 // state dropped
+    st.timedOut = false
+    assert(step(err).map(_.kind) === Seq("alert"))            // re-alerts
+  }
+
   /** Minimal GroupState stub for unit-testing the transition function. */
-  class TestGroupState(var value: Option[Alerts.SensorState])
+  class TestGroupState(var value: Option[Alerts.SensorState],
+      var timedOut: Boolean = false)
       extends org.apache.spark.sql.streaming.GroupState[Alerts.SensorState] {
+    var armedTimeoutMs: Option[Long] = None
     def exists: Boolean = value.isDefined
     def get: Alerts.SensorState = value.get
     def getOption: Option[Alerts.SensorState] = value
     def update(s: Alerts.SensorState): Unit = value = Some(s)
     def remove(): Unit = value = None
-    def hasTimedOut: Boolean = false
-    def setTimeoutDuration(d: Long): Unit = ()
+    def hasTimedOut: Boolean = timedOut
+    def setTimeoutDuration(d: Long): Unit = armedTimeoutMs = Some(d)
     def setTimeoutDuration(d: String): Unit = ()
     def setTimeoutTimestamp(t: Long): Unit = ()
     def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
