@@ -90,6 +90,7 @@ object SparkEntry {
     "text_corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "text_sample_split" -> ((s, d) => TextOps.sampleSplit(s, d)),
     "text_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
+    "text_contamination" -> ((s, d) => TextOps.contaminationCheck(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
@@ -419,6 +420,12 @@ object SparkEntry {
       ("""SELECT token, CAST(count(*) AS BIGINT) AS n FROM """ +
         """(SELECT unnest(string_split(text, ' ')) AS token FROM documents) """ +
         """GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
+    "text_contamination" ->
+      (s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM d WHERE len(w) >= 3), """ +
+        """bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5) """ +
+        """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles FROM sh """ +
+        """WHERE doc_id >= 5 AND s IN (SELECT s FROM bench) GROUP BY doc_id"""),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +

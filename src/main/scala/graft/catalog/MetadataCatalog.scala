@@ -123,4 +123,30 @@ object MetadataCatalog {
   def fromParquet(spark: SparkSession, sensorPath: String,
       featurePath: String): MetadataCatalog =
     fromDataFrames(spark.read.parquet(sensorPath), spark.read.parquet(featurePath))
+
+  /** Live-JDBC catalog scan — the reference's actual Postgres read path
+    * (`SELECT * FROM sensor__sensor_metadata` / `sensor__feature_metadata`,
+    * app/mapper.js:131-147/159-179, seeded by tests/configure_tests.js:
+    * 38-75). Both tables are KB-scale by construction, so a single-partition
+    * `spark.read.jdbc` is the right shape — the result is collected and
+    * broadcast back out like every other catalog load. The
+    * `observed_properties` payloads arrive as JSON text and parse with the
+    * same shapes the parquet loader reads natively. */
+  def fromJdbc(spark: SparkSession, url: String,
+      sensorTable: String = "sensor__sensor_metadata",
+      featureTable: String = "sensor__feature_metadata",
+      properties: java.util.Properties = new java.util.Properties)
+      : MetadataCatalog = {
+    import org.apache.spark.sql.types._
+    val sensors = spark.read.jdbc(url, sensorTable, properties)
+      .select(col("name"),
+        from_json(col("observed_properties"),
+          MapType(StringType, StringType)).as("observed_properties"))
+    val features = spark.read.jdbc(url, featureTable, properties)
+      .select(col("name"),
+        from_json(col("observed_properties"), ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("type", StringType))))).as("observed_properties"))
+    fromDataFrames(sensors, features)
+  }
 }

@@ -459,6 +459,31 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Benchmark-contamination check — the training-data-hygiene screen
+    * published with GPT-3 (Brown et al. '20, Appendix C): flag training
+    * documents that share an n-gram with an evaluation benchmark (13-grams
+    * there; 3-word shingles here, matching this corpus' ~54-token docs).
+    *
+    * The benchmark n-gram set is tiny relative to the corpus, so it
+    * BROADCASTS and the check is a map-side semi-join over the exploded
+    * training shingles — one keyed aggregate, no corpus shuffle against
+    * corpus. Emits contaminated docs with their overlap count (the decon
+    * pipeline drops or audits them; the clean set is the anti-join
+    * complement). Here the "benchmark" is the shingle set of doc_id <
+    * `benchDocs` — deterministic and oracle-replayable; production passes
+    * any shingle relation. */
+  def contaminationCheck(spark: SparkSession, dir: String,
+      benchDocs: Long = 5): DataFrame = {
+    val sh = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val bench = sh.filter(col("doc_id") < benchDocs).select("s").distinct()
+    sh.filter(col("doc_id") >= benchDocs)
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      // shingles() is per-doc distinct, so count(1) IS the distinct overlap
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** Position-weighted document fingerprint (rolling-hash style):
     * Σ_i (i+1) * H(token_i) mod FP_MOD. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {

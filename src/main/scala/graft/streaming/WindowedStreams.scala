@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time streaming operators the reference lacks entirely (its
   * `datetime` is carried as payload, never compared — SURVEY.md §2) but a
@@ -54,4 +55,157 @@ object WindowedStreams {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
+
+  // -------------------------------------------------------------------------
+  // Streaming near-dup suppression — the incremental twin of
+  // TextOps.lshNearDupPairs: a stateful MinHash-band blacklist.
+  // -------------------------------------------------------------------------
+
+  /** One incoming document exploded onto a MinHash band bucket. */
+  case class BandedDoc(bucket: String, doc_id: Long, text: String,
+      ts: java.sql.Timestamp)
+
+  /** Novelty verdict / emitted novel document. */
+  case class NovelDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** A band collision: `doc_b` arrived while `doc_a` owned the bucket. */
+  case class DupHit(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Bucket blacklist state: the first document that claimed the bucket. */
+  case class BucketOwner(doc_id: Long)
+
+  /** MinHash band bucket as a PER-ROW expression (band = 2 of the 4
+    * signature hashes, same banding as TextOps.lshNearDupPairs): each
+    * min-hash folds inside the shingle array via HOFs, so the signature
+    * costs zero shuffles and zero extra stateful operators — on a stream
+    * a groupBy-based signature would itself be an unbounded stateful agg.
+    * Shingle-less documents (< 3 tokens) get a doc-unique sentinel bucket
+    * so they never collide (nothing to judge similarity on). */
+  private def bandBucket(band: Int, text: Column, docId: Column): Column = {
+    import graft.operators.TextOps
+    val sh = TextOps.shingles(text)
+    val mhs = TextOps.minhashParams.slice(band * 2, band * 2 + 2).map {
+      case (a, b) =>
+        array_min(transform(sh,
+          s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
+    }
+    when(size(sh) > 0,
+        concat_ws("_", lit(band.toString) +: mhs: _*))
+      .otherwise(concat(lit("∅"), docId.cast("string")))
+  }
+
+  private def bandedDocs(docs: DataFrame, tsCol: String,
+      watermark: String, nBands: Int): Dataset[BandedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(explode(array((0 until nBands).map(b =>
+          bandBucket(b, col("text"), col("doc_id"))): _*)).as("bucket"),
+        col("doc_id"), col("text"), col(tsCol).as("ts"))
+      .as[BandedDoc]
+  }
+
+  /** Deterministic within-batch order: event time, then doc_id. */
+  private def ordered(it: Iterator[BandedDoc]): Seq[BandedDoc] =
+    it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+
+  /** Arm the bucket's event-time expiry and store its owner: a bucket
+    * silent for `ttl` past its last-seen EVENT TIME is forgotten, so state
+    * is bounded by |buckets active within the TTL window| — the streaming
+    * analogue of the batch op's corpus-bounded bucket table.
+    * EventTimeTimeout (not processing-time) keeps AvailableNow drains
+    * terminable: the timeout clock is the watermark, which stops when the
+    * data does. The expiry MUST anchor on the batch's max event time, not
+    * `getCurrentWatermarkMs()`: the watermark visible inside batch N is the
+    * one computed after batch N-1 (0 in the first batch), so a
+    * watermark-anchored expiry lands astern of the post-batch watermark
+    * jump and the very next (no-data) batch would evict everything. */
+  private def claim(state: GroupState[BucketOwner], owner: Long,
+      maxEventMs: Long, ttlMs: Long): Unit = {
+    state.update(BucketOwner(owner))
+    state.setTimeoutTimestamp(
+      math.max(maxEventMs, state.getCurrentWatermarkMs()) + ttlMs)
+  }
+
+  /** Suppress near-duplicate documents across micro-batches: a document
+    * whose band bucket is already claimed by an earlier document is NOT
+    * emitted; novel documents claim their bucket and flow through. Exact
+    * duplicates hash to the same bucket always, so cross-batch copies are
+    * suppressed with certainty; near-dups collide with the band
+    * probability of the underlying MinHash (raise `nBands`→rows per band
+    * for sharper thresholds). Single band by default: suppression needs
+    * ONE verdict per doc, and one band = one bucket = one state row —
+    * multi-band OR-semantics belong to [[nearDupHitLog]], whose output is
+    * per-collision rather than per-doc. */
+  def suppressNearDups(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[NovelDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandedDocs(docs, tsCol, watermark, nBands = 1)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[BandedDoc], state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = ordered(it)
+            val out = scala.collection.mutable.ArrayBuffer[NovelDoc]()
+            var owner = state.getOption.map(_.doc_id)
+            batch.foreach { d =>
+              if (owner.isEmpty) {
+                owner = Some(d.doc_id)
+                out += NovelDoc(d.doc_id, d.text, d.ts)
+              } // claimed (this or an earlier batch) → suppressed
+            }
+            val maxEventMs = batch.map(_.ts.getTime).max
+            owner.foreach(claim(state, _, maxEventMs, ttlMs))
+            out.iterator
+          }
+      }
+  }
+
+  /** The duplicate-pair LOG — the straight streaming twin of
+    * lshNearDupPairs' candidate generation with OR-across-bands semantics:
+    * every band collision emits (bucket owner, newcomer, band) as it
+    * happens. Per-collision output needs no cross-band combination, so the
+    * multi-band OR costs no second stateful operator; consumers (an audit
+    * sink, an exact-verify join against a document store) dedupe pairs
+    * colliding in both bands. */
+  def nearDupHitLog(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", nBands: Int = 2,
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandedDocs(docs, tsCol, watermark, nBands)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (bucket: String, it: Iterator[BandedDoc],
+         state: GroupState[BucketOwner]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val band = if (bucket.startsWith("∅")) -1
+              else bucket.takeWhile(_ != '_').toInt
+            val batch = ordered(it)
+            val out = scala.collection.mutable.ArrayBuffer[DupHit]()
+            var owner = state.getOption.map(_.doc_id)
+            batch.foreach { d =>
+              owner match {
+                case Some(o) if o != d.doc_id => out += DupHit(o, d.doc_id, band)
+                case Some(_) => ()
+                case None => owner = Some(d.doc_id)
+              }
+            }
+            val maxEventMs = batch.map(_.ts.getTime).max
+            owner.foreach(claim(state, _, maxEventMs, ttlMs))
+            out.iterator
+          }
+      }
+  }
 }

@@ -125,6 +125,49 @@ class JdbcSinkSpec extends SparkSpec {
       "('n1', 'null', 23, 'htu21d', '{\"a\":1}');")
   }
 
+  test("catalog loads from live JDBC (Derby seeded like configure_tests.js:38-75)") {
+    val url = "jdbc:derby:memory:graftcat;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE sensor__sensor_metadata (name VARCHAR(64), " +
+      "observed_properties VARCHAR(1024), info VARCHAR(64))")
+    st.execute("CREATE TABLE sensor__feature_metadata (name VARCHAR(64), " +
+      "observed_properties VARCHAR(1024))")
+    // the reference's exact seed payloads (tests/configure_tests.js:38-75)
+    st.execute("INSERT INTO sensor__sensor_metadata VALUES ('htu21d', " +
+      "'{\"Humidity\": \"relative_humidity.humidity\", \"Temp\": \"temperature.temperature\", " +
+      "\"Temperature\": \"temperature.temperature\"}', '{}')")
+    st.execute("INSERT INTO sensor__sensor_metadata VALUES ('hmc5883l', " +
+      "'{\"X\": \"magnetic_field.x\", \"Y\": \"magnetic_field.y\", \"Z\": \"magnetic_field.z\"}', '{}')")
+    st.execute("INSERT INTO sensor__feature_metadata VALUES ('temperature', " +
+      "'[{\"name\": \"temperature\", \"type\": \"FLOAT\"}]')")
+    st.execute("INSERT INTO sensor__feature_metadata VALUES ('relative_humidity', " +
+      "'[{\"name\": \"humidity\", \"type\": \"FLOAT\"}]')")
+    st.execute("INSERT INTO sensor__feature_metadata VALUES ('computer_vision', " +
+      "'[{\"name\": \"standing_water\", \"type\": \"BOOL\"}, " +
+      "{\"name\": \"cloud_type\", \"type\": \"VARCHAR\"}, " +
+      "{\"name\": \"traffic_density\", \"type\": \"FLOAT\"}, " +
+      "{\"name\": \"num_pedestrians\", \"type\": \"INTEGER\"}]')")
+
+    val cat = MetadataCatalog.fromJdbc(spark, url)
+    assert(cat.sensors === Set("htu21d", "hmc5883l"))
+    // lowercase normalization on load (mapper.js:139-140/169-172)
+    val humidity = cat.mappings.find(m =>
+      m.sensor == "htu21d" && m.key == "humidity").get
+    assert(humidity.feature === "relative_humidity" &&
+      humidity.property === "humidity" && humidity.ptype === "float")
+    // declared property ORDER survives the JSON round-trip (K1 column set)
+    assert(cat.propsOf("computer_vision").map(p => (p.property, p.ptype)) ===
+      Seq("standing_water" -> "bool", "cloud_type" -> "varchar",
+        "traffic_density" -> "float", "num_pedestrians" -> "integer"))
+    // the JDBC-loaded catalog drives the pipeline identically to the
+    // in-memory fixture: same INSERT golden for the htu21d observation
+    val obs1 = ObservationRow(aot, "00a", 23, dt, "htu21d",
+      VectorMap("temp" -> num("37.91"), "humidity" -> num("27.48")))
+    assert(sqlsOf(obs1, cat) === sqlsOf(obs1))
+    conn.close()
+  }
+
   test("JdbcTextSinks executes the generated text end-to-end (Derby)") {
     val spark2 = spark
     import spark2.implicits._

@@ -91,6 +91,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("contamination check: benchmark set broadcasts as a semi join") {
+    val s = planString(graft.operators.TextOps.contaminationCheck(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("LeftSemi"), s)
+  }
+
   test("embedding near-dup: candidates keyed on (label, bucket) — never a label-only block") {
     val s = planString(SimilarityOps.embeddingNearDup(spark, dir))
     assert(!s.contains("CartesianProduct"), s)

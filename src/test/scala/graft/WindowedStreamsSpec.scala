@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, k: String, v: Double)
+case class DocEv(ts: Timestamp, doc_id: Long, text: String)
 
 /** Event-time semantics under a real streaming execution: watermark
   * finalization, late-data dropping, session merging, dedup state. */
@@ -85,6 +86,57 @@ class WindowedStreamsSpec extends SparkSpec {
       src.addData(Ev(t(1), "a", 1)) // cross-batch duplicate, still in state
       q.processAllAvailable()
       assert(spark.sql("SELECT * FROM dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("near-dup blacklist suppresses a duplicate doc arriving in a later batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.suppressNearDups(src.toDF())
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog"
+      val b = "colorless green ideas sleep furiously all night long"
+      val c = "a completely different third document about spark engines"
+      src.addData(DocEv(t(1), 1, a), DocEv(t(2), 2, b))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1's text (same signature, same
+      // bucket -> suppressed); doc 4 is novel; docs 5+6 duplicate EACH
+      // OTHER within the batch (first claims, second suppressed) — their
+      // shared text must be UNRELATED to c, or they'd legitimately
+      // near-dup-collide with doc 4's bucket
+      val e = "tungsten codegen stages fuse narrow transformations tightly"
+      src.addData(DocEv(t(11), 3, a), DocEv(t(12), 4, c),
+        DocEv(t(13), 5, e), DocEv(t(14), 6, e))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT doc_id FROM neardup").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted === Set(1L, 2L, 4L, 5L), emitted)
+    } finally q.stop()
+  }
+
+  test("near-dup hit log emits (owner, newcomer) pairs for band collisions") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.nearDupHitLog(src.toDF())
+    val q = out.writeStream.format("memory").queryName("nddhits")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog"
+      src.addData(DocEv(t(1), 1, a), DocEv(t(2), 2, "unrelated text about " +
+        "benchmark contamination screening in large corpora"))
+      q.processAllAvailable()
+      src.addData(DocEv(t(11), 3, a)) // exact dup of doc 1, one batch later
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT doc_a, doc_b, band FROM nddhits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // an exact duplicate collides in BOTH bands — two logged hits
+      assert(hits === Set((1L, 3L, 0), (1L, 3L, 1)), hits)
     } finally q.stop()
   }
 
