@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.catalog.MetadataCatalog
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
+
+/** K3/G1 — LIVE side-effect channels: the reference pushes every
+  * salvageable observation to a socket.io publisher
+  * (`socket.emit('internal_data', obs)`, app/mapper.js:16,291-296) and
+  * every alert to an HTTP endpoint
+  * (`request.post http://$PLENARIO_HOST/apiary/send_message`,
+  * app/mapper.js:456-466). The engine renders the exact payloads inside
+  * the dataflow ([[graft.operators.Pipeline.eventJson]], [[Alerts]]);
+  * these writers bind them to real network transports.
+  *
+  * Execution shape (the part that must survive 1000 executors): emission
+  * runs per PARTITION on the executors — one connection per partition per
+  * batch, rows streamed through it, closed on completion — never a
+  * driver-side collect-and-loop. Event frames are newline-delimited
+  * socket.io event payloads `["internal_data",<json>]` (the socket.io
+  * EVENT packet body; the engine.io handshake/heartbeat envelope is
+  * transport plumbing a JVM socket.io client would add — none exists in
+  * the sandbox, and the payload is the part the reference's tests pin).
+  * Alert posts are one JSON body per event, `{"name":<sensor>,
+  * "value":<message>}`, matching the reference field-for-field.
+  *
+  * Delivery is at-least-once, same as every other sink here: a batch
+  * replayed after a crash re-emits its frames (the reference has the same
+  * semantics — its KCL checkpoint commits after the async emits). */
+object NetworkSinks {
+
+  /** Minimal JSON string escape for payload assembly (alert messages are
+    * ASCII sentences by construction; control chars handled anyway). */
+  private[streaming] def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+
+  /** One socket.io EVENT frame for an already-rendered event JSON. */
+  private[streaming] def frame(eventName: String, json: String): String =
+    s"""["$eventName",$json]"""
+
+  /** Emit rendered `event_json` rows to a TCP publisher, one connection
+    * per partition. Socket errors propagate and fail the task (Spark
+    * retries the partition — at-least-once, never silent loss). */
+  def emitEvents(events: DataFrame, host: String, port: Int,
+      eventName: String = "internal_data"): Unit = {
+    val local = events.select("event_json")
+    local.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val sock = new java.net.Socket(host, port)
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          rows.foreach { r => out.write(frame(eventName, r.getString(0))); out.write("\n") }
+          out.flush()
+        } finally {
+          out.close(); sock.close()
+        }
+      }
+    }
+  }
+
+  /** POST one alert per event to `http://<host>/apiary/send_message`
+    * semantics: body `{"name":<sensor>,"value":<first message or "">}`
+    * (resolve events carry no message — the reference only posts alerts,
+    * so pass `ds.filter(_.kind == "alert")` for exact parity, or the full
+    * stream to also publish resolutions). */
+  def postAlerts(alerts: Dataset[Alerts.AlertEvent], url: String): Unit =
+    alerts.foreachPartition { (events: Iterator[Alerts.AlertEvent]) =>
+      events.foreach { ev =>
+        val msg = ev.messages.headOption.getOrElse("")
+        val body = s"""{"name":"${jsonEscape(ev.sensor)}","value":"${jsonEscape(msg)}"}"""
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(10000)
+        val os = conn.getOutputStream
+        try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        val code = conn.getResponseCode // forces the exchange
+        if (code >= 400) {
+          Option(conn.getErrorStream).foreach(_.close())
+          throw new java.io.IOException(s"alert POST failed: HTTP $code")
+        }
+        conn.getInputStream.close()
+      }
+    }
+
+  /** `writeStream.foreach(...)` binding of the publisher channel, for
+    * driving the event stream directly without foreachBatch: one socket
+    * per (partition, epoch). */
+  class SocketEventWriter(host: String, port: Int,
+      eventName: String = "internal_data") extends ForeachWriter[Row] {
+    @transient private var sock: java.net.Socket = _
+    @transient private var out: java.io.BufferedWriter = _
+    def open(partitionId: Long, epochId: Long): Boolean = {
+      sock = new java.net.Socket(host, port)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      true
+    }
+    def process(row: Row): Unit = {
+      out.write(frame(eventName, row.getAs[String]("event_json")))
+      out.write("\n")
+    }
+    def close(errorOrNull: Throwable): Unit = {
+      if (out != null) { out.flush(); out.close() }
+      if (sock != null) sock.close()
+    }
+  }
+
+  /** Durable parquet sinks + live publisher/alert channels — the full
+    * reference topology (Redshift-analogue wide tables AND socket AND
+    * alert HTTP) in one binding. */
+  class LiveSinks(baseDir: String, socketHost: String, socketPort: Int,
+      alertUrl: String) extends StreamPipeline.ParquetSinks(baseDir) {
+    override def writeEvents(df: DataFrame, batchId: Long): Unit = {
+      super.writeEvents(df, batchId)
+      emitEvents(df, socketHost, socketPort)
+    }
+    override def writeAlerts(df: Dataset[Alerts.AlertEvent], batchId: Long): Unit = {
+      super.writeAlerts(df, batchId)
+      postAlerts(df.filter(_.kind == "alert"), alertUrl)
+    }
+  }
+}
