@@ -91,12 +91,16 @@ object SparkEntry {
     "text_sample_split" -> ((s, d) => TextOps.sampleSplit(s, d)),
     "text_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     "text_contamination" -> ((s, d) => TextOps.contaminationCheck(s, d)),
+    "text_normalize" -> ((s, d) => TextOps.normalizeText(s, d)),
+    "text_repetition" -> ((s, d) => TextOps.textRepetition(s, d)),
+    "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
+    "sim_quantize" -> ((s, d) => SimilarityOps.quantizeEmbeddings(s, d)),
     // --- multimodal metadata ---
     "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)))
 
@@ -426,6 +430,31 @@ object SparkEntry {
         """bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5) """ +
         """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles FROM sh """ +
         """WHERE doc_id >= 5 AND s IN (SELECT s FROM bench) GROUP BY doc_id"""),
+    "text_normalize" ->
+      ("""SELECT doc_id, nfc_normalize(trim(regexp_replace(lower(text), """ +
+        """'\s+', ' ', 'g'))) AS norm_text FROM documents"""),
+    "text_repetition" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""s AS (SELECT doc_id, len(w) AS n, len($shinglesSql) AS n3d, """ +
+        """unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg """ +
+        """FROM d WHERE len(w) >= 2), """ +
+        """c AS (SELECT doc_id, bg, count(*) AS c, max(n) AS n, max(n3d) AS n3d """ +
+        """FROM s GROUP BY doc_id, bg), """ +
+        """p AS (SELECT doc_id, max(c) AS mx, sum(c) AS n2, max(n) AS n, max(n3d) AS n3d """ +
+        """FROM c GROUP BY doc_id) """ +
+        """SELECT doc_id, CAST(floor(10000.0 * mx / n2) AS BIGINT) AS top2_bp, """ +
+        """CAST(CASE WHEN n - 2 > 0 THEN floor(10000.0 * (n - 2 - n3d) / (n - 2)) """ +
+        """ELSE 0 END AS BIGINT) AS dup3_bp FROM p"""),
+    "text_redact" ->
+      ("""SELECT doc_id, regexp_replace(regexp_replace(text, """ +
+        """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
+        """'[0-9]{4,}', '<NUM>', 'g') AS red_text FROM documents"""),
+    "sim_quantize" ->
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """m AS (SELECT vec_id, emb, list_max([abs(x) for x in emb]) AS ma FROM e) """ +
+        """SELECT vec_id, CASE WHEN ma = 0 THEN [CAST(0 AS BIGINT) for x in emb] """ +
+        """ELSE [CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) for x in emb] END AS qvec, """ +
+        """ma / 127.0 AS scale FROM m"""),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +

@@ -56,6 +56,17 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (canonical composition) — Spark has no
+    * built-in for it. Fast path: `isNormalized` is a cheap scan that is
+    * always true for ASCII, so the common case allocates nothing. Kernel
+    * semantics match DuckDB's `nfc_normalize` (both implement UAX #15). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Σ aᵢ·bᵢ over two float arrays in double, index order — identical to
     * aggregate(zip_with(a, b, _*_), 0.0, _+_) on equal-length inputs. */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
@@ -98,6 +109,18 @@ case class JsNumberStringExpr(child: Expression) extends UnaryExpression {
     copy(c)
 }
 
+/** nfc_norm(string) → string: Unicode NFC canonical composition,
+  * codegen'd; ASCII input passes through without allocation. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(c)
+}
+
 /** weak_hash(string) → long, codegen'd via a static kernel call. */
 case class WeakHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -125,6 +148,8 @@ object NativeFunctions {
 
   def weak_hash(c: Column): Column =
     ColumnBridge.column(WeakHashExpr(ColumnBridge.expression(c)))
+  def nfc_norm(c: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
   def dot_ff(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -135,6 +160,8 @@ object NativeFunctions {
       "graft_weak_hash", exprs => WeakHashExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalizeExpr(exprs.head), "built-in")
   }
 }
 

@@ -484,6 +484,70 @@ object TextOps {
       .agg(count(lit(1)).as("n_hit_shingles"))
   }
 
+  /** Text normalization — the canonicalization pass a training pipeline
+    * runs before hashing/dedup so that byte-different renderings of the
+    * same text (decomposed accents, case, ragged whitespace) collapse to
+    * one form: lowercase → collapse whitespace runs → trim → Unicode NFC.
+    * Map-only, stays inside whole-stage codegen (NFC is a native
+    * expression — [[graft.functions.NfcNormalizeExpr]] — since Spark has
+    * no built-in; its ASCII fast path allocates nothing). */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.NativeFunctions.nfc_norm(
+        trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("norm_text"))
+
+  /** Repetition scoring — the Gopher-style (Rae et al. '21, Table A1)
+    * within-document repetition signals used to drop degenerate/boilerplate
+    * text: the fraction of all bigram occurrences taken by the single most
+    * frequent bigram (`top2_bp`), and the fraction of 3-gram occurrences
+    * that are repeats of an earlier 3-gram in the same document
+    * (`dup3_bp`), both as floored basis points (integer determinism rule).
+    *
+    * Shape: one (doc_id, bigram) keyed count then one doc_id regroup —
+    * two partial-agg shuffles over the exploded bigrams, no joins; the
+    * distinct-3-gram count rides along map-side from the shingles kernel.
+    * Documents with fewer than 2 tokens have no bigrams and are not
+    * emitted (nothing to score). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionOf(tbl(spark, dir, "documents"))
+
+  /** [[textRepetition]] over any (doc_id, text) relation. */
+  def textRepetitionOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), tokens(col("text")).as("w"),
+        size(shingles(col("text"))).as("n3d"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = zip_with(
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs
+      .select(col("doc_id"), size(col("w")).as("n"), col("n3d"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"), max(col("n")).as("n"), max(col("n3d")).as("n3d"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("n2"),
+        max(col("n")).as("n"), max(col("n3d")).as("n3d"))
+      .select(col("doc_id"),
+        floor(lit(10000.0) * col("mx") / col("n2")).cast("long").as("top2_bp"),
+        when(col("n") - 2 > 0,
+            floor(lit(10000.0) * (col("n") - 2 - col("n3d")) / (col("n") - 2)))
+          .otherwise(lit(0L)).cast("long").as("dup3_bp"))
+  }
+
+  /** PII redaction — scrub emails and long digit runs before training:
+    * `regexp_replace` is codegen'd and map-only, so this is a pure scan
+    * stage at any scale. The patterns use only constructs with identical
+    * semantics in Java regex and RE2 (char classes + bounded repetition),
+    * so the DuckDB oracle replays them byte-for-byte. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{4,}", "<NUM>").as("red_text"))
+
   /** Position-weighted document fingerprint (rolling-hash style):
     * Σ_i (i+1) * H(token_i) mod FP_MOD. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {

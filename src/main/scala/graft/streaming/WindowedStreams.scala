@@ -56,6 +56,25 @@ object WindowedStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming benchmark-decontamination — the incremental twin of
+    * TextOps.contaminationCheck: drop any arriving document that shares a
+    * 3-word shingle with the (static, broadcast-sized) benchmark shingle
+    * set. Completely STATELESS on the stream side — the benchmark set
+    * joins in as a one-row broadcast array and each document is a map-side
+    * `arrays_overlap` probe (an explode + anti-join + regroup would make
+    * the regroup an unbounded stateful aggregation on a stream). No
+    * watermark or state store; a benchmark set refresh is a restart with
+    * a new static frame, same as any broadcast dimension.
+    * `benchShingles` is any static relation with a string column `s`. */
+  def decontaminate(docs: DataFrame, benchShingles: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    docs
+      .crossJoin(broadcast(benchShingles.agg(
+        collect_set(col("s")).as("bench_sh"))))
+      .filter(!arrays_overlap(TextOps.shingles(col("text")), col("bench_sh")))
+      .drop("bench_sh")
+  }
+
   // -------------------------------------------------------------------------
   // Streaming near-dup suppression — the incremental twin of
   // TextOps.lshNearDupPairs: a stateful MinHash-band blacklist.

@@ -55,6 +55,87 @@ class NativeExprSpec extends SparkSpec {
     edges.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("nfc kernel: composes decomposed accents, identity on ASCII/composed") {
+    import spark.implicits._
+    // "é" decomposed (e + COMBINING ACUTE) vs precomposed U+00E9
+    val decomposed = "café"
+    val composed = "café"
+    val rows = Seq(decomposed, composed, "plain ascii", "",
+        "mixed Å and Å") // Å decomposed vs precomposed
+      .toDF("t")
+      .select(col("t"), NativeFunctions.nfc_norm(col("t")).as("n"))
+      .collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got(decomposed) === composed)           // canonical composition
+    assert(got(composed) === composed)             // already-NFC identity
+    assert(got("plain ascii") === "plain ascii")   // ASCII fast path
+    assert(got("") === "")
+    assert(got("mixed Å and Å") === "mixed Å and Å")
+    // java.text.Normalizer is the semantic ground truth
+    rows.foreach(r => assert(r.getString(1) ===
+      java.text.Normalizer.normalize(r.getString(0),
+        java.text.Normalizer.Form.NFC)))
+  }
+
+  test("text_repetition: hand-computed repetition fractions") {
+    import spark.implicits._
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> mx=3, n2=5
+    //   top2_bp = floor(10000*3/5) = 6000
+    //   3-grams: 4 occurrences, distinct {a b a, b a b} = 2 -> dup3_bp =
+    //   floor(10000*(4-2)/4) = 5000
+    val out = graft.operators.TextOps.textRepetition(spark,
+      "/root/testdata/sf0.001") // touch the real table path shape first
+    assert(out.columns.toSeq === Seq("doc_id", "top2_bp", "dup3_bp"))
+    val custom = Seq((1L, "a b a b a b"), (2L, "x y"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.textRepetitionOf(custom)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((6000L, 5000L)))
+    // "x y": one bigram (mx=1, n2=1 -> 10000), no 3-grams -> dup3 0
+    assert(got(2L) === ((10000L, 0L)))
+    // "p q r s": 3 distinct bigrams -> floor(10000/3)=3333; 2 distinct
+    // 3-grams of 2 occurrences -> dup3 0
+    assert(got(3L) === ((3333L, 0L)))
+  }
+
+  test("pii redaction scrubs emails and digit runs, leaves the rest") {
+    import spark.implicits._
+    val df = Seq(
+      "contact bob.smith+spam@example.co.uk or call 5551234567 now",
+      "short 123 stays but 1234 goes",
+      "no pii here").toDF("text")
+      .select(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{4,}", "<NUM>").as("red"))
+      .collect().map(_.getString(0))
+    assert(df(0) === "contact <EMAIL> or call <NUM> now")
+    assert(df(1) === "short 123 stays but <NUM> goes")
+    assert(df(2) === "no pii here")
+  }
+
+  test("int8 quantization round-trips within one scale step") {
+    val q = SimilarityOps.quantizeEmbeddings(spark, dir)
+    val joined = q.join(
+        spark.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
+      .select(col("vec_id"), col("qvec"), col("scale"), col("embedding"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val qv = r.getSeq[Long](1)
+      val scale = r.getDouble(2)
+      val orig = r.getSeq[Float](3)
+      assert(qv.length === orig.length)
+      assert(qv.forall(v => v >= -127 && v <= 127), r.getLong(0))
+      // dequantized component within half a quantization step
+      qv.zip(orig).foreach { case (v, o) =>
+        assert(math.abs(v * scale - o) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: $v*$scale vs $o")
+      }
+    }
+  }
+
   test("SQL registration: graft_weak_hash and graft_dot usable from spark.sql") {
     graft.functions.NativeFunctions.register(spark)
     val r = spark.sql("SELECT graft_weak_hash('abc') AS h").collect().head.getLong(0)

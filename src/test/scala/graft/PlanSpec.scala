@@ -97,6 +97,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("LeftSemi"), s)
   }
 
+  test("normalize/redact/quantize are map-only: no exchange anywhere") {
+    Seq(graft.operators.TextOps.normalizeText(spark, dir),
+        graft.operators.TextOps.redactPii(spark, dir),
+        SimilarityOps.quantizeEmbeddings(spark, dir)).foreach { df =>
+      val s = planString(df)
+      assert(!s.contains("Exchange"), s)
+    }
+  }
+
+  test("repetition scoring: two keyed aggregations, no join") {
+    val s = planString(graft.operators.TextOps.textRepetition(spark, dir))
+    assert(!s.contains("Join"), s)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$s")
+  }
+
   test("embedding near-dup: candidates keyed on (label, bucket) — never a label-only block") {
     val s = planString(SimilarityOps.embeddingNearDup(spark, dir))
     assert(!s.contains("CartesianProduct"), s)

@@ -140,6 +140,27 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing a benchmark shingle") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val bench = Seq("the quick brown", "quick brown fox").toDF("s")
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.decontaminate(src.toDF(), bench)
+    val q = out.writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        DocEv(t(1), 1, "the quick brown fox jumps"),   // hits -> dropped
+        DocEv(t(2), 2, "a clean training document here"), // no hit -> kept
+        DocEv(t(3), 3, "too short"))                   // no shingles -> kept
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM decon").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 3L), kept)
+    } finally q.stop()
+  }
+
   test("sliding windows assign one event to len/slide windows") {
     // batch-mode check of assignment arithmetic (no state needed)
     val spark2 = spark
