@@ -60,6 +60,14 @@ object Bench {
     var errors = List.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
+        // isolation mode must not hand samples 2..n a memoized pair graph
+        // (sample 1 would pay the mining and the rest would read cache,
+        // so samples.min reports ~0 for real work). Full runs (repeats=1)
+        // keep the memo ACROSS queries on purpose: the pair graph is mined
+        // once and shared, which means dedup_ngram_jaccard's cost shows up
+        // under dedup_clusters (alphabetically first) — the pipeline's
+        // mine-once shape, not a per-query artifact.
+        if (repeats > 1) graft.operators.TextOps.clearMinedPairs()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

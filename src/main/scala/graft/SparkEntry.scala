@@ -94,6 +94,8 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextOps.normalizeText(s, d)),
     "text_repetition" -> ((s, d) => TextOps.textRepetition(s, d)),
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
+    "text_pack" -> ((s, d) => TextOps.packSequences(s, d)),
+    "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
@@ -449,6 +451,22 @@ object SparkEntry {
       ("""SELECT doc_id, regexp_replace(regexp_replace(text, """ +
         """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
         """'[0-9]{4,}', '<NUM>', 'g') AS red_text FROM documents"""),
+    "text_tfidf" ->
+      ("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), """ +
+        """tf AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token), """ +
+        """df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), """ +
+        """n AS (SELECT count(*) AS n FROM documents) """ +
+        """SELECT doc_id, token, CAST(c AS BIGINT) AS tf, """ +
+        """round(c * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf """ +
+        """FROM tf JOIN df USING (token)"""),
+    "text_pack" ->
+      ("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard, """ +
+        """len(string_split(text, ' ')) AS n FROM documents), """ +
+        """c AS (SELECT doc_id, shard, n, sum(n) OVER (PARTITION BY shard """ +
+        """ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM d) """ +
+        """SELECT doc_id, CAST(shard AS BIGINT) AS shard, """ +
+        """CAST(end_off - n AS BIGINT) AS start_off, CAST(end_off AS BIGINT) AS end_off, """ +
+        """CAST(floor((end_off - n) / 512.0) AS BIGINT) AS bin FROM c"""),
     "sim_quantize" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """m AS (SELECT vec_id, emb, list_max([abs(x) for x in emb]) AS ma FROM e) """ +

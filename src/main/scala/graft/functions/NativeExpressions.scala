@@ -177,5 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
   }
 }

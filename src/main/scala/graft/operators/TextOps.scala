@@ -182,12 +182,20 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
 
   /** The exact near-dup pair graph for (dir, threshold), mined at most once
-    * per JVM — see [[minedPairs]]. */
+    * per JVM — see [[minedPairs]]. The registry assumes the input dir is
+    * immutable for the application's lifetime (the testdata contract here;
+    * a production pipeline would persist the pair graph to durable storage
+    * and read it back). Callers that rewrite inputs in-place, or need
+    * per-sample isolation (Bench repeats), call [[clearMinedPairs]]. */
   def nearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
     minedPairs.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, threshold),
       dedupNgramJaccard(spark, dir, threshold))
+
+  /** Drop all memoized pair graphs (the checkpointed frames become
+    * unreferenced and the ContextCleaner reclaims their blocks). */
+  def clearMinedPairs(): Unit = minedPairs.clear()
 
   /** Near-dup cluster resolution — the "keep one per duplicate cluster"
     * final stage of a training-data dedup pipeline: connected components
@@ -239,10 +247,27 @@ object TextOps {
       df.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
     var prevSum = Long.MaxValue
     var sum0 = repSum(labels)
+    var round = 0
     while (sum0 != prevSum) {
-      val next = hop(hop(labels)).persist(StorageLevel.MEMORY_AND_DISK)
+      round += 1
+      // the inner hop is referenced TWICE by the outer hop's plan (join
+      // input and union input) — persisting it makes both references read
+      // one cached materialization instead of executing the hop twice
+      val half = hop(labels).persist(StorageLevel.MEMORY_AND_DISK)
+      // persist caches DATA but not PLAN: each round's logical plan embeds
+      // the previous round's ~4× over, so un-truncated lineage grows
+      // exponentially in round count and the ANALYZER becomes the
+      // bottleneck on long duplicate chains. Flatten with a localCheckpoint
+      // every 3rd round — lineage stays ≤ 3 rounds deep (bounded analyzer
+      // cost) while checkpoint blocks are created 3× less often than the
+      // round-2 per-round scheme whose async reclamation polluted
+      // subsequent queries.
+      val next =
+        if (round % 3 == 0) hop(half).localCheckpoint(true)
+        else hop(half).persist(StorageLevel.MEMORY_AND_DISK)
       prevSum = sum0
       sum0 = repSum(next) // materializes `next` while labels is still cached
+      half.unpersist(true)
       labels.unpersist(true)
       labels = next
     }
@@ -310,20 +335,33 @@ object TextOps {
         concat(lit("0|"), col("band0")),
         concat(lit("1|"), col("band1")))).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // hot-bucket census — tiny by definition (only buckets over the cap)
+    // hot-bucket census — tiny by definition (only buckets over the cap),
+    // so it is collected ONCE and excluded via a literal filter: an
+    // anti-join against the census relation would re-execute the census
+    // aggregation a second time (one action for the stats, one inside the
+    // join), a full extra pass over the bucket table per call
     val hot = buckets.groupBy("bucket").agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucketSize)
-    val hotStats = hot
-      .agg(count(lit(1)).as("n_buckets"),
-        coalesce(sum(col("n_members")), lit(0L)).as("n_members"))
-      .head()
-    if (hotStats.getLong(0) > 0)
+      .collect()
+    if (hot.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"lshNearDupPairs: dropped ${hotStats.getLong(0)} bucket(s) over " +
-          s"$maxBucketSize members (${hotStats.getLong(1)} memberships) " +
+        s"lshNearDupPairs: dropped ${hot.length} bucket(s) over " +
+          s"$maxBucketSize members (${hot.map(_.getLong(1)).sum} memberships) " +
           "from candidate generation")
-    val kept = buckets.join(broadcast(hot.select(col("bucket"))),
-      Seq("bucket"), "left_anti")
+    // ≤ |memberships|/cap hot buckets can exist; a literal isin is right
+    // for the realistic handful, but a degenerate corpus (millions of
+    // stub docs) could produce thousands — beyond a plan-size-safe bound,
+    // ship them as a broadcast anti-join instead of a giant literal
+    val kept =
+      if (hot.isEmpty) buckets
+      else if (hot.length <= 1000)
+        buckets.filter(!col("bucket").isin(hot.map(_.getString(0)).toSeq: _*))
+      else {
+        import spark.implicits._
+        buckets.join(
+          broadcast(hot.map(_.getString(0)).toSeq.toDF("bucket")),
+          Seq("bucket"), "left_anti")
+      }
     val cand = kept.as("a").join(kept.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -547,6 +585,57 @@ object TextOps {
         regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "[0-9]{4,}", "<NUM>").as("red_text"))
+
+  /** TF-IDF — term weighting over the corpus (SURVEY §7.4 north star):
+    * tf(d,t) · ln(N / df(t)). Three keyed aggregations: (doc, token)
+    * term counts, token document-frequency, and a corpus count that joins
+    * in as a one-row broadcast. The tf⋈df join shuffles on token — the
+    * scale shape, since a 100 TB corpus' vocabulary does not broadcast;
+    * AQE handles token skew (stopwords are the hot keys). `tfidf` is a
+    * continuum value and is rounded to 6 dp per the determinism rules
+    * (ln is the one transcendental; both engines evaluate it on the
+    * identical double argument). */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+  }
+
+  /** Sequence packing — the concat-and-chunk assignment of documents to
+    * fixed-length training sequences (GPT-style pretraining batches):
+    * documents are concatenated in deterministic order and chopped into
+    * `seqLen`-token windows; each doc gets its token span
+    * [start_off, end_off) and the bin (sequence index) its first token
+    * lands in. A single GLOBAL running sum would serialize the corpus
+    * through one partition, so packing is SHARDED: `doc_id % nShards`
+    * partitions the corpus and the running sum is per-shard — at 100 TB,
+    * nShards tracks the executor count and each shard packs
+    * independently (shard i's sequences are `(i, bin)` keyed). One
+    * shuffle (the shard window); integer token offsets; `seqLen` a power
+    * of two so the bin division is exact in double. Retry-deterministic:
+    * every output column is a pure function of (doc_id, text). */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Int = 512,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require((seqLen & (seqLen - 1)) == 0, "seqLen must be a power of two")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        (col("end_off") - col("n_tokens")).as("start_off"), col("end_off"),
+        floor((col("end_off") - col("n_tokens")) / lit(seqLen.toDouble))
+          .cast("long").as("bin"))
+  }
 
   /** Position-weighted document fingerprint (rolling-hash style):
     * Σ_i (i+1) * H(token_i) mod FP_MOD. */

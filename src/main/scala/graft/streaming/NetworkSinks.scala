@@ -123,16 +123,26 @@ object NetworkSinks {
 
   /** Durable parquet sinks + live publisher/alert channels — the full
     * reference topology (Redshift-analogue wide tables AND socket AND
-    * alert HTTP) in one binding. */
+    * alert HTTP) in one binding. Each channel runs TWO actions on its
+    * batch (durable write + network emit), so the batch is persisted
+    * first — without it foreachBatch re-executes the micro-batch per
+    * action, which for the alert channel would replay the stateful
+    * blacklist operator's work twice per batch. */
   class LiveSinks(baseDir: String, socketHost: String, socketPort: Int,
       alertUrl: String) extends StreamPipeline.ParquetSinks(baseDir) {
     override def writeEvents(df: DataFrame, batchId: Long): Unit = {
-      super.writeEvents(df, batchId)
-      emitEvents(df, socketHost, socketPort)
+      val cached = df.persist()
+      try {
+        super.writeEvents(cached, batchId)
+        emitEvents(cached, socketHost, socketPort)
+      } finally cached.unpersist()
     }
     override def writeAlerts(df: Dataset[Alerts.AlertEvent], batchId: Long): Unit = {
-      super.writeAlerts(df, batchId)
-      postAlerts(df.filter(_.kind == "alert"), alertUrl)
+      val cached = df.persist()
+      try {
+        super.writeAlerts(cached, batchId)
+        postAlerts(cached.filter(_.kind == "alert"), alertUrl)
+      } finally cached.unpersist()
     }
   }
 }

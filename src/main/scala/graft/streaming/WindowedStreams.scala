@@ -71,7 +71,12 @@ object WindowedStreams {
     docs
       .crossJoin(broadcast(benchShingles.agg(
         collect_set(col("s")).as("bench_sh"))))
-      .filter(!arrays_overlap(TextOps.shingles(col("text")), col("bench_sh")))
+      // coalesce: null text ⇒ null shingles ⇒ null overlap, which must
+      // read as clean (the batch twin simply has no shingles to hit),
+      // not be silently filtered out as contaminated
+      .filter(coalesce(
+        !arrays_overlap(TextOps.shingles(col("text")), col("bench_sh")),
+        lit(true)))
       .drop("bench_sh")
   }
 
@@ -98,9 +103,9 @@ object WindowedStreams {
     * min-hash folds inside the shingle array via HOFs, so the signature
     * costs zero shuffles and zero extra stateful operators — on a stream
     * a groupBy-based signature would itself be an unbounded stateful agg.
-    * Shingle-less documents (< 3 tokens) get a doc-unique sentinel bucket
-    * so they never collide (nothing to judge similarity on). */
-  private def bandBucket(band: Int, text: Column, docId: Column): Column = {
+    * Callers filter to `hasShingles` first — shingle-less documents must
+    * never reach the stateful operator (see [[bandedDocs]]). */
+  private def bandBucket(band: Int, text: Column): Column = {
     import graft.operators.TextOps
     val sh = TextOps.shingles(text)
     val mhs = TextOps.minhashParams.slice(band * 2, band * 2 + 2).map {
@@ -108,20 +113,26 @@ object WindowedStreams {
         array_min(transform(sh,
           s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
     }
-    when(size(sh) > 0,
-        concat_ws("_", lit(band.toString) +: mhs: _*))
-      .otherwise(concat(lit("∅"), docId.cast("string")))
+    concat_ws("_", lit(band.toString) +: mhs: _*)
   }
 
-  private def bandedDocs(docs: DataFrame, tsCol: String,
-      watermark: String, nBands: Int): Dataset[BandedDoc] = {
+  private def hasShingles: Column =
+    size(graft.operators.TextOps.shingles(col("text"))) > 0
+
+  /** Shingle-bearing docs exploded onto their band buckets. Documents with
+    * NO shingles (< 3 tokens) are excluded here and handled stateless by
+    * the callers: with nothing to judge similarity on they can never
+    * collide, so routing them through the stateful operator would only pin
+    * a state-store row per short doc for the full TTL (a dirty stream full
+    * of stub documents would bloat state for zero suppression value). */
+  private def bandedDocs(docs: DataFrame, nBands: Int): Dataset[BandedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .withWatermark(tsCol, watermark)
+      .filter(hasShingles)
       .select(explode(array((0 until nBands).map(b =>
-          bandBucket(b, col("text"), col("doc_id"))): _*)).as("bucket"),
-        col("doc_id"), col("text"), col(tsCol).as("ts"))
+          bandBucket(b, col("text"))): _*)).as("bucket"),
+        col("doc_id"), col("text"), col("ts"))
       .as[BandedDoc]
   }
 
@@ -162,7 +173,12 @@ object WindowedStreams {
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NovelDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bandedDocs(docs, tsCol, watermark, nBands = 1)
+    val base = docs
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col("text"), col(tsCol).as("ts"))
+    // shingle-less docs can't collide: stateless pass-through, no state row
+    val short = base.filter(!hasShingles).as[NovelDoc]
+    val judged = bandedDocs(base, nBands = 1)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
@@ -185,6 +201,7 @@ object WindowedStreams {
             out.iterator
           }
       }
+    judged.union(short)
   }
 
   /** The duplicate-pair LOG — the straight streaming twin of
@@ -199,7 +216,10 @@ object WindowedStreams {
       ttlMs: Long = 24L * 3600 * 1000): Dataset[DupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bandedDocs(docs, tsCol, watermark, nBands)
+    val base = docs
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col("text"), col(tsCol).as("ts"))
+    bandedDocs(base, nBands)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
@@ -209,8 +229,7 @@ object WindowedStreams {
             state.remove()
             Iterator.empty
           } else {
-            val band = if (bucket.startsWith("∅")) -1
-              else bucket.takeWhile(_ != '_').toInt
+            val band = bucket.takeWhile(_ != '_').toInt
             val batch = ordered(it)
             val out = scala.collection.mutable.ArrayBuffer[DupHit]()
             var owner = state.getOption.map(_.doc_id)

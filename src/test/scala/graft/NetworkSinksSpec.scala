@@ -15,8 +15,12 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * (app/mapper.js:291-296 / 456-466). */
 class NetworkSinksSpec extends SparkSpec {
 
-  /** Line-collecting TCP server; accepts any number of connections. */
-  private def withSocketServer[A](body: Int => A): (A, Seq[String]) = {
+  /** Line-collecting TCP server; accepts any number of connections.
+    * `expectLines` bounds the post-body drain: readers are polled until
+    * that many lines arrive (or a deadline) instead of a fixed sleep —
+    * a fixed sleep under-collects on a loaded box. */
+  private def withSocketServer[A](expectLines: Int)(body: Int => A)
+      : (A, Seq[String]) = {
     val lines = new ConcurrentLinkedQueue[String]()
     val server = new ServerSocket(0)
     @volatile var running = true
@@ -35,9 +39,9 @@ class NetworkSinksSpec extends SparkSpec {
     acceptor.start()
     try {
       val r = body(server.getLocalPort)
-      // connections close before foreachPartition returns; tiny drain for
-      // the reader threads to flush their queues
-      Thread.sleep(300)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (lines.size < expectLines && System.nanoTime() < deadline)
+        Thread.sleep(20)
       (r, scala.jdk.CollectionConverters.IteratorHasAsScala(
         lines.iterator()).asScala.toSeq)
     } finally { running = false; server.close() }
@@ -75,7 +79,7 @@ class NetworkSinksSpec extends SparkSpec {
     val expected = events.select("event_json").collect()
       .map(r => s"""["internal_data",${r.getString(0)}]""").toSet
 
-    val (_, lines) = withSocketServer { port =>
+    val (_, lines) = withSocketServer(expected.size) { port =>
       NetworkSinks.emitEvents(events, "127.0.0.1", port)
     }
     assert(lines.toSet === expected)

@@ -109,12 +109,15 @@ class WindowedStreamsSpec extends SparkSpec {
       // shared text must be UNRELATED to c, or they'd legitimately
       // near-dup-collide with doc 4's bucket
       val e = "tungsten codegen stages fuse narrow transformations tightly"
+      // docs 7+8: < 3 tokens, no shingles — stateless pass-through (BOTH
+      // emitted, no state row), never judged for similarity
       src.addData(DocEv(t(11), 3, a), DocEv(t(12), 4, c),
-        DocEv(t(13), 5, e), DocEv(t(14), 6, e))
+        DocEv(t(13), 5, e), DocEv(t(14), 6, e),
+        DocEv(t(15), 7, "too short"), DocEv(t(16), 8, "too short"))
       q.processAllAvailable()
       val emitted = spark.sql("SELECT doc_id FROM neardup").collect()
         .map(_.getLong(0)).toSet
-      assert(emitted === Set(1L, 2L, 4L, 5L), emitted)
+      assert(emitted === Set(1L, 2L, 4L, 5L, 7L, 8L), emitted)
     } finally q.stop()
   }
 
