@@ -96,6 +96,7 @@ object SparkEntry {
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     "text_pack" -> ((s, d) => TextOps.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
+    "text_quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
@@ -459,6 +460,12 @@ object SparkEntry {
         """SELECT doc_id, token, CAST(c AS BIGINT) AS tf, """ +
         """round(c * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf """ +
         """FROM tf JOIN df USING (token)"""),
+    "text_quality_bins" ->
+      ("""WITH d AS (SELECT doc_id, lang, length(text) AS nc, string_split(text, ' ') AS w FROM documents), """ +
+        s"""q AS (SELECT doc_id, lang, CAST(least(5000, len(w) * 25) + """ +
+        s"""floor(5000.0 * len(list_filter(w, x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) / len(w)) AS BIGINT) AS quality_bp FROM d) """ +
+        """SELECT doc_id, lang, quality_bp, CAST(ntile(10) OVER """ +
+        """(PARTITION BY lang ORDER BY quality_bp, doc_id) AS BIGINT) AS decile FROM q"""),
     "text_pack" ->
       ("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard, """ +
         """len(string_split(text, ' ')) AS n FROM documents), """ +

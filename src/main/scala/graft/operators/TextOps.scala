@@ -586,6 +586,33 @@ object TextOps {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "[0-9]{4,}", "<NUM>").as("red_text"))
 
+  /** Per-domain quality binning — stratified quality deciles for corpus
+    * mixing: within each language (the domain key here), documents are
+    * ranked by quality score and split into 10 equal-ish bins with
+    * `ntile` (SQL-standard semantics, identical in Spark and DuckDB), so
+    * a sampler can draw per-(domain, decile) quotas. Deterministic: the
+    * ordering breaks quality ties on doc_id. One shuffle (the lang
+    * window); at 100 TB the domain key keeps partitions parallel — a
+    * GLOBAL decile would serialize through one partition, a per-domain
+    * one never does. */
+  def qualityBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_bp"), col("doc_id"))
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, x => x.isin(stopwords.map(lit): _*)))
+      .cast("long")
+    // quality recomputed inline (same formula as textQuality) so the score
+    // rides the scan instead of joining two reads of the corpus on doc_id
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (least(lit(5000L), nTok * 25) +
+          floor(lit(5000.0) * nStop / nTok).cast("long")).as("quality_bp"))
+      .select(col("doc_id"), col("lang"), col("quality_bp"),
+        ntile(10).over(w).cast("long").as("decile"))
+  }
+
   /** TF-IDF — term weighting over the corpus (SURVEY §7.4 north star):
     * tf(d,t) · ln(N / df(t)). Three keyed aggregations: (doc, token)
     * term counts, token document-frequency, and a corpus count that joins
@@ -623,11 +650,16 @@ object TextOps {
     * of two so the bin division is exact in double. Retry-deterministic:
     * every output column is a pure function of (doc_id, text). */
   def packSequences(spark: SparkSession, dir: String, seqLen: Int = 512,
+      nShards: Int = 8): DataFrame =
+    packSequencesOf(tbl(spark, dir, "documents"), seqLen, nShards)
+
+  /** [[packSequences]] over any (doc_id, text) relation. */
+  def packSequencesOf(documents: DataFrame, seqLen: Int = 512,
       nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require((seqLen & (seqLen - 1)) == 0, "seqLen must be a power of two")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    tbl(spark, dir, "documents")
+    documents
       .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("end_off", sum(col("n_tokens")).over(w))

@@ -98,6 +98,65 @@ class NativeExprSpec extends SparkSpec {
     assert(got(3L) === ((3333L, 0L)))
   }
 
+  test("sequence packing: randomized docs — contiguous spans, correct bins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(9)).mkString(" "))
+    }
+    val got = graft.operators.TextOps
+      .packSequencesOf(docs.toDF("doc_id", "text"), seqLen = 64, nShards = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // brute-force twin: per shard, fold doc_id-ordered token counts
+    val expected = docs.groupBy(_._1 % 4).flatMap { case (shard, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (id, text) =>
+        val n = text.split(" ", -1).length.toLong
+        val row = (id, (shard, off, off + n, off / 64))
+        off += n
+        row
+      }
+    }
+    assert(got === expected)
+    // spans within a shard are contiguous and non-overlapping by
+    // construction of the fold; assert the spark side agrees per shard
+    got.values.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) => assert(e1 === s2)
+        case _ => ()
+      }
+    }
+  }
+
+  test("repetition scoring: randomized docs match a brute-force twin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 150).map { i =>
+      val n = 2 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)("t" + rnd.nextInt(4)).mkString(" "))
+    }
+    val got = graft.operators.TextOps
+      .textRepetitionOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val bigrams = w.sliding(2).map(_.mkString(" ")).toSeq
+      val top2 = math.floor(10000.0 * bigrams.groupBy(identity)
+        .values.map(_.size).max / bigrams.size).toLong
+      val tri = w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val dup3 = if (tri.nonEmpty)
+        math.floor(10000.0 * (tri.size - tri.distinct.size) / tri.size).toLong
+      else 0L
+      id -> ((top2, dup3))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("pii redaction scrubs emails and digit runs, leaves the rest") {
     import spark.implicits._
     val df = Seq(

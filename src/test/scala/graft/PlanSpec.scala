@@ -113,6 +113,13 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$s")
   }
 
+  test("quality bins: one lang shuffle, no self-join of the corpus") {
+    val s = planString(graft.operators.TextOps.qualityBins(spark, dir))
+    assert(!s.contains("Join"), s)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n$s")
+  }
+
   test("sequence packing: one shard shuffle, no global single-partition sort") {
     val s = planString(graft.operators.TextOps.packSequences(spark, dir))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
