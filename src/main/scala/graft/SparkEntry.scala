@@ -97,6 +97,7 @@ object SparkEntry {
     "text_pack" -> ((s, d) => TextOps.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
     "text_quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
+    "llm_pipeline" -> ((s, d) => TextOps.llmPipeline(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
@@ -460,6 +461,17 @@ object SparkEntry {
         """SELECT doc_id, token, CAST(c AS BIGINT) AS tf, """ +
         """round(c * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf """ +
         """FROM tf JOIN df USING (token)"""),
+    "llm_pipeline" ->
+      (s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), """ +
+        s"""alld AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""bench AS (SELECT DISTINCT unnest($shinglesSql) AS s FROM alld WHERE doc_id < 5 AND len(w) >= 3), """ +
+        s"""scored AS (SELECT doc_id, w FROM alld WHERE doc_id >= 5 AND doc_id IN (SELECT doc_id FROM surv) """ +
+        s"""AND least(5000, len(w) * 25) + floor(5000.0 * len(list_filter(w, x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) / len(w)) >= 2500), """ +
+        s"""hits AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest($shinglesSql) AS s FROM scored WHERE len(w) >= 3) WHERE s IN (SELECT s FROM bench)), """ +
+        """clean AS (SELECT doc_id, doc_id % 8 AS shard, len(w) AS n FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM hits)), """ +
+        """c AS (SELECT doc_id, shard, n, sum(n) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM clean) """ +
+        """SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(end_off - n AS BIGINT) AS start_off, """ +
+        """CAST(end_off AS BIGINT) AS end_off, CAST(floor((end_off - n) / 512.0) AS BIGINT) AS bin FROM c"""),
     "text_quality_bins" ->
       ("""WITH d AS (SELECT doc_id, lang, length(text) AS nc, string_split(text, ' ') AS w FROM documents), """ +
         s"""q AS (SELECT doc_id, lang, CAST(least(5000, len(w) * 25) + """ +

@@ -586,6 +586,47 @@ object TextOps {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "[0-9]{4,}", "<NUM>").as("red_text"))
 
+  /** The composed LLM training-data pipeline — the flagship end-to-end
+    * chain a practitioner actually runs, as ONE dataflow: exact dedup
+    * (keep min doc_id per md5) → quality floor → benchmark
+    * decontamination (broadcast shingle probe, batch twin of
+    * `WindowedStreams.decontaminate`) → sharded sequence packing. Shuffle
+    * budget: one md5 agg + one doc_id semi-join + one shard window — the
+    * quality filter and the decontamination probe are map-side riders on
+    * the scan, and the benchmark set broadcasts. Output spans are pure
+    * functions of the surviving (doc_id, text) set, so the whole chain
+    * stays oracle-replayable. */
+  def llmPipeline(spark: SparkSession, dir: String, benchDocs: Long = 5,
+      minQuality: Long = 2500, seqLen: Int = 512,
+      nShards: Int = 8): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    // 1. exact dedup: survivors keep the minimum doc_id per content hash
+    val surv = docs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // 2. quality floor (same integer formula as textQuality), map-side
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, x => x.isin(stopwords.map(lit): _*)))
+      .cast("long")
+    val scored = docs
+      .filter(col("doc_id") >= benchDocs) // the benchmark is not trained on
+      .join(surv, Seq("doc_id"), "left_semi")
+      .withColumn("quality_bp",
+        least(lit(5000L), nTok * 25) +
+          floor(lit(5000.0) * nStop / nTok).cast("long"))
+      .filter(col("quality_bp") >= minQuality)
+    // 3. decontaminate: any shared shingle with the benchmark set drops it
+    val bench = docs.filter(col("doc_id") < benchDocs)
+      .select(explode(shingles(col("text"))).as("s")).distinct()
+    val clean = scored
+      .crossJoin(broadcast(bench.agg(collect_set(col("s")).as("bs"))))
+      .filter(coalesce(
+        !arrays_overlap(shingles(col("text")), col("bs")), lit(true)))
+    // 4. pack the survivors into fixed-length training sequences
+    packSequencesOf(clean.select(col("doc_id"), col("text")), seqLen, nShards)
+  }
+
   /** Per-domain quality binning — stratified quality deciles for corpus
     * mixing: within each language (the domain key here), documents are
     * ranked by quality score and split into 10 equal-ish bins with

@@ -113,6 +113,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$s")
   }
 
+  test("llm pipeline: bench set broadcasts, no cartesian, bounded shuffles") {
+    val s = planString(graft.operators.TextOps.llmPipeline(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 4, s"expected <=4 shuffles, got $shuffles:\n$s")
+  }
+
   test("quality bins: one lang shuffle, no self-join of the corpus") {
     val s = planString(graft.operators.TextOps.qualityBins(spark, dir))
     assert(!s.contains("Join"), s)
