@@ -417,23 +417,33 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Token count of `text`. */
+  private def nTokCol: Column = size(tokens(col("text"))).cast("long")
+
+  /** Stopword count of `text`. */
+  private def nStopCol: Column =
+    size(filter(tokens(col("text")), w => w.isin(stopwords.map(lit): _*)))
+      .cast("long")
+
+  /** THE quality score — min(5000, 25·n_tokens) + ⌊5000·n_stop/n⌋ in basis
+    * points: half length score (saturating at 200 tokens), half stopword
+    * ratio. One definition shared by [[textQuality]], [[qualityBins]] and
+    * [[llmPipeline]]'s quality floor (and mirrored by their oracle SQL) —
+    * a constant changed here must change in the oracle strings too. */
+  private def qualityBpCol: Column =
+    least(lit(5000L), nTokCol * 25) +
+      floor(lit(5000.0) * nStopCol / nTokCol).cast("long")
+
   /** Quality scoring: length/stopword-ratio heuristics in integer basis
     * points (floored rationals — cross-engine exact; see Determinism note
-    * in SparkEntry). quality_bp = min(5000, 25·n_tokens) + ⌊5000·n_stop/n⌋:
-    * half length score (saturating at 200 tokens), half stopword ratio. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, w => w.isin(stopwords.map(lit): _*)))
-      .cast("long")
+    * in SparkEntry). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents").select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
-      nTok.as("n_tokens"),
-      floor(lit(10000.0) * nStop / nTok).cast("long").as("stop_ratio_bp"),
-      (least(lit(5000L), nTok * 25) +
-        floor(lit(5000.0) * nStop / nTok).cast("long")).as("quality_bp"))
-  }
+      nTokCol.as("n_tokens"),
+      floor(lit(10000.0) * nStopCol / nTokCol).cast("long").as("stop_ratio_bp"),
+      qualityBpCol.as("quality_bp"))
 
   /** Marker-word language ID heuristic with fixed priority order. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -604,17 +614,11 @@ object TextOps {
     val surv = docs
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    // 2. quality floor (same integer formula as textQuality), map-side
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, x => x.isin(stopwords.map(lit): _*)))
-      .cast("long")
+    // 2. quality floor (the shared qualityBpCol formula), map-side
     val scored = docs
       .filter(col("doc_id") >= benchDocs) // the benchmark is not trained on
       .join(surv, Seq("doc_id"), "left_semi")
-      .withColumn("quality_bp",
-        least(lit(5000L), nTok * 25) +
-          floor(lit(5000.0) * nStop / nTok).cast("long"))
+      .withColumn("quality_bp", qualityBpCol)
       .filter(col("quality_bp") >= minQuality)
     // 3. decontaminate: any shared shingle with the benchmark set drops it
     val bench = docs.filter(col("doc_id") < benchDocs)
@@ -640,16 +644,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality_bp"), col("doc_id"))
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("long")
-    val nStop = size(filter(t, x => x.isin(stopwords.map(lit): _*)))
-      .cast("long")
-    // quality recomputed inline (same formula as textQuality) so the score
+    // quality computed inline (the shared qualityBpCol) so the score
     // rides the scan instead of joining two reads of the corpus on doc_id
     tbl(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        (least(lit(5000L), nTok * 25) +
-          floor(lit(5000.0) * nStop / nTok).cast("long")).as("quality_bp"))
+      .select(col("doc_id"), col("lang"), qualityBpCol.as("quality_bp"))
       .select(col("doc_id"), col("lang"), col("quality_bp"),
         ntile(10).over(w).cast("long").as("decile"))
   }
@@ -698,7 +696,8 @@ object TextOps {
   def packSequencesOf(documents: DataFrame, seqLen: Int = 512,
       nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require((seqLen & (seqLen - 1)) == 0, "seqLen must be a power of two")
+    require(seqLen > 0 && (seqLen & (seqLen - 1)) == 0,
+      "seqLen must be a positive power of two")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     documents
       .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),

@@ -116,8 +116,13 @@ object WindowedStreams {
     concat_ws("_", lit(band.toString) +: mhs: _*)
   }
 
+  // coalesce: null text ⇒ null shingles ⇒ a NULL predicate would exclude
+  // the row from BOTH union branches (filter(p) and filter(!p) each drop
+  // NULL) — null text must route to the stateless pass-through like any
+  // other shingle-less doc, not silently vanish
   private def hasShingles: Column =
-    size(graft.operators.TextOps.shingles(col("text"))) > 0
+    coalesce(size(graft.operators.TextOps.shingles(col("text"))) > 0,
+      lit(false))
 
   /** Shingle-bearing docs exploded onto their band buckets. Documents with
     * NO shingles (< 3 tokens) are excluded here and handled stateless by

@@ -113,11 +113,14 @@ class WindowedStreamsSpec extends SparkSpec {
       // emitted, no state row), never judged for similarity
       src.addData(DocEv(t(11), 3, a), DocEv(t(12), 4, c),
         DocEv(t(13), 5, e), DocEv(t(14), 6, e),
-        DocEv(t(15), 7, "too short"), DocEv(t(16), 8, "too short"))
+        DocEv(t(15), 7, "too short"), DocEv(t(16), 8, "too short"),
+        // null text: must route through the stateless branch, not vanish
+        // (a bare NULL predicate is dropped by BOTH filter(p)/filter(!p))
+        DocEv(t(17), 9, null))
       q.processAllAvailable()
       val emitted = spark.sql("SELECT doc_id FROM neardup").collect()
         .map(_.getLong(0)).toSet
-      assert(emitted === Set(1L, 2L, 4L, 5L, 7L, 8L), emitted)
+      assert(emitted === Set(1L, 2L, 4L, 5L, 7L, 8L, 9L), emitted)
     } finally q.stop()
   }
 
