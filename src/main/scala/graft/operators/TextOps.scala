@@ -206,8 +206,21 @@ object TextOps {
       threshold: Double = 0.5): DataFrame =
     dedupClustersFromPairs(nearDupPairs(spark, dir, threshold))
 
-  /** Connected components over an arbitrary (doc_a, doc_b) pair graph by
-    * iterative min-label propagation, TWO hops per materialization: each
+  /** Edge-count threshold below which cluster resolution runs as a single
+    * driver-side union-find instead of the iterative distributed loop. The
+    * PAIR GRAPH is orders of magnitude smaller than the corpus (it is the
+    * near-dup survivor residue, not the data), so the common case even at
+    * large scale is well under this bound — and a driver union-find is one
+    * job with zero shuffle rounds, vs ⌈diameter/2⌉ × 2 keyed shuffles.
+    * Above the bound the distributed min-label loop takes over; the two
+    * paths are result-identical (min-id representative either way). */
+  val LocalCcEdgeLimit = 1000000L
+
+  /** Connected components over an arbitrary (doc_a, doc_b) pair graph:
+    * dispatches to a driver union-find for small graphs (≤
+    * `localEdgeLimit`, see [[LocalCcEdgeLimit]]) or the distributed
+    * iterative min-label propagation below it. The distributed path runs
+    * TWO hops per materialization: each
     * round every node adopts the min label within distance 2, so label
     * distance-to-minimum halves per round — ⌈diameter/2⌉ rounds, two keyed
     * shuffles each, over the PAIR graph only (orders of magnitude smaller
@@ -225,7 +238,49 @@ object TextOps {
     * final (tiny) labeling is checkpointed. Docs in no pair are their own
     * survivor and are not emitted (a write-side left join reattaches them
     * for free). Deterministic: min-label. */
-  def dedupClustersFromPairs(pairs: DataFrame): DataFrame = {
+  def dedupClustersFromPairs(pairs: DataFrame,
+      localEdgeLimit: Long = LocalCcEdgeLimit): DataFrame = {
+    // size probe is cheap: every producer hands over a materialized
+    // (localCheckpoint'd) pair graph
+    if (pairs.count() <= localEdgeLimit)
+      return dedupClustersLocal(pairs)
+    distributedCc(pairs)
+  }
+
+  /** Driver union-find over a small pair graph (see [[LocalCcEdgeLimit]]):
+    * path-halving find + min-id union keeps the smallest doc_id as each
+    * component's representative — result-identical to [[distributedCc]]. */
+  private def dedupClustersLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min-id representative — matches the min-label loop
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    es.foreach { case (a, b) => union(a, b) }
+    parent.keys.toSeq.sorted
+      .map(id => (id, find(id)))
+      .toDF("doc_id", "cluster_rep")
+  }
+
+  /** Distributed iterative min-label propagation (the > [[LocalCcEdgeLimit]]
+    * path). */
+  private def distributedCc(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

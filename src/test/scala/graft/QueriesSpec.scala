@@ -39,6 +39,12 @@ class QueriesSpec extends SparkSpec {
       assert(r <= d, s"rep $r above doc $d")
       assert(reps(r) === r, s"rep $r is not a fixpoint")
     }
+    // the DISTRIBUTED min-label path (localEdgeLimit = 0 forces it past
+    // the driver union-find dispatch) must produce the identical labeling
+    val distributed = TextOps
+      .dedupClustersFromPairs(TextOps.nearDupPairs(spark, dir), 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === reps)
   }
 
   test("dedup clusters: empty pair graph yields an empty result, not a crash") {
