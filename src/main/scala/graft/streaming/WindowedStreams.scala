@@ -56,6 +56,24 @@ object WindowedStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming exact-CONTENT dedup — the exact-semantics complement to the
+    * probabilistic [[suppressNearDups]] blacklist: a document whose text
+    * hash was seen within the watermark horizon is dropped, bit-exact.
+    * `dropDuplicatesWithinWatermark` keys the state on the content hash
+    * and expires each entry one watermark-delay past its event time, so
+    * the state store is bounded by |distinct texts per watermark window| —
+    * the dedup key does NOT need the event-time column (unlike
+    * `dropDuplicates`, where omitting it would pin state forever). A copy
+    * arriving later than the horizon is the documented at-least-once
+    * residue, same contract as [[dedup]]. */
+  def dedupExactText(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("text_h", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_h")
+      .drop("text_h")
+
   /** Streaming benchmark-decontamination — the incremental twin of
     * TextOps.contaminationCheck: drop any arriving document that shares a
     * 3-word shingle with the (static, broadcast-sized) benchmark shingle

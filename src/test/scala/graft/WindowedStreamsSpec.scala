@@ -146,6 +146,28 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact-content dedup drops a bit-identical doc arriving in a later batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.dedupExactText(src.toDF())
+    val q = out.writeStream.format("memory").queryName("exdedup")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog"
+      src.addData(DocEv(t(1), 1, a), DocEv(t(2), 2, "something else entirely"))
+      q.processAllAvailable()
+      // batch 2 within the watermark horizon: doc 3 is bit-identical to
+      // doc 1 (dropped); doc 4 differs by one char (kept — EXACT, not near)
+      src.addData(DocEv(t(3), 3, a), DocEv(t(4), 4, a + "!"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM exdedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L), kept)
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs sharing a benchmark shingle") {
     val spark2 = spark
     import spark2.implicits._
