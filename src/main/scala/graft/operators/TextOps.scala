@@ -213,8 +213,11 @@ object TextOps {
     * large scale is well under this bound — and a driver union-find is one
     * job with zero shuffle rounds, vs ⌈diameter/2⌉ × 2 keyed shuffles.
     * Above the bound the distributed min-label loop takes over; the two
-    * paths are result-identical (min-id representative either way). */
-  val LocalCcEdgeLimit = 1000000L
+    * paths are result-identical (min-id representative either way). Sized
+    * so the probe collect (≤ limit+1 edge rows) and the union-find map
+    * stay a few MB of driver heap, and the LocalRelation the local path
+    * embeds in downstream plans stays small. */
+  val LocalCcEdgeLimit = 100000L
 
   /** Connected components over an arbitrary (doc_a, doc_b) pair graph:
     * dispatches to a driver union-find for small graphs (≤
@@ -240,21 +243,29 @@ object TextOps {
     * for free). Deterministic: min-label. */
   def dedupClustersFromPairs(pairs: DataFrame,
       localEdgeLimit: Long = LocalCcEdgeLimit): DataFrame = {
-    // size probe is cheap: every producer hands over a materialized
-    // (localCheckpoint'd) pair graph
-    if (pairs.count() <= localEdgeLimit)
-      return dedupClustersLocal(pairs)
-    distributedCc(pairs)
+    // ids normalized to long up front so BOTH paths accept any integral id
+    // type and emit the same (bigint) schema
+    val norm = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    // probe and fetch in ONE action: collect at most limit+1 edges — a
+    // count() probe would execute a non-materialized input's whole lineage
+    // once for the count and again for the chosen path
+    val probeLimit = math.min(localEdgeLimit, Int.MaxValue - 2L).toInt + 1
+    val probed =
+      if (localEdgeLimit < 0) Array.empty[org.apache.spark.sql.Row]
+      else norm.limit(probeLimit).collect()
+    if (localEdgeLimit >= 0 && probed.length <= localEdgeLimit)
+      dedupClustersLocal(pairs.sparkSession, probed)
+    else distributedCc(norm)
   }
 
   /** Driver union-find over a small pair graph (see [[LocalCcEdgeLimit]]):
     * path-halving find + min-id union keeps the smallest doc_id as each
     * component's representative — result-identical to [[distributedCc]]. */
-  private def dedupClustersLocal(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  private def dedupClustersLocal(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val es = pairs.select(col("doc_a"), col("doc_b")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -279,7 +290,7 @@ object TextOps {
   }
 
   /** Distributed iterative min-label propagation (the > [[LocalCcEdgeLimit]]
-    * path). */
+    * path). Expects long-normalized (doc_a, doc_b). */
   private def distributedCc(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

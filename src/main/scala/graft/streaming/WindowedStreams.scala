@@ -65,14 +65,26 @@ object WindowedStreams {
     * the dedup key does NOT need the event-time column (unlike
     * `dropDuplicates`, where omitting it would pin state forever). A copy
     * arriving later than the horizon is the documented at-least-once
-    * residue, same contract as [[dedup]]. */
+    * residue, same contract as [[dedup]].
+    *
+    * Null-text docs pass through untouched (md5(null) is null and
+    * streaming dedup state treats null keys as EQUAL — without the split,
+    * every null-text doc after the first would silently vanish; same
+    * principle as `hasShingles`). WHICH copy of a within-batch duplicate
+    * set survives is arrival-order-dependent (Spark's streaming dedup
+    * keeps the first row to reach the state store) — suppression itself
+    * is exact and deterministic, the surviving doc_id is not; the batch
+    * twin `dedupExact` keeps min(doc_id) when a pipeline needs a
+    * deterministic survivor. */
   def dedupExactText(docs: DataFrame, tsCol: String = "ts",
-      watermark: String = "10 minutes"): DataFrame =
-    docs
-      .withWatermark(tsCol, watermark)
+      watermark: String = "10 minutes"): DataFrame = {
+    val base = docs.withWatermark(tsCol, watermark)
+    base.filter(col("text").isNotNull)
       .withColumn("text_h", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_h")
       .drop("text_h")
+      .unionByName(base.filter(col("text").isNull))
+  }
 
   /** Streaming benchmark-decontamination — the incremental twin of
     * TextOps.contaminationCheck: drop any arriving document that shares a

@@ -39,10 +39,12 @@ class QueriesSpec extends SparkSpec {
       assert(r <= d, s"rep $r above doc $d")
       assert(reps(r) === r, s"rep $r is not a fixpoint")
     }
-    // the DISTRIBUTED min-label path (localEdgeLimit = 0 forces it past
-    // the driver union-find dispatch) must produce the identical labeling
+    // the DISTRIBUTED min-label path (localEdgeLimit = -1 forces it
+    // unconditionally — 0 would still route an empty graph to the local
+    // path and make this comparison vacuous) must produce the identical
+    // labeling; reps.nonEmpty above guarantees the comparison has teeth
     val distributed = TextOps
-      .dedupClustersFromPairs(TextOps.nearDupPairs(spark, dir), 0L)
+      .dedupClustersFromPairs(TextOps.nearDupPairs(spark, dir), -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed === reps)
   }

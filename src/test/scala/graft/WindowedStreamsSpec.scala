@@ -159,12 +159,15 @@ class WindowedStreamsSpec extends SparkSpec {
       src.addData(DocEv(t(1), 1, a), DocEv(t(2), 2, "something else entirely"))
       q.processAllAvailable()
       // batch 2 within the watermark horizon: doc 3 is bit-identical to
-      // doc 1 (dropped); doc 4 differs by one char (kept — EXACT, not near)
-      src.addData(DocEv(t(3), 3, a), DocEv(t(4), 4, a + "!"))
+      // doc 1 (dropped); doc 4 differs by one char (kept — EXACT, not
+      // near); docs 5+6 have null text — BOTH pass through (null keys
+      // compare equal in dedup state; without the split doc 6 vanishes)
+      src.addData(DocEv(t(3), 3, a), DocEv(t(4), 4, a + "!"),
+        DocEv(t(5), 5, null), DocEv(t(6), 6, null))
       q.processAllAvailable()
       val kept = spark.sql("SELECT doc_id FROM exdedup").collect()
         .map(_.getLong(0)).toSet
-      assert(kept === Set(1L, 2L, 4L), kept)
+      assert(kept === Set(1L, 2L, 4L, 5L, 6L), kept)
     } finally q.stop()
   }
 
