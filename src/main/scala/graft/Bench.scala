@@ -60,14 +60,13 @@ object Bench {
     var errors = List.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
-        // isolation mode must not hand samples 2..n a memoized pair graph
-        // (sample 1 would pay the mining and the rest would read cache,
-        // so samples.min reports ~0 for real work). Full runs (repeats=1)
-        // keep the memo ACROSS queries on purpose: the pair graph is mined
-        // once and shared, which means dedup_ngram_jaccard's cost shows up
-        // under dedup_clusters (alphabetically first) — the pipeline's
-        // mine-once shape, not a per-query artifact.
-        if (repeats > 1) graft.operators.TextOps.clearMinedPairs()
+        // EVERY sample (and every query) starts memo-cold: a memoized
+        // pair graph would make whichever dedup query runs first absorb
+        // the mining cost and the rest read cache — per-query rows would
+        // not be independently comparable across rounds. The mine-once
+        // pipeline shape is measured separately and honestly below as
+        // `dedup_pipeline_mine_once`.
+        graft.operators.TextOps.clearMinedPairs()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -80,14 +79,35 @@ object Bench {
           samples.map(s => f"$s%.3f").mkString(", "))
       name -> samples.min // best-of-n when repeating; the single sample otherwise
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The mine-once PIPELINE shape: a real dedup pipeline materializes the
+    // pair graph once and every consumer (pair listing, cluster
+    // resolution) reads it — so the composed cost is mining + two cheap
+    // reads, NOT the sum of the independent per-query rows above. Measured
+    // as its own entry so the memo never distorts a per-query number.
+    val pipelineRow =
+      if (only.forall(s => s.contains("dedup_pipeline_mine_once"))) {
+        graft.operators.TextOps.clearMinedPairs()
+        val t0 = System.nanoTime()
+        val ok = try {
+          graft.operators.TextOps.nearDupPairs(spark, sfDir).count()
+          graft.operators.TextOps.dedupClusters(spark, sfDir).count()
+          true
+        } catch { case e: Throwable =>
+          errors ::= "dedup_pipeline_mine_once" -> e.getClass.getSimpleName
+          false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        List("dedup_pipeline_mine_once" -> (if (ok) dt else -dt))
+      } else Nil
+    val qs = (results ++ pipelineRow).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.reverse.distinctBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    // total is real wall clock (abs: a failed query still consumed its time;
-    // the negative per-query entry + errors map carry the failure signal)
-    val total = if (results.nonEmpty) results.map(r => math.abs(r._2)).sum else 0.0
+    // total is real wall clock over everything this run measured (abs: a
+    // failed query still consumed its time; the negative per-query entry +
+    // errors map carry the failure signal). Self-consistent: Σ|queries|.
+    val all = results ++ pipelineRow
+    val total = if (all.nonEmpty) all.map(r => math.abs(r._2)).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

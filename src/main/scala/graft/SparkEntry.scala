@@ -104,7 +104,15 @@ object SparkEntry {
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
-    "sim_quantize" -> ((s, d) => SimilarityOps.quantizeEmbeddings(s, d)),
+    // qvec rendered as a CSV string: the driver's comparer sorts pandas
+    // frames by every column and an array-typed column is unhashable
+    // there (CORRECTNESS_r03 `sim_quantize` err) — the library API
+    // (`quantizeEmbeddings`) still returns the typed array<long>
+    "sim_quantize" -> ((s, d) =>
+      SimilarityOps.quantizeEmbeddings(s, d).select(col("vec_id"),
+        array_join(transform(col("qvec"), x => x.cast("string")), ",")
+          .as("qvec_csv"),
+        col("scale"))),
     // --- multimodal metadata ---
     "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)))
 
@@ -489,8 +497,8 @@ object SparkEntry {
     "sim_quantize" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """m AS (SELECT vec_id, emb, list_max([abs(x) for x in emb]) AS ma FROM e) """ +
-        """SELECT vec_id, CASE WHEN ma = 0 THEN [CAST(0 AS BIGINT) for x in emb] """ +
-        """ELSE [CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) for x in emb] END AS qvec, """ +
+        """SELECT vec_id, array_to_string(CASE WHEN ma = 0 THEN [CAST(0 AS BIGINT) for x in emb] """ +
+        """ELSE [CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) for x in emb] END, ',') AS qvec_csv, """ +
         """ma / 127.0 AS scale FROM m"""),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +

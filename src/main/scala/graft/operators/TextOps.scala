@@ -188,10 +188,16 @@ object TextOps {
     * and read it back). Callers that rewrite inputs in-place, or need
     * per-sample isolation (Bench repeats), call [[clearMinedPairs]]. */
   def nearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // evict entries from other (stopped) contexts: a long-lived JVM that
+    // cycles SparkContexts (test suites, notebook servers) must not pin
+    // dead frames — and their checkpoint blocks — for the JVM lifetime
+    minedPairs.keys.filter(_._1 != appId).foreach(minedPairs.remove)
     minedPairs.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, threshold),
+      (appId, dir, threshold),
       dedupNgramJaccard(spark, dir, threshold))
+  }
 
   /** Drop all memoized pair graphs (the checkpointed frames become
     * unreferenced and the ContextCleaner reclaims their blocks). */
@@ -244,9 +250,14 @@ object TextOps {
   def dedupClustersFromPairs(pairs: DataFrame,
       localEdgeLimit: Long = LocalCcEdgeLimit): DataFrame = {
     // ids normalized to long up front so BOTH paths accept any integral id
-    // type and emit the same (bigint) schema
+    // type and emit the same (bigint) schema. Null-keyed edges are dropped
+    // HERE so the two paths share one contract: without the filter the
+    // local path NPEs (Row.getLong on null) while the distributed path
+    // silently drops them in the join — an arbitrary caller-supplied pair
+    // graph must not pick its semantics by graph size
     val norm = pairs.select(col("doc_a").cast("long").as("doc_a"),
       col("doc_b").cast("long").as("doc_b"))
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
     // probe and fetch in ONE action: collect at most limit+1 edges — a
     // count() probe would execute a non-materialized input's whole lineage
     // once for the count and again for the chosen path

@@ -168,10 +168,18 @@ object StreamPipeline {
       val statuses = spark.readStream.schema(statusSchema)
         .parquet(statusSpool).as[Alerts.ObsStatus]
       // drain mode must run without the TTL: ProcessingTimeTimeout keeps
-      // the query alive past AvailableNow's drain (see alertStream doc)
+      // the query alive past AvailableNow's drain (see alertStream doc).
+      // The two modes therefore use DIFFERENT GroupStateTimeout types, and
+      // Spark forbids changing the timeout type across restarts of one
+      // checkpointed stateful query — so each mode owns its own checkpoint
+      // subdir. A continuous run and a drain never share alert-dedup
+      // state; the blacklist is in-memory-equivalent in the reference too
+      // (it forgets on restart, app/mapper.js:42), so a fresh-state drain
+      // is reference-faithful.
+      val alertCp = if (availableNow) "alerts-drain" else "alerts-live"
       val w = Alerts.alertStream(statuses, withTtl = !availableNow).writeStream
         .queryName("graft-alerts")
-        .option("checkpointLocation", s"$checkpointDir/alerts")
+        .option("checkpointLocation", s"$checkpointDir/$alertCp")
         .foreachBatch { (batch: Dataset[Alerts.AlertEvent], batchId: Long) =>
           sinks.writeAlerts(batch, batchId)
         }

@@ -115,18 +115,58 @@ object WindowedStreams {
   // TextOps.lshNearDupPairs: a stateful MinHash-band blacklist.
   // -------------------------------------------------------------------------
 
-  /** One incoming document exploded onto a MinHash band bucket. */
+  /** One incoming document exploded onto a MinHash band bucket. `sh` is
+    * the doc's sorted distinct shingle-HASH set (xxhash64 per shingle):
+    * Jaccard over 64-bit shingle hashes equals Jaccard over the shingle
+    * strings up to a ~2⁻⁶⁴-per-pair collision — it rides along so a band
+    * collision can be EXACT-verified without a document-store join. */
   case class BandedDoc(bucket: String, doc_id: Long, text: String,
-      ts: java.sql.Timestamp)
+      ts: java.sql.Timestamp, sh: Array[Long])
 
   /** Novelty verdict / emitted novel document. */
   case class NovelDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
-  /** A band collision: `doc_b` arrived while `doc_a` owned the bucket. */
-  case class DupHit(doc_a: Long, doc_b: Long, band: Int)
+  /** A band collision, exact-verified: `doc_b` arrived while `doc_a` owned
+    * the bucket; `jaccard_bp` is their exact shingle Jaccard in floored
+    * basis points (10000 = identical shingle sets). */
+  case class DupHit(doc_a: Long, doc_b: Long, band: Int, jaccard_bp: Long)
 
-  /** Bucket blacklist state: the first document that claimed the bucket. */
-  case class BucketOwner(doc_id: Long)
+  /** One remembered bucket claimant: id + shingle-hash set for verify. */
+  case class OwnerSig(doc_id: Long, sh: Array[Long])
+
+  /** Bucket blacklist state: the verified-distinct documents that claimed
+    * the bucket (bounded — see [[suppressNearDups]]). */
+  case class BucketOwners(owners: List[OwnerSig])
+
+  /** Hit-log state: the first document that claimed the bucket. */
+  case class BucketOwner(doc_id: Long, sh: Array[Long])
+
+  /** Exact Jaccard between two sorted distinct hash sets, floored basis
+    * points — one merge pass, no allocation. */
+  private[streaming] def jaccardBp(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length.toLong + b.length - inter
+    if (union == 0) 0L else inter * 10000L / union
+  }
+
+  /** The batch twin's verify predicate (`common >= threshold·union`,
+    * TextOps.dedupNgramJaccard) on merged hash sets. */
+  private def similar(a: Array[Long], b: Array[Long],
+      threshold: Double): Boolean = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length.toLong + b.length - inter
+    union > 0 && inter.toDouble >= threshold * union
+  }
 
   /** MinHash band bucket as a PER-ROW expression (band = 2 of the 4
     * signature hashes, same banding as TextOps.lshNearDupPairs): each
@@ -167,7 +207,10 @@ object WindowedStreams {
       .filter(hasShingles)
       .select(explode(array((0 until nBands).map(b =>
           bandBucket(b, col("text"))): _*)).as("bucket"),
-        col("doc_id"), col("text"), col("ts"))
+        col("doc_id"), col("text"), col("ts"),
+        array_sort(array_distinct(transform(
+          graft.operators.TextOps.shingles(col("text")),
+          s => xxhash64(s)))).as("sh"))
       .as[BandedDoc]
   }
 
@@ -175,10 +218,10 @@ object WindowedStreams {
   private def ordered(it: Iterator[BandedDoc]): Seq[BandedDoc] =
     it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
 
-  /** Arm the bucket's event-time expiry and store its owner: a bucket
-    * silent for `ttl` past its last-seen EVENT TIME is forgotten, so state
-    * is bounded by |buckets active within the TTL window| — the streaming
-    * analogue of the batch op's corpus-bounded bucket table.
+  /** Arm the bucket's event-time expiry: a bucket silent for `ttl` past
+    * its last-seen EVENT TIME is forgotten, so state is bounded by
+    * |buckets active within the TTL window| — the streaming analogue of
+    * the batch op's corpus-bounded bucket table.
     * EventTimeTimeout (not processing-time) keeps AvailableNow drains
     * terminable: the timeout clock is the watermark, which stops when the
     * data does. The expiry MUST anchor on the batch's max event time, not
@@ -186,26 +229,36 @@ object WindowedStreams {
     * one computed after batch N-1 (0 in the first batch), so a
     * watermark-anchored expiry lands astern of the post-batch watermark
     * jump and the very next (no-data) batch would evict everything. */
-  private def claim(state: GroupState[BucketOwner], owner: Long,
-      maxEventMs: Long, ttlMs: Long): Unit = {
-    state.update(BucketOwner(owner))
+  private def armExpiry(state: GroupState[_], maxEventMs: Long,
+      ttlMs: Long): Unit =
     state.setTimeoutTimestamp(
       math.max(maxEventMs, state.getCurrentWatermarkMs()) + ttlMs)
-  }
 
   /** Suppress near-duplicate documents across micro-batches: a document
-    * whose band bucket is already claimed by an earlier document is NOT
-    * emitted; novel documents claim their bucket and flow through. Exact
-    * duplicates hash to the same bucket always, so cross-batch copies are
-    * suppressed with certainty; near-dups collide with the band
-    * probability of the underlying MinHash (raise `nBands`→rows per band
-    * for sharper thresholds). Single band by default: suppression needs
-    * ONE verdict per doc, and one band = one bucket = one state row —
-    * multi-band OR-semantics belong to [[nearDupHitLog]], whose output is
-    * per-collision rather than per-doc. */
+    * whose band bucket is already claimed is EXACT-verified (shingle
+    * Jaccard ≥ `threshold`, the batch twin's predicate) against the
+    * bucket's remembered claimants and suppressed only on a verified
+    * match; a collision below the threshold flows through — a raw band
+    * collision is a CANDIDATE, not a verdict (a 2-hash band collides
+    * moderately-similar docs with probability ~s², which unverified
+    * suppression would silently delete from the training stream).
+    *
+    * Precision: exact — only documents whose verified Jaccard clears the
+    * threshold are dropped. Recall: a bucket remembers at most
+    * `maxOwners` verified-distinct claimants (bounded state per bucket);
+    * a doc emitted past that cap is not remembered, so ITS later
+    * duplicates in the same bucket are not suppressed — and as in any
+    * banding scheme a qualifying pair that never shares a band bucket is
+    * missed (raise `nBands`→rows per band for sharper thresholds; exact
+    * duplicates share every bucket always, so the primary dedup case is
+    * suppressed with certainty). Single band by default: suppression
+    * needs ONE verdict per doc, and one band = one bucket = one state
+    * row — multi-band OR-semantics belong to [[nearDupHitLog]], whose
+    * output is per-collision rather than per-doc. */
   def suppressNearDups(docs: DataFrame, tsCol: String = "ts",
       watermark: String = "10 minutes",
-      ttlMs: Long = 24L * 3600 * 1000): Dataset[NovelDoc] = {
+      ttlMs: Long = 24L * 3600 * 1000,
+      threshold: Double = 0.5, maxOwners: Int = 8): Dataset[NovelDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
@@ -217,22 +270,27 @@ object WindowedStreams {
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (_: String, it: Iterator[BandedDoc], state: GroupState[BucketOwner]) =>
+        (_: String, it: Iterator[BandedDoc], state: GroupState[BucketOwners]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val batch = ordered(it)
             val out = scala.collection.mutable.ArrayBuffer[NovelDoc]()
-            var owner = state.getOption.map(_.doc_id)
+            var owners = state.getOption.map(_.owners).getOrElse(Nil)
             batch.foreach { d =>
-              if (owner.isEmpty) {
-                owner = Some(d.doc_id)
+              // claimed (this or an earlier batch) AND verified → suppress
+              if (!owners.exists(o => similar(o.sh, d.sh, threshold))) {
                 out += NovelDoc(d.doc_id, d.text, d.ts)
-              } // claimed (this or an earlier batch) → suppressed
+                if (owners.length < maxOwners)
+                  owners = owners :+ OwnerSig(d.doc_id, d.sh)
+              }
             }
             val maxEventMs = batch.map(_.ts.getTime).max
-            owner.foreach(claim(state, _, maxEventMs, ttlMs))
+            if (owners.nonEmpty) { // always true past maxOwners >= 1
+              state.update(BucketOwners(owners))
+              armExpiry(state, maxEventMs, ttlMs)
+            }
             out.iterator
           }
       }
@@ -241,11 +299,13 @@ object WindowedStreams {
 
   /** The duplicate-pair LOG — the straight streaming twin of
     * lshNearDupPairs' candidate generation with OR-across-bands semantics:
-    * every band collision emits (bucket owner, newcomer, band) as it
-    * happens. Per-collision output needs no cross-band combination, so the
-    * multi-band OR costs no second stateful operator; consumers (an audit
-    * sink, an exact-verify join against a document store) dedupe pairs
-    * colliding in both bands. */
+    * every band collision emits (bucket owner, newcomer, band, exact
+    * Jaccard in basis points) as it happens — the owner's shingle set
+    * rides in state, so the hit is pre-verified and consumers threshold
+    * on `jaccard_bp` directly. Per-collision output needs no cross-band
+    * combination, so the multi-band OR costs no second stateful operator;
+    * consumers (an audit sink, a dedup ledger) dedupe pairs colliding in
+    * both bands. */
   def nearDupHitLog(docs: DataFrame, tsCol: String = "ts",
       watermark: String = "10 minutes", nBands: Int = 2,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[DupHit] = {
@@ -267,16 +327,23 @@ object WindowedStreams {
             val band = bucket.takeWhile(_ != '_').toInt
             val batch = ordered(it)
             val out = scala.collection.mutable.ArrayBuffer[DupHit]()
-            var owner = state.getOption.map(_.doc_id)
+            var owner = state.getOption
             batch.foreach { d =>
               owner match {
-                case Some(o) if o != d.doc_id => out += DupHit(o, d.doc_id, band)
+                case Some(o) if o.doc_id != d.doc_id =>
+                  // the owner's shingle set travels in state, so each hit
+                  // carries its EXACT Jaccard — consumers threshold on
+                  // jaccard_bp directly instead of re-joining a doc store
+                  out += DupHit(o.doc_id, d.doc_id, band, jaccardBp(o.sh, d.sh))
                 case Some(_) => ()
-                case None => owner = Some(d.doc_id)
+                case None => owner = Some(BucketOwner(d.doc_id, d.sh))
               }
             }
             val maxEventMs = batch.map(_.ts.getTime).max
-            owner.foreach(claim(state, _, maxEventMs, ttlMs))
+            owner.foreach { o =>
+              state.update(o)
+              armExpiry(state, maxEventMs, ttlMs)
+            }
             out.iterator
           }
       }

@@ -124,6 +124,53 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup blacklist does NOT suppress a dissimilar band collision") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    // Precomputed pair: same band-0 bucket (both 2-hash minima agree) but
+    // Jaccard 3/9 = 0.33 < 0.5 — a raw band collision that unverified
+    // suppression would have silently deleted from the stream. The bucket
+    // equality is asserted below from the engine's own public hash chain,
+    // so a hash-parameter change fails loudly instead of testing nothing.
+    val base = "alpha beta gamma delta epsilon"
+    val collider = "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu"
+    locally {
+      import graft.operators.TextOps
+      import org.apache.spark.sql.functions._
+      val bucket = (text: String) => {
+        val sh = TextOps.shingles(lit(text))
+        val mins = TextOps.minhashParams.take(2).map { case (a, b) =>
+          array_min(transform(sh,
+            s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
+        }
+        spark.range(1).select(concat_ws("_", mins: _*)).head.getString(0)
+      }
+      assert(bucket(base) === bucket(collider),
+        "spec precondition: the pair must share the band-0 bucket")
+    }
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.suppressNearDups(src.toDF())
+    val q = out.writeStream.format("memory").queryName("nddverify")
+      .outputMode("append").start()
+    try {
+      src.addData(DocEv(t(1), 1, base))
+      q.processAllAvailable()
+      // batch 2: the collider shares doc 1's bucket but fails the exact
+      // verify → emitted; an exact copy of the COLLIDER then arrives and
+      // must be suppressed by the second remembered owner (doc 2), proving
+      // the bounded owner list verifies against every claimant, not just
+      // the first
+      src.addData(DocEv(t(11), 2, collider))
+      q.processAllAvailable()
+      src.addData(DocEv(t(21), 3, collider))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT doc_id FROM nddverify").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted === Set(1L, 2L), emitted)
+    } finally q.stop()
+  }
+
   test("near-dup hit log emits (owner, newcomer) pairs for band collisions") {
     val spark2 = spark
     import spark2.implicits._
@@ -139,10 +186,13 @@ class WindowedStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       src.addData(DocEv(t(11), 3, a)) // exact dup of doc 1, one batch later
       q.processAllAvailable()
-      val hits = spark.sql("SELECT doc_a, doc_b, band FROM nddhits").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      // an exact duplicate collides in BOTH bands — two logged hits
-      assert(hits === Set((1L, 3L, 0), (1L, 3L, 1)), hits)
+      val hits = spark.sql(
+          "SELECT doc_a, doc_b, band, jaccard_bp FROM nddhits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      // an exact duplicate collides in BOTH bands — two logged hits, each
+      // carrying the exact Jaccard (identical shingle sets = 10000 bp)
+      assert(hits === Set((1L, 3L, 0, 10000L), (1L, 3L, 1, 10000L)), hits)
     } finally q.stop()
   }
 
