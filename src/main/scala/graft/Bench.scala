@@ -54,7 +54,12 @@ object Bench {
           Window.partitionBy(col("id")).orderBy(col("c"), col("h"))))
         .groupBy("id").agg(min(col("rk"))).count()
     }
+    // warm every fact-side table the same way: without these, whichever
+    // dedup/similarity query runs first absorbs the cold parquet
+    // footer/page reads its whole family then skips
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var errors = List.empty[(String, String)]

@@ -73,6 +73,12 @@ object SparkEntry {
     "q4_exists" -> ((s, d) => ExtraOps.q4Exists(s, d)),
     "q17_scalar_subq" -> ((s, d) => ExtraOps.q17ScalarSubquery(s, d)),
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
+    "cube_agg" -> ((s, d) => ExtraOps.cubeAgg(s, d)),
+    "w2_window_range" -> ((s, d) => ExtraOps.windowRangeFrames(s, d)),
+    "listagg_nations" -> ((s, d) => ExtraOps.listAggCustomers(s, d)),
+    "latest_per_key" -> ((s, d) => ExtraOps.latestPerKey(s, d)),
+    "q18_big_orders" -> ((s, d) => ExtraOps.q18BigOrders(s, d)),
+    "q21_waiting" -> ((s, d) => ExtraOps.q21WaitingSupplier(s, d)),
     "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
     "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
     // --- dedup family over `documents` ---
@@ -96,12 +102,14 @@ object SparkEntry {
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     "text_pack" -> ((s, d) => TextOps.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
+    "text_cosine_pairs" -> ((s, d) => TextOps.textCosinePairs(s, d)),
     "text_quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
     "llm_pipeline" -> ((s, d) => TextOps.llmPipeline(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
+    "sim_knn_pq" -> ((s, d) => SimilarityOps.knnPq(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
     // qvec rendered as a CSV string: the driver's comparer sorts pandas
@@ -302,6 +310,51 @@ object SparkEntry {
       ("""SELECT l_returnflag, l_linestatus, """ +
         """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, count(*) AS n """ +
         """FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+    "cube_agg" ->
+      ("""SELECT l_returnflag, l_linestatus, """ +
+        """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, count(*) AS n """ +
+        """FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""),
+    "w2_window_range" ->
+      ("""WITH o AS (SELECT o_orderkey, o_custkey, """ +
+        """CAST(round(o_totalprice * 100) AS BIGINT) AS cents, """ +
+        """epoch_us(o_orderdate) // 86400000000 AS day FROM orders) """ +
+        """SELECT o_orderkey, o_custkey, cents, """ +
+        """CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day """ +
+        """RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents, """ +
+        """CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day """ +
+        """RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents, """ +
+        """lag(cents, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_cents, """ +
+        """round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY cents, o_orderkey), 6) AS pr """ +
+        """FROM o"""),
+    "listagg_nations" ->
+      ("""SELECT n_name, count(*) AS n_customers, """ +
+        """string_agg(c_name, '|' ORDER BY c_name) AS names """ +
+        """FROM customer JOIN nation ON c_nationkey = n_nationkey """ +
+        """GROUP BY n_name"""),
+    "latest_per_key" ->
+      ("""WITH r AS (SELECT user_id, event_id, ts, event_type, """ +
+        """CAST(round(value * 100) AS BIGINT) AS value_c, """ +
+        """row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn """ +
+        """FROM events) """ +
+        """SELECT user_id, event_id, ts, event_type, value_c FROM r WHERE rn = 1"""),
+    "q18_big_orders" ->
+      ("""WITH big AS (SELECT l_orderkey, """ +
+        """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty FROM lineitem """ +
+        """GROUP BY l_orderkey HAVING CAST(round(sum(l_quantity), 0) AS BIGINT) > 250) """ +
+        """SELECT c_custkey, c_name, o_orderkey, o_orderdate, """ +
+        """CAST(round(o_totalprice * 100) AS BIGINT) AS total_c, sum_qty """ +
+        """FROM orders JOIN big ON o_orderkey = l_orderkey """ +
+        """JOIN customer ON o_custkey = c_custkey"""),
+    "q21_waiting" ->
+      ("""WITH ps AS (SELECT l_orderkey, l_suppkey, """ +
+        """max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late """ +
+        """FROM lineitem JOIN orders ON l_orderkey = o_orderkey """ +
+        """GROUP BY l_orderkey, l_suppkey), """ +
+        """po AS (SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate FROM ps GROUP BY l_orderkey) """ +
+        """SELECT s_suppkey, s_name, count(*) AS numwait """ +
+        """FROM ps JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey """ +
+        """WHERE ps.late = 1 AND po.nsupp >= 2 AND po.nlate = 1 """ +
+        """GROUP BY s_suppkey, s_name"""),
     "semi_join" ->
       ("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ( """ +
         """SELECT o_custkey FROM orders """ +
@@ -469,6 +522,22 @@ object SparkEntry {
         """SELECT doc_id, token, CAST(c AS BIGINT) AS tf, """ +
         """round(c * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf """ +
         """FROM tf JOIN df USING (token)"""),
+    "text_cosine_pairs" ->
+      ("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), """ +
+        """tf AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token), """ +
+        """df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), """ +
+        """n AS (SELECT count(*) AS n FROM documents), """ +
+        """w AS (SELECT doc_id, token, c * ln((SELECT n FROM n) * 1.0 / df) AS w """ +
+        """FROM tf JOIN df USING (token)), """ +
+        """nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id), """ +
+        """p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, """ +
+        """sum(a.w * b.w) AS dotp FROM w a JOIN w b """ +
+        """ON a.token = b.token AND a.doc_id < b.doc_id """ +
+        """GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 30) """ +
+        """SELECT doc_a, doc_b, shared, """ +
+        """round(dotp / (na.nrm * nb.nrm), 6) AS cos_sim """ +
+        """FROM p JOIN nrm na ON p.doc_a = na.doc_id """ +
+        """JOIN nrm nb ON p.doc_b = nb.doc_id"""),
     "llm_pipeline" ->
       (s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), """ +
         s"""alld AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +

@@ -218,4 +218,127 @@ object ExtraOps {
       .agg(WeightedAvgPrice.toColumn.name("wavg_cc"))
       .toDF("l_returnflag", "wavg_cc")
   }
+
+  /** CUBE aggregation: all 4 grouping sets of (returnflag, linestatus) in
+    * one pass — partial aggregation replicates rows per grouping set
+    * map-side, so the shuffle carries pre-combined partials, not the fact
+    * table (same plan shape as [[rollupAgg]], one more set). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** RANGE-frame window functions over orders: per-customer running
+    * revenue by DAY (tie-inclusive RANGE frame — all same-day orders share
+    * one running value, so the result is deterministic without a total
+    * order), a trailing-30-day revenue (the genuinely RANGE-specific
+    * frame: `RANGE 29 PRECEDING` on the day number), `lag` over a total
+    * order, and `percent_rank`. Money is per-row exact cents (long), so
+    * every window sum is an integer sum — order-independent across
+    * engines. One shuffle: all four windows share the o_custkey
+    * partitioning; at 100 TB the customer key keeps partitions parallel. */
+  def windowRangeFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        // o_orderdate reads as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP.
+        // The session is pinned UTC, so the cast is value-preserving
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+    val byDay = Window.partitionBy("o_custkey").orderBy("day")
+    val run = byDay.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val trail = byDay.rangeBetween(-29, 0)
+    val seq = Window.partitionBy("o_custkey")
+      .orderBy(col("day"), col("o_orderkey"))
+    val byCents = Window.partitionBy("o_custkey")
+      .orderBy(col("cents"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_custkey"), col("cents"),
+      sum(col("cents")).over(run).as("run_cents"),
+      sum(col("cents")).over(trail).as("trail30_cents"),
+      lag(col("cents"), 1).over(seq).as("prev_cents"),
+      round(percent_rank().over(byCents), 6).as("pr"))
+  }
+
+  /** Ordered string aggregation (LISTAGG / string_agg): customer names
+    * per nation, sort-then-join so the concatenation is deterministic
+    * regardless of shuffle arrival order. collect_list is bounded by the
+    * group's own size — fine for name-per-nation cardinalities; an
+    * unbounded-group listagg at 100 TB should pivot to a sorted write
+    * instead of an in-memory array. */
+  def listAggCustomers(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .join(broadcast(tbl(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
+
+  /** Latest-row-per-key (CDC/upsert compaction): each user's most recent
+    * event wins; ties on the (micros) timestamp break on event_id, so the
+    * survivor is deterministic. The canonical `row_number() = 1` pattern —
+    * one shuffle on the key; at scale this is the compaction step of a
+    * streaming upsert sink and AQE handles hot keys. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    tbl(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_c"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total line
+    * quantity clears a threshold, with their customer. The HAVING
+    * aggregate reduces lineitem to a key list BEFORE any join — the join
+    * input is the survivor set (hundreds of rows), not the fact table.
+    * Integer threshold on recovered-integer quantities → deterministic
+    * row membership. */
+  def q18BigOrders(spark: SparkSession, dir: String,
+      minQty: Long = 250): DataFrame = {
+    val big = tbl(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    tbl(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_c"),
+        col("sum_qty"))
+  }
+
+  /** Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted to this
+    * schema: "late" = shipped > 90 days after the order date): count, per
+    * supplier, the multi-supplier orders where THAT supplier was the only
+    * late one. Q21's EXISTS / NOT EXISTS double correlation is expressed
+    * as per-(order, supplier) and per-order aggregates — the decorrelated
+    * form directly, so the plan is two keyed aggregations and a semi-ish
+    * join of tiny survivor sets rather than two correlated subquery scans
+    * of lineitem. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = tbl(spark, dir, "lineitem")
+      .join(tbl(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          1L).otherwise(0L)).as("late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nsupp"), sum(col("late")).as("nlate"))
+    perSupp.filter(col("late") === 1L)
+      .join(perOrder.filter(col("nsupp") >= 2 && col("nlate") === 1),
+        Seq("l_orderkey"))
+      // no forced broadcast: supplier scales with SF — AQE picks the
+      // strategy from runtime sizes (the credit side is tiny anyway)
+      .join(tbl(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
 }

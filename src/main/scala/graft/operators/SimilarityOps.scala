@@ -187,6 +187,144 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Product-quantization ANN (IVF's storage-side sibling), two-stage:
+    * each vector is encoded as `m` small codes — per subspace, the id of
+    * its nearest sub-centroid — plus one reconstruction norm, and queries
+    * score corpus rows by asymmetric distance computation (ADC): the
+    * EXACT query subvector dotted with the QUANTIZED corpus subvector,
+    * summed across subspaces. The ADC pass keeps a per-query `shortlist`
+    * of candidates, which are then re-ranked with the EXACT cosine — so
+    * emitted neighbors carry their true cosine (same contract as
+    * [[knnIvf]]/[[knnLsh]]) and recall is set by the shortlist width, not
+    * the quantizer alone.
+    *
+    * 100 TB shape: the candidate scan reads m+8 bytes per vector instead
+    * of dim·4 (a 16× smaller index that fits executor RAM); full vectors
+    * are fetched only for the shortlist (shortlist/N of the corpus). A
+    * production ADC kernel folds the per-(query, subspace) dot products
+    * into an nCodes-entry lookup table computed once per query, making
+    * scoring m table reads per pair.
+    *
+    * Codebooks are deterministic — initialized from the first `nCodes`
+    * vectors' subvectors and refined with a fixed number of Lloyd
+    * (k-means) iterations over a bounded training sample (`trainN`
+    * lowest-id vectors, collected once on the driver: constant-sized, the
+    * standard practice of training PQ codebooks on a sample rather than
+    * the corpus) — then inlined as literals, so encoding is a map-only,
+    * zero-shuffle expression exactly like [[knnIvf]]'s cell assignment.
+    * Approximate, so no SQL oracle — spec-verified for recall against
+    * [[knnBruteForce]]. Assumes the embedding dim is divisible by `m`
+    * (64 = 16×4 here). */
+  def knnPq(spark: SparkSession, dir: String, k: Int = 5,
+      m: Int = 16, nCodes: Int = 16, trainN: Int = 256,
+      lloydIters: Int = 8, shortlist: Int = 50): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // driver-side collect bounded by the constant trainN (256 rows)
+    val trainRows = emb.filter(col("vec_id") < trainN).collect()
+      .sortBy(_.getLong(0))
+    val dim = trainRows.head.getSeq[Float](1).length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    // books(s)(c) = (subvector, |subvector|²): first-nCodes init + fixed
+    // Lloyd rounds, all arithmetic in deterministic index order (ties in
+    // assignment keep the lowest code; an emptied cluster keeps its
+    // previous centroid)
+    val books: IndexedSeq[IndexedSeq[(Seq[Float], Double)]] =
+      (0 until m).map { s =>
+        val train: Array[Array[Double]] = trainRows.map(
+          _.getSeq[Float](1).slice(s * subDim, (s + 1) * subDim)
+            .map(_.toDouble).toArray)
+        var cents: Array[Array[Double]] = train.take(nCodes).map(_.clone())
+        for (_ <- 0 until lloydIters) {
+          val sums = Array.fill(nCodes)(new Array[Double](subDim))
+          val cnts = new Array[Int](nCodes)
+          train.foreach { x =>
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < nCodes) {
+              var d = 0.0; var i = 0
+              while (i < subDim) {
+                val t = x(i) - cents(c)(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < subDim) { sums(best)(i) += x(i); i += 1 }
+            cnts(best) += 1
+          }
+          cents = cents.zipWithIndex.map { case (old, c) =>
+            if (cnts(c) == 0) old
+            else sums(c).map(_ / cnts(c))
+          }
+        }
+        cents.toIndexedSeq.map { cent =>
+          val sub: Seq[Float] = cent.map(_.toFloat).toSeq
+          var n2 = 0.0
+          sub.foreach(f => n2 += f.toDouble * f.toDouble)
+          (sub, n2)
+        }
+      }
+    def subSlice(e: Column, s: Int): Column = slice(e, s * subDim + 1, subDim)
+    def bookArr(s: Int): Column = array(books(s).zipWithIndex.map {
+      case ((sub, n2), c) =>
+        struct(lit(c).as("code"), typedlit(sub).as("c_sub"), lit(n2).as("c_n2"))
+    }: _*)
+    // nearest sub-centroid by L2: argmin of (|c|² − 2·x_s·c) — |x_s|² is
+    // constant within the argmin. Strict < keeps the earliest code on ties.
+    def encode(e: Column, s: Int): Column =
+      aggregate(bookArr(s),
+        struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("code"),
+          lit(0.0).as("n2")),
+        (acc, c) => {
+          val d = c.getField("c_n2") -
+            lit(2.0) * dot(subSlice(e, s), c.getField("c_sub"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.getField("code").as("code"),
+              c.getField("c_n2").as("n2")))
+            .otherwise(acc)
+        })
+    val encoded = emb
+      .select(col("vec_id") +:
+        (0 until m).map(s => encode(col("embedding"), s).as(s"e$s")): _*)
+      .select(col("vec_id"),
+        array((0 until m).map(s => col(s"e$s").getField("code")): _*)
+          .as("codes"),
+        sqrt((0 until m).map(s => col(s"e$s").getField("n2"))
+          .reduce(_ + _)).as("recon_nrm"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    def vecsArr(s: Int): Column = array(books(s).map(b => typedlit(b._1)): _*)
+    val adc = (0 until m).map(s =>
+        dot(subSlice(col("q_emb"), s),
+          element_at(vecsArr(s), col("codes")(s) + 1)))
+      .reduce(_ + _)
+    // stage 1: ADC over the code index → per-query shortlist
+    val short = encoded
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"), col("q_nrm"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc / (col("q_nrm") * col("recon_nrm")))
+      .withColumn("srank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // stage 2: exact cosine re-rank over the shortlist only
+    val full = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    short
+      .join(full, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Ingest-time unit-normalization — the precompute the kNN scan stage
     * assumes ("normalize-and-store at ingest" in knnBruteForce's doc):
     * divide every component by the vector's L2 norm so cosine becomes a

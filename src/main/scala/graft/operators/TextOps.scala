@@ -752,6 +752,54 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine similarity join — document-pair similarity via
+    * the inverted index: pairs sharing ≥ `minShared` distinct tokens, with
+    * the cosine of their tf·idf vectors. The classic sparse-vector
+    * similarity join: weights ride the (token → docs) inverted index, the
+    * pair dot product is one keyed aggregation over shared tokens, and
+    * norms join back per doc — the corpus is never compared all-pairs.
+    *
+    * Pair membership is an INTEGER predicate (shared-token count), so the
+    * emitted row set is exactly deterministic; only the cosine value is a
+    * rounded continuum. At 100 TB the cost driver is hot-token fanout
+    * (`df²` candidate pairs per token — stopwords are quadratic):
+    * `dfCap > 0` drops tokens with df > dfCap from the VOCABULARY
+    * (weights, norms, and sharing alike — IDF already makes them
+    * near-zero-weight), the standard stop-token pruning; the result is
+    * then exact over the reduced vocabulary. Uncapped by default so the
+    * oracle replays bit-identically. */
+  def textCosinePairs(spark: SparkSession, dir: String,
+      minShared: Int = 30, dfCap: Int = 0): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val df = if (dfCap > 0) df0.filter(col("df") <= dfCap) else df0
+    val n = docs.agg(count(lit(1)).as("n"))
+    // the doc norm rides each index row via a window instead of a
+    // separate norms relation: a norms JOIN would reference the whole
+    // tf·idf pipeline two MORE times (Catalyst does not share common
+    // subplans across self-join sides), i.e. two extra corpus scans at
+    // scale; the window reuses the rows already in hand
+    val w = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
+      .withColumn("nrm", sqrt(sum(col("w") * col("w"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+    w.as("a").join(w.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .agg(count(lit(1)).as("shared"),
+        sum(col("a.w") * col("b.w")).as("dotp"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("dotp") / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+  }
+
   /** Sequence packing — the concat-and-chunk assignment of documents to
     * fixed-length training sequences (GPT-style pretraining batches):
     * documents are concatenated in deterministic order and chopped into

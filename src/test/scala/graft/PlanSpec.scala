@@ -224,4 +224,43 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("props"), readSchema)
     assert(!readSchema.contains("value"), readSchema)
   }
+
+  test("cube: Expand-based grouping sets — one scan, partial aggregation") {
+    val s = planString(graft.operators.ExtraOps.cubeAgg(spark, dir))
+    // all 4 grouping sets come from ONE scan via Expand, never a union of
+    // per-set re-scans; the aggregate is partial-then-final as usual
+    assert(s.contains("Expand"), s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n$s")
+  }
+
+  test("range-frame windows: all four windows share one custkey shuffle") {
+    val s = planString(graft.operators.ExtraOps.windowRangeFrames(spark, dir))
+    // same partition key throughout → one exchange, re-sorted per frame
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n$s")
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
+  test("latest-per-key: one shuffle, filter applied on the window output") {
+    val s = planString(graft.operators.ExtraOps.latestPerKey(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles:\n$s")
+    assert(!s.contains("Join"), s)
+  }
+
+  test("cosine pairs: inverted-index equi-joins only — no cartesian anywhere") {
+    val s = planString(graft.operators.TextOps.textCosinePairs(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    // the only nested-loop joins are the one-row corpus-count broadcasts
+    // (once per self-join side; formatted explain prints each node twice)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 4, s)
+  }
+
+  test("pq knn: code index joins broadcast queries — corpus never shuffle-joined") {
+    val s = planString(SimilarityOps.knnPq(spark, dir))
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }

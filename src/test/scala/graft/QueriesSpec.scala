@@ -157,6 +157,44 @@ class QueriesSpec extends SparkSpec {
     perQ.foreach { case (q, n) => assert(n <= 5 && n > 0, s"q=$q n=$n") }
   }
 
+  test("PQ knn: valid pairs, exact cosines, high recall, deterministic") {
+    val bfAll = SimilarityOps.knnBruteForce(spark, dir, k = 499)
+      .select("q_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bfTop = SimilarityOps.knnBruteForce(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityOps.knnPq(spark, dir).collect()
+    assert(pq.nonEmpty)
+    // structural: no self-pairs, exactly 5 ranked results per query,
+    // ranks are 1..5 (ADC scores every vector, so the shortlist — and
+    // hence the result set — never runs short of k candidates)
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.keySet === bfTop.map(_._1))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 5, s"q=$q returned ${rows.length}")
+      assert(rows.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      rows.foreach(r => assert(r.getLong(1) !== q))
+    }
+    // the re-rank stage must quote the TRUE cosine for every emitted pair
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bfAll.contains(key), s"pair $key not a valid corpus pair")
+      assert(math.abs(bfAll(key) - r.getDouble(2)) < 1e-9)
+    }
+    // recall@5 vs exact: the 10%-of-corpus ADC shortlist + exact re-rank
+    // recovers nearly all true neighbors (0.98 measured); the floor
+    // leaves margin while still catching a broken encoder (random codes
+    // would score ~shortlist/N ≈ 10%)
+    val hits = pq.map(r => (r.getLong(0), r.getLong(1))).count(bfTop.contains)
+    val recall = hits.toDouble / bfTop.size
+    info(f"PQ recall@5 = $recall%.2f")
+    assert(recall >= 0.7, f"recall@5 $recall%.2f below floor")
+    // deterministic codebooks + tie-breaks: a second run is identical
+    val again = SimilarityOps.knnPq(spark, dir).collect()
+    assert(pq.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("multimodal batch decode: deterministic metadata through mapPartitions") {
     val meta = Multimodal.decodeBatch(Multimodal.withPayload(spark, dir))
     val rows = meta.collect()

@@ -57,6 +57,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     failures = []
+    # A query that THREW in graft.Verify has an oracle entry but no output
+    # dir — without this check the loop below silently skips it and the
+    # gate lies "ALL MATCH" (the round driver records it as an err row)
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(OUT_DIR, name)):
+            failures.append((name, "no spark output dir (query threw in Verify?)"))
     for name in sorted(os.listdir(OUT_DIR)):
         d = os.path.join(OUT_DIR, name)
         if not os.path.isdir(d):
