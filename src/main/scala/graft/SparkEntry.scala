@@ -324,7 +324,8 @@ object SparkEntry {
         """CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day """ +
         """RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents, """ +
         """lag(cents, 1) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_cents, """ +
-        """round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY cents, o_orderkey), 6) AS pr """ +
+        """CAST(floor((rank() OVER (PARTITION BY o_custkey ORDER BY cents, o_orderkey) - 1) * 10000.0 """ +
+        """/ greatest(count(*) OVER (PARTITION BY o_custkey) - 1, 1)) AS BIGINT) AS pr_bp """ +
         """FROM o"""),
     "listagg_nations" ->
       ("""SELECT n_name, count(*) AS n_customers, """ +
@@ -523,21 +524,20 @@ object SparkEntry {
         """round(c * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf """ +
         """FROM tf JOIN df USING (token)"""),
     "text_cosine_pairs" ->
-      ("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), """ +
-        """tf AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token), """ +
-        """df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), """ +
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        """t AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS term FROM d), """ +
+        """tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term), """ +
+        """df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), """ +
         """n AS (SELECT count(*) AS n FROM documents), """ +
-        """w AS (SELECT doc_id, token, c * ln((SELECT n FROM n) * 1.0 / df) AS w """ +
-        """FROM tf JOIN df USING (token)), """ +
-        """nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id), """ +
-        """p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, """ +
-        """sum(a.w * b.w) AS dotp FROM w a JOIN w b """ +
-        """ON a.token = b.token AND a.doc_id < b.doc_id """ +
-        """GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 30) """ +
+        """w AS (SELECT doc_id, term, c * ln((SELECT n FROM n) * 1.0 / df) AS w """ +
+        """FROM tf JOIN df USING (term) WHERE df * 5 <= (SELECT n FROM n)), """ +
+        """wn AS (SELECT doc_id, term, w, sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS nrm FROM w), """ +
+        """p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nrm AS nrm_a, b.nrm AS nrm_b, """ +
+        """count(*) AS shared, sum(a.w * b.w) AS dotp FROM wn a JOIN wn b """ +
+        """ON a.term = b.term AND a.doc_id < b.doc_id """ +
+        """GROUP BY a.doc_id, b.doc_id, a.nrm, b.nrm HAVING count(*) >= 10) """ +
         """SELECT doc_a, doc_b, shared, """ +
-        """round(dotp / (na.nrm * nb.nrm), 6) AS cos_sim """ +
-        """FROM p JOIN nrm na ON p.doc_a = na.doc_id """ +
-        """JOIN nrm nb ON p.doc_b = nb.doc_id"""),
+        """round(dotp / (nrm_a * nrm_b), 6) AS cos_sim FROM p"""),
     "llm_pipeline" ->
       (s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), """ +
         s"""alld AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +

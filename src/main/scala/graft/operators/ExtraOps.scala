@@ -234,10 +234,13 @@ object ExtraOps {
     * one running value, so the result is deterministic without a total
     * order), a trailing-30-day revenue (the genuinely RANGE-specific
     * frame: `RANGE 29 PRECEDING` on the day number), `lag` over a total
-    * order, and `percent_rank`. Money is per-row exact cents (long), so
+    * order, and percent-rank. Money is per-row exact cents (long), so
     * every window sum is an integer sum — order-independent across
-    * engines. One shuffle: all four windows share the o_custkey
-    * partitioning; at 100 TB the customer key keeps partitions parallel. */
+    * engines; percent-rank is an integer rational (rank−1)/(n−1) and is
+    * emitted as floored basis points per the determinism rules (both
+    * engines floor the identical correctly-rounded double quotient).
+    * One shuffle: all four windows share the o_custkey partitioning; at
+    * 100 TB the customer key keeps partitions parallel. */
   def windowRangeFrames(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = tbl(spark, dir, "orders")
@@ -254,11 +257,14 @@ object ExtraOps {
       .orderBy(col("day"), col("o_orderkey"))
     val byCents = Window.partitionBy("o_custkey")
       .orderBy(col("cents"), col("o_orderkey"))
+    val partN = count(lit(1)).over(Window.partitionBy("o_custkey"))
     o.select(col("o_orderkey"), col("o_custkey"), col("cents"),
       sum(col("cents")).over(run).as("run_cents"),
       sum(col("cents")).over(trail).as("trail30_cents"),
       lag(col("cents"), 1).over(seq).as("prev_cents"),
-      round(percent_rank().over(byCents), 6).as("pr"))
+      floor((rank().over(byCents) - 1).cast("double") * 10000.0 /
+          greatest(partN.cast("double") - 1, lit(1.0)))
+        .cast("long").as("pr_bp"))
   }
 
   /** Ordered string aggregation (LISTAGG / string_agg): customer names

@@ -34,6 +34,21 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The shared kNN emission contract (knnBruteForce/knnLsh/knnIvf/knnPq):
+    * per-query rank on (`cos_sim` desc, vec_id) — deterministic tie-break —
+    * keep k, 6-dp continuum rounding, long rank. One definition so the
+    * output contract cannot silently diverge between the exact op and its
+    * ANN siblings. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos_sim"), 6).as("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Brute-force exact cosine top-k: queries = vec_id < 10 (broadcast),
     * corpus scanned once; per-query top-5 via window with deterministic
     * tie-break.
@@ -51,12 +66,7 @@ object SimilarityOps {
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
-        col("rank").cast("long").as("rank"))
+    topK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for SRP-LSH:
@@ -104,12 +114,7 @@ object SimilarityOps {
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
-        col("rank").cast("long").as("rank"))
+    topK(scored, k)
   }
 
   /** IVF-style ANN: deterministic coarse quantizer (the first nCentroids
@@ -179,12 +184,7 @@ object SimilarityOps {
         cells("cell") === queries("cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
-        col("rank").cast("long").as("rank"))
+    topK(scored, k)
   }
 
   /** Product-quantization ANN (IVF's storage-side sibling), two-stage:
@@ -222,6 +222,10 @@ object SimilarityOps {
     // driver-side collect bounded by the constant trainN (256 rows)
     val trainRows = emb.filter(col("vec_id") < trainN).collect()
       .sortBy(_.getLong(0))
+    require(trainRows.length >= nCodes,
+      s"PQ training sample has ${trainRows.length} vectors with vec_id < " +
+        s"$trainN but needs at least nCodes=$nCodes — the Lloyd loop " +
+        "indexes a full codebook per subspace")
     val dim = trainRows.head.getSeq[Float](1).length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subDim = dim / m
@@ -312,17 +316,12 @@ object SimilarityOps {
     // stage 2: exact cosine re-rank over the shortlist only
     val full = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    short
+    val rescored = short
       .join(full, Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
       .withColumn("cos_sim",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"),
-        col("rank").cast("long").as("rank"))
+    topK(rescored, k)
   }
 
   /** Ingest-time unit-normalization — the precompute the kNN scan stage

@@ -752,44 +752,61 @@ object TextOps {
           .as("tfidf"))
   }
 
+  /** Bigram terms for the sparse similarity join, NON-distinct (term
+    * frequency counts repeats). Unigrams are useless on a tiny-vocabulary
+    * corpus (this testdata has 31 distinct words, so every token is in
+    * nearly every doc and the inverted index degenerates to all-pairs);
+    * word bigrams grow the term space combinatorially, which is also the
+    * standard trick for hot natural-language vocabularies. */
+  private def bigrams(text: Column): Column = {
+    val w = tokens(text)
+    // guard: sequence(1, 0) would DESCEND ([1,0]) on a 1-token doc
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Sparse TF-IDF cosine similarity join — document-pair similarity via
-    * the inverted index: pairs sharing ≥ `minShared` distinct tokens, with
-    * the cosine of their tf·idf vectors. The classic sparse-vector
-    * similarity join: weights ride the (token → docs) inverted index, the
-    * pair dot product is one keyed aggregation over shared tokens, and
-    * norms join back per doc — the corpus is never compared all-pairs.
+    * the inverted index: pairs sharing ≥ `minShared` distinct bigram terms
+    * ([[bigrams]]), with the cosine of their tf·idf vectors. The classic
+    * sparse-vector similarity join: weights ride the (term → docs)
+    * inverted index, the pair dot product is one keyed aggregation over
+    * shared terms, and each doc's norm rides its index rows via a window
+    * (a separate norms JOIN would re-derive the whole tf·idf pipeline two
+    * more times — Catalyst does not share common subplans across
+    * self-join sides). The corpus is never compared all-pairs.
     *
-    * Pair membership is an INTEGER predicate (shared-token count), so the
-    * emitted row set is exactly deterministic; only the cosine value is a
-    * rounded continuum. At 100 TB the cost driver is hot-token fanout
-    * (`df²` candidate pairs per token — stopwords are quadratic):
-    * `dfCap > 0` drops tokens with df > dfCap from the VOCABULARY
-    * (weights, norms, and sharing alike — IDF already makes them
-    * near-zero-weight), the standard stop-token pruning; the result is
-    * then exact over the reduced vocabulary. Uncapped by default so the
-    * oracle replays bit-identically. */
+    * Every predicate is INTEGER (shared-term count; the df cap), so the
+    * emitted row set is exactly deterministic and the DuckDB oracle
+    * replays it bit-identically; only the cosine value is a rounded
+    * continuum. The cost driver at scale is hot-term fanout (`df²`
+    * candidate pairs per term), so terms in more than n/`dfCapFrac` of
+    * the docs are dropped from the VOCABULARY (weights, norms, and
+    * sharing alike — IDF already makes them near-zero-weight): standard
+    * stop-term pruning, ON by default, and the result is exact over the
+    * reduced vocabulary. The pair list is a dedup-style JOB output —
+    * eagerly materialized, intermediates released (same rationale as
+    * [[dedupNgramJaccard]]). */
   def textCosinePairs(spark: SparkSession, dir: String,
-      minShared: Int = 30, dfCap: Int = 0): DataFrame = {
+      minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val df = if (dfCap > 0) df0.filter(col("df") <= dfCap) else df0
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // integer cap: keep terms appearing in at most n/dfCapFrac docs
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    // the doc norm rides each index row via a window instead of a
-    // separate norms relation: a norms JOIN would reference the whole
-    // tf·idf pipeline two MORE times (Catalyst does not share common
-    // subplans across self-join sides), i.e. two extra corpus scans at
-    // scale; the window reuses the rows already in hand
-    val w = tf.join(df, "token")
+    val w = tf.join(df, "term")
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("token"),
+      .filter(col("df") * dfCapFrac <= col("n"))
+      .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
       .withColumn("nrm", sqrt(sum(col("w") * col("w"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
-    w.as("a").join(w.as("b"),
-        col("a.token") === col("b.token") &&
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
@@ -798,6 +815,12 @@ object TextOps {
       .filter(col("shared") >= minShared)
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("dotp") / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+    // eager job semantics: both self-join sides read the SAME cached
+    // index materialization instead of executing the tokenize→tf→df→
+    // window pipeline twice; blocking unpersist as in dedupNgramJaccard
+    val out = result.localCheckpoint(true)
+    w.unpersist(true)
+    out
   }
 
   /** Sequence packing — the concat-and-chunk assignment of documents to

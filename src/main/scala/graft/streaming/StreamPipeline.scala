@@ -172,11 +172,14 @@ object StreamPipeline {
       // The two modes therefore use DIFFERENT GroupStateTimeout types, and
       // Spark forbids changing the timeout type across restarts of one
       // checkpointed stateful query — so each mode owns its own checkpoint
-      // subdir. A continuous run and a drain never share alert-dedup
-      // state; the blacklist is in-memory-equivalent in the reference too
-      // (it forgets on restart, app/mapper.js:42), so a fresh-state drain
-      // is reference-faithful.
-      val alertCp = if (availableNow) "alerts-drain" else "alerts-live"
+      // subdir. The continuous mode KEEPS the historical "alerts" name:
+      // pre-split deployments checkpointed there under the same
+      // ProcessingTimeTimeout, so an upgraded continuous run resumes its
+      // offsets and blacklist instead of replaying the whole status spool.
+      // Only the drain gets a new dir; a drain never shares state with a
+      // continuous run — reference-faithful, since the blacklist is
+      // in-memory there and forgets on restart anyway (app/mapper.js:42).
+      val alertCp = if (availableNow) "alerts-drain" else "alerts"
       val w = Alerts.alertStream(statuses, withTtl = !availableNow).writeStream
         .queryName("graft-alerts")
         .option("checkpointLocation", s"$checkpointDir/$alertCp")

@@ -141,16 +141,24 @@ object WindowedStreams {
   /** Hit-log state: the first document that claimed the bucket. */
   case class BucketOwner(doc_id: Long, sh: Array[Long])
 
-  /** Exact Jaccard between two sorted distinct hash sets, floored basis
-    * points — one merge pass, no allocation. */
-  private[streaming] def jaccardBp(a: Array[Long], b: Array[Long]): Long = {
+  /** One merge pass over two sorted distinct hash sets →
+    * (intersection, union). The single definition both predicates below
+    * derive from — note `jaccardBp >= threshold·10000` is NOT equivalent
+    * to [[similar]] because of flooring, so both need the raw counts. */
+  private def interUnion(a: Array[Long], b: Array[Long]): (Long, Long) = {
     var i = 0; var j = 0; var inter = 0L
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
       else if (a(i) < b(j)) i += 1
       else j += 1
     }
-    val union = a.length.toLong + b.length - inter
+    (inter, a.length.toLong + b.length - inter)
+  }
+
+  /** Exact Jaccard between two sorted distinct hash sets, floored basis
+    * points. */
+  private[streaming] def jaccardBp(a: Array[Long], b: Array[Long]): Long = {
+    val (inter, union) = interUnion(a, b)
     if (union == 0) 0L else inter * 10000L / union
   }
 
@@ -158,13 +166,7 @@ object WindowedStreams {
     * TextOps.dedupNgramJaccard) on merged hash sets. */
   private def similar(a: Array[Long], b: Array[Long],
       threshold: Double): Boolean = {
-    var i = 0; var j = 0; var inter = 0L
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    val union = a.length.toLong + b.length - inter
+    val (inter, union) = interUnion(a, b)
     union > 0 && inter.toDouble >= threshold * union
   }
 
@@ -245,13 +247,16 @@ object WindowedStreams {
     *
     * Precision: exact — only documents whose verified Jaccard clears the
     * threshold are dropped. Recall: a bucket remembers at most
-    * `maxOwners` verified-distinct claimants (bounded state per bucket);
-    * a doc emitted past that cap is not remembered, so ITS later
-    * duplicates in the same bucket are not suppressed — and as in any
-    * banding scheme a qualifying pair that never shares a band bucket is
+    * `maxOwners` verified-distinct claimants (bounded state per bucket),
+    * replaced LRU — a newly emitted doc evicts the OLDEST claimant at
+    * the cap, so recent documents are always suppressible; duplicates of
+    * an EVICTED claimant pass through (bounded state has to forget
+    * something, and oldest-first loses the least). As in any banding
+    * scheme a qualifying pair that never shares a band bucket is also
     * missed (raise `nBands`→rows per band for sharper thresholds; exact
-    * duplicates share every bucket always, so the primary dedup case is
-    * suppressed with certainty). Single band by default: suppression
+    * duplicates always share every bucket, so an exact copy is
+    * suppressed whenever its original is still among the bucket's
+    * remembered claimants). Single band by default: suppression
     * needs ONE verdict per doc, and one band = one bucket = one state
     * row — multi-band OR-semantics belong to [[nearDupHitLog]], whose
     * output is per-collision rather than per-doc. */
@@ -282,8 +287,10 @@ object WindowedStreams {
               // claimed (this or an earlier batch) AND verified → suppress
               if (!owners.exists(o => similar(o.sh, d.sh, threshold))) {
                 out += NovelDoc(d.doc_id, d.text, d.ts)
-                if (owners.length < maxOwners)
-                  owners = owners :+ OwnerSig(d.doc_id, d.sh)
+                // LRU at the cap: evict the oldest claimant so the NEW
+                // doc's later duplicates stay suppressible
+                owners = (if (owners.length < maxOwners) owners
+                  else owners.tail) :+ OwnerSig(d.doc_id, d.sh)
               }
             }
             val maxEventMs = batch.map(_.ts.getTime).max
