@@ -104,6 +104,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
     "text_cosine_pairs" -> ((s, d) => TextOps.textCosinePairs(s, d)),
     "text_quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
+    "text_lm_score" -> ((s, d) => TextOps.textLmScore(s, d)),
+    "text_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "llm_pipeline" -> ((s, d) => TextOps.llmPipeline(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
@@ -129,6 +131,15 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   private val kExpr = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  /** Per-lang quality deciles (the `text_quality_bins` oracle) — shared
+    * verbatim by `text_stratified_sample`, which samples the same strata. */
+  private val qualityBinsSql: String =
+    """WITH d AS (SELECT doc_id, lang, length(text) AS nc, string_split(text, ' ') AS w FROM documents), """ +
+      s"""q AS (SELECT doc_id, lang, CAST(least(5000, len(w) * 25) + """ +
+      s"""floor(5000.0 * len(list_filter(w, x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) / len(w)) AS BIGINT) AS quality_bp FROM d) """ +
+      """SELECT doc_id, lang, quality_bp, CAST(ntile(10) OVER """ +
+      """(PARTITION BY lang ORDER BY quality_bp, doc_id) AS BIGINT) AS decile FROM q"""
 
   /** weakHash(s) rendered in DuckDB SQL (must mirror TextOps.weakHash). */
   private def weakHashSql(s: String): String =
@@ -549,12 +560,24 @@ object SparkEntry {
         """c AS (SELECT doc_id, shard, n, sum(n) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM clean) """ +
         """SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(end_off - n AS BIGINT) AS start_off, """ +
         """CAST(end_off AS BIGINT) AS end_off, CAST(floor((end_off - n) / 512.0) AS BIGINT) AS bin FROM c"""),
-    "text_quality_bins" ->
-      ("""WITH d AS (SELECT doc_id, lang, length(text) AS nc, string_split(text, ' ') AS w FROM documents), """ +
-        s"""q AS (SELECT doc_id, lang, CAST(least(5000, len(w) * 25) + """ +
-        s"""floor(5000.0 * len(list_filter(w, x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) / len(w)) AS BIGINT) AS quality_bp FROM d) """ +
-        """SELECT doc_id, lang, quality_bp, CAST(ntile(10) OVER """ +
-        """(PARTITION BY lang ORDER BY quality_bp, doc_id) AS BIGINT) AS decile FROM q"""),
+    "text_quality_bins" -> qualityBinsSql,
+    "text_lm_score" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        """occ AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS term FROM d), """ +
+        """big AS (SELECT term, count(*) AS cb FROM occ GROUP BY term), """ +
+        """ctx AS (SELECT split_part(term, ' ', 1) AS w1, count(*) AS cw FROM occ GROUP BY 1), """ +
+        """v AS (SELECT count(DISTINCT token) AS v FROM """ +
+        """(SELECT unnest(string_split(text, ' ')) AS token FROM documents)), """ +
+        """s AS (SELECT doc_id, ln((cb + 1) * 1.0 / (cw + (SELECT v FROM v))) AS lp """ +
+        """FROM (SELECT doc_id, term, split_part(term, ' ', 1) AS w1 FROM occ) o """ +
+        """JOIN big USING (term) JOIN ctx USING (w1)) """ +
+        """SELECT doc_id, count(*) AS n_bigrams, """ +
+        """round(sum(lp) / count(*), 6) AS avg_logp FROM s GROUP BY doc_id"""),
+    "text_stratified_sample" ->
+      (s"""WITH bins AS ($qualityBinsSql), """ +
+        """r AS (SELECT lang, decile, doc_id, quality_bp, row_number() OVER """ +
+        """(PARTITION BY lang, decile ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM bins) """ +
+        """SELECT lang, decile, doc_id, quality_bp FROM r WHERE rn <= 5"""),
     "text_pack" ->
       ("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard, """ +
         """len(string_split(text, ' ')) AS n FROM documents), """ +

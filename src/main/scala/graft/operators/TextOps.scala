@@ -708,6 +708,66 @@ object TextOps {
     packSequencesOf(clean.select(col("doc_id"), col("text")), seqLen, nShards)
   }
 
+  /** Bigram language-model scoring — the CCNet-style "perplexity filter"
+    * member of the quality family: a bigram LM with add-one smoothing is
+    * trained on the corpus itself (P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V),
+    * V = unigram vocabulary size), and each document is scored by its
+    * mean bigram log-probability. Low scorers are the gibberish /
+    * boilerplate tail a curation pipeline drops.
+    *
+    * 100 TB shape: the LM is VOCABULARY-bounded, not corpus-bounded —
+    * bigram counts, unigram context counts, and V are tiny aggregates
+    * that broadcast; scoring is then a map-side broadcast-join over each
+    * doc's bigrams plus one keyed mean. Membership (docs with ≥ 1
+    * bigram) is integer-deterministic; the score is a rounded continuum
+    * (ln on identical double arguments, same class as tf·idf). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    // per-doc bigram occurrences (non-distinct: the LM sees repeats)
+    val occ = docs
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
+    val big = occ.groupBy("term").agg(count(lit(1)).as("cb"))
+    val ctx = occ
+      .select(col("doc_id"),
+        substring_index(col("term"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+    val v = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    occ
+      .withColumn("w1", substring_index(col("term"), " ", 1))
+      .join(broadcast(big), "term")
+      .join(broadcast(ctx), "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cb") + 1).cast("double") / (col("cw") + col("v")))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logp"))
+  }
+
+  /** Deterministic stratified sampling — fixed per-(lang, decile) quotas
+    * drawn from the [[qualityBins]] strata: within each stratum, docs are
+    * ordered by a pseudo-random-but-replayable key (md5 of the doc id —
+    * decorrelated from both doc_id order and quality order) and the
+    * first `nPer` win. The standard corpus-mixing draw, exactly
+    * reproducible across engines and retries.
+    *
+    * One extra shuffle over qualityBins (the stratum window); at 100 TB
+    * the stratum key keeps partitions parallel and the quota comparison
+    * is per-row — no global sort, no driver-side sampling state. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      nPer: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("decile"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    qualityBins(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nPer)
+      .select(col("lang"), col("decile"), col("doc_id"), col("quality_bp"))
+  }
+
   /** Per-domain quality binning — stratified quality deciles for corpus
     * mixing: within each language (the domain key here), documents are
     * ranked by quality score and split into 10 equal-ish bins with

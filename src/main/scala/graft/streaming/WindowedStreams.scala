@@ -47,6 +47,27 @@ object WindowedStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
 
+  /** Streaming latest-row-per-key — the incremental twin of
+    * ExtraOps.latestPerKey (CDC/upsert compaction): per key, the row with
+    * the greatest (event time, `idCol`) wins, revised in UPDATE mode as
+    * batches arrive; an out-of-order older row never replaces a newer
+    * one (max_by over the deterministic ordering struct). Pure built-in
+    * aggregation, no custom state.
+    *
+    * State note: an un-windowed key aggregation is NOT watermark-evicted —
+    * state is one row per distinct key, which for an upsert compaction is
+    * the DEFINITION of the output (the latest-table itself), so state
+    * size equals result size; a key space too large for that contract
+    * should window the compaction instead. */
+  def latestPerKeyStream(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val payload = struct(events.columns.map(col): _*)
+    events
+      .groupBy(col(keyCol).as("key"))
+      .agg(max_by(payload, struct(col(tsCol), col(idCol))).as("latest"))
+      .select(col("key"), col("latest.*"))
+  }
+
   /** Streaming exact dedup on a key set: state bounded by the watermark
     * (duplicates arriving later than the watermark are not suppressed —
     * the documented at-least-once residue). */

@@ -71,6 +71,31 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latest-per-key keeps the newest row; late rows never regress it") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = WindowedStreams.latestPerKeyStream(src.toDF(), "k", "ts", "v")
+    val q = out.writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      src.addData(Ev(t(1), "a", 1.0), Ev(t(5), "a", 2.0), Ev(t(2), "b", 3.0))
+      q.processAllAvailable()
+      // batch 2: a newer row for a (wins) and an OUT-OF-ORDER older row
+      // for b (must NOT replace b's t(2) row)
+      src.addData(Ev(t(9), "a", 4.0), Ev(t(1), "b", 5.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends revisions; the last row per
+      // key is the compacted value
+      val rows = spark.sql(
+          "SELECT key, v FROM (SELECT key, v, row_number() OVER " +
+            "(PARTITION BY key ORDER BY ts DESC, v DESC) rn FROM latest) WHERE rn = 1")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(rows === Set(("a", 4.0), ("b", 3.0)), rows)
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses within-watermark duplicates") {
     val spark2 = spark
     import spark2.implicits._
