@@ -149,6 +149,13 @@ object SparkEntry {
   private val shinglesSql =
     "list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])"
 
+  /** Word-bigram comprehension over `w` (split text) in DuckDB SQL — must
+    * mirror `TextOps.bigrams`; ONE definition shared by every
+    * bigram-based oracle (repetition, cosine pairs, LM score) so the term
+    * space cannot silently drift from the Spark side. */
+  private val bigramsSql =
+    "[array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]"
+
   /** Shared CTEs + threshold condition for the exact ngram near-dup pair
     * graph (dedup_ngram_jaccard and dedup_clusters build on the same). */
   private val ngramPairCtes =
@@ -513,7 +520,7 @@ object SparkEntry {
     "text_repetition" ->
       ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
         s"""s AS (SELECT doc_id, len(w) AS n, len($shinglesSql) AS n3d, """ +
-        """unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg """ +
+        s"""unnest($bigramsSql) AS bg """ +
         """FROM d WHERE len(w) >= 2), """ +
         """c AS (SELECT doc_id, bg, count(*) AS c, max(n) AS n, max(n3d) AS n3d """ +
         """FROM s GROUP BY doc_id, bg), """ +
@@ -536,7 +543,7 @@ object SparkEntry {
         """FROM tf JOIN df USING (token)"""),
     "text_cosine_pairs" ->
       ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
-        """t AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS term FROM d), """ +
+        s"""t AS (SELECT doc_id, unnest($bigramsSql) AS term FROM d), """ +
         """tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term), """ +
         """df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), """ +
         """n AS (SELECT count(*) AS n FROM documents), """ +
@@ -563,7 +570,7 @@ object SparkEntry {
     "text_quality_bins" -> qualityBinsSql,
     "text_lm_score" ->
       ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
-        """occ AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS term FROM d), """ +
+        s"""occ AS (SELECT doc_id, unnest($bigramsSql) AS term FROM d), """ +
         """big AS (SELECT term, count(*) AS cb FROM occ GROUP BY term), """ +
         """ctx AS (SELECT split_part(term, ' ', 1) AS w1, count(*) AS cw FROM occ GROUP BY 1), """ +
         """v AS (SELECT count(DISTINCT token) AS v FROM """ +

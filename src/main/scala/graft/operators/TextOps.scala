@@ -717,20 +717,29 @@ object TextOps {
     *
     * 100 TB shape: the LM is VOCABULARY-bounded, not corpus-bounded —
     * bigram counts, unigram context counts, and V are tiny aggregates
-    * that broadcast; scoring is then a map-side broadcast-join over each
+    * that broadcast; the context counts c(w₁·) are DERIVED from the
+    * bigram table (Σ_w₂ c(w₁w₂) — ~900 rows in, bit-identical out)
+    * rather than re-aggregating the corpus, because Catalyst shares no
+    * common subplans and a second `occ` reference would be a second full
+    * corpus scan. Scoring is then a map-side broadcast-join over each
     * doc's bigrams plus one keyed mean. Membership (docs with ≥ 1
-    * bigram) is integer-deterministic; the score is a rounded continuum
-    * (ln on identical double arguments, same class as tf·idf). */
+    * bigram) is integer-deterministic; avg_logp is a rounded continuum
+    * of an order-dependent cross-row double sum — the COSINE determinism
+    * class (boundary-collision exposure ~1e-8/doc), not tf·idf's
+    * pointwise class. */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     // per-doc bigram occurrences (non-distinct: the LM sees repeats)
     val occ = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
+    // the LM table is referenced twice (ctx derivation + probe join):
+    // eagerly materialize the ~vocabulary² rows once so neither reference
+    // re-runs the corpus scan + explode (dedup-job idiom)
     val big = occ.groupBy("term").agg(count(lit(1)).as("cb"))
-    val ctx = occ
-      .select(col("doc_id"),
-        substring_index(col("term"), " ", 1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true)
+    val ctx = big
+      .groupBy(substring_index(col("term"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cw"))
     val v = docs
       .select(explode(tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))

@@ -63,9 +63,13 @@ object WindowedStreams {
       tsCol: String, idCol: String): DataFrame = {
     val payload = struct(events.columns.map(col): _*)
     events
-      .groupBy(col(keyCol).as("key"))
+      .groupBy(col(keyCol))
       .agg(max_by(payload, struct(col(tsCol), col(idCol))).as("latest"))
-      .select(col("key"), col("latest.*"))
+      // the payload struct already carries keyCol — emitting the group
+      // key too would duplicate it (and collide outright on a source
+      // column literally named like the alias), so the output schema is
+      // exactly the input schema, one row per key, like the batch twin
+      .select(col("latest.*"))
   }
 
   /** Streaming exact dedup on a key set: state bounded by the watermark

@@ -87,10 +87,11 @@ class WindowedStreamsSpec extends SparkSpec {
       src.addData(Ev(t(9), "a", 4.0), Ev(t(1), "b", 5.0))
       q.processAllAvailable()
       // memory sink in update mode appends revisions; the last row per
-      // key is the compacted value
+      // key is the compacted value. Output schema = input schema (ts, k,
+      // v), one row per key
       val rows = spark.sql(
-          "SELECT key, v FROM (SELECT key, v, row_number() OVER " +
-            "(PARTITION BY key ORDER BY ts DESC, v DESC) rn FROM latest) WHERE rn = 1")
+          "SELECT k, v FROM (SELECT k, v, row_number() OVER " +
+            "(PARTITION BY k ORDER BY ts DESC, v DESC) rn FROM latest) WHERE rn = 1")
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
       assert(rows === Set(("a", 4.0), ("b", 3.0)), rows)
     } finally q.stop()
@@ -193,6 +194,37 @@ class WindowedStreamsSpec extends SparkSpec {
       val emitted = spark.sql("SELECT doc_id FROM nddverify").collect()
         .map(_.getLong(0)).toSet
       assert(emitted === Set(1L, 2L), emitted)
+    } finally q.stop()
+  }
+
+  test("near-dup blacklist LRU: an evicted claimant's duplicates re-admit") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    // same bucket-sharing dissimilar pair as the verify test above
+    val base = "alpha beta gamma delta epsilon"
+    val collider = "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu"
+    val src = MemoryStream[DocEv]
+    // maxOwners = 1: every emitted doc evicts the previous claimant
+    val out = WindowedStreams.suppressNearDups(src.toDF(), maxOwners = 1)
+    val q = out.writeStream.format("memory").queryName("nddlru")
+      .outputMode("append").start()
+    try {
+      src.addData(DocEv(t(1), 1, base)) // claims the bucket
+      q.processAllAvailable()
+      // dissimilar collider: emitted, and at cap 1 it EVICTS doc 1
+      src.addData(DocEv(t(11), 2, collider))
+      q.processAllAvailable()
+      // exact copy of the current claimant: suppressed (verified match)
+      src.addData(DocEv(t(21), 3, collider))
+      q.processAllAvailable()
+      // exact copy of the EVICTED doc 1: re-admitted — bounded state has
+      // forgotten it, the documented LRU recall contract
+      src.addData(DocEv(t(31), 4, base))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT doc_id FROM nddlru").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted === Set(1L, 2L, 4L), emitted)
     } finally q.stop()
   }
 
