@@ -79,6 +79,7 @@ object SparkEntry {
     "latest_per_key" -> ((s, d) => ExtraOps.latestPerKey(s, d)),
     "q18_big_orders" -> ((s, d) => ExtraOps.q18BigOrders(s, d)),
     "q21_waiting" -> ((s, d) => ExtraOps.q21WaitingSupplier(s, d)),
+    "ts_resample" -> ((s, d) => ExtraOps.tsResample(s, d)),
     "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
     "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
     // --- dedup family over `documents` ---
@@ -374,6 +375,20 @@ object SparkEntry {
         """FROM ps JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey """ +
         """WHERE ps.late = 1 AND po.nsupp >= 2 AND po.nlate = 1 """ +
         """GROUP BY s_suppkey, s_name"""),
+    "ts_resample" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, """ +
+        """CAST(round(value * 100) AS BIGINT) AS value_c, """ +
+        """date_trunc('hour', ts) AS hr FROM events), """ +
+        """ph AS (SELECT user_id, hr, value_c AS obs_c FROM ("""+
+        """SELECT user_id, hr, value_c, row_number() OVER """ +
+        """(PARTITION BY user_id, hr ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), """ +
+        """g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM """ +
+        """(SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY user_id)), """ +
+        """j AS (SELECT g.user_id, g.hr, ph.obs_c FROM g LEFT JOIN ph """ +
+        """ON g.user_id = ph.user_id AND g.hr = ph.hr) """ +
+        """SELECT user_id, hr, last_value(obs_c IGNORE NULLS) OVER """ +
+        """(PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_c, """ +
+        """CAST(CASE WHEN obs_c IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed FROM j"""),
     "semi_join" ->
       ("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN ( """ +
         """SELECT o_custkey FROM orders """ +

@@ -319,6 +319,40 @@ object ExtraOps {
         col("sum_qty"))
   }
 
+  /** Time-series resampling with forward fill — each user's event stream
+    * regridded to an hourly lattice from their first to last observation:
+    * per (user, hour) the LAST event wins (deterministic (ts, event_id)
+    * ordering), gap hours carry the previous value forward
+    * (`last(..., ignoreNulls)` running window), and `observed` flags
+    * real points vs fills. The dense-grid op every sensor/metrics
+    * pipeline needs (the reference's domain is exactly such a stream).
+    *
+    * Scale shape: the grid explodes to span/granularity rows PER USER —
+    * bounded and user-local, so generation is map-side after one tiny
+    * per-user min/max aggregate; the fill window shuffles once on
+    * user_id and never crosses users. The first grid hour always holds
+    * that user's first event, so no leading nulls exist. */
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("value_c"),
+        date_trunc("hour", col("ts")).as("hr"))
+    val perHour = ev.groupBy("user_id", "hr")
+      .agg(max_by(col("value_c"), struct(col("ts"), col("event_id")))
+        .as("obs_c"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+    grid.join(perHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last(col("obs_c"), ignoreNulls = true).over(w).as("value_c"),
+        when(col("obs_c").isNotNull, 1L).otherwise(0L).as("observed"))
+  }
+
   /** Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted to this
     * schema: "late" = shipped > 90 days after the order date): count, per
     * supplier, the multi-supplier orders where THAT supplier was the only

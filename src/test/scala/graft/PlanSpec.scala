@@ -263,4 +263,14 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("ts resample: user-keyed shuffles only, never a cartesian grid") {
+    val s = planString(graft.operators.ExtraOps.tsResample(spark, dir))
+    // the grid must come from the per-user min/max aggregate (sequence
+    // explode is map-side on that tiny relation), never a corpus × grid
+    // cartesian; every exchange is keyed
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
 }
