@@ -65,6 +65,7 @@ object SparkEntry {
     "rollup_agg" -> ((s, d) => ExtraOps.rollupAgg(s, d)),
     "semi_join" -> ((s, d) => ExtraOps.semiJoin(s, d)),
     "asof_join" -> ((s, d) => ExtraOps.asofErrorSignup(s, d)),
+    "asof_join_native" -> ((s, d) => ExtraOps.asofErrorSignupNative(s, d)),
     "range_join" -> ((s, d) => ExtraOps.rangeJoinEvents(s, d)),
     "sessionize" -> ((s, d) => ExtraOps.sessionize(s, d)),
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
@@ -149,6 +150,15 @@ object SparkEntry {
 
   private val shinglesSql =
     "list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])"
+
+  /** The as-of oracle — shared by the compositional (`asof_join`) and
+    * native-operator (`asof_join_native`) twins. */
+  private val asofOracleSql: String =
+    """SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts, """ +
+      """epoch_us(e.ts) - epoch_us(s.ts) AS gap_us """ +
+      """FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e """ +
+      """ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s """ +
+      """ON e.user_id = s.user_id AND e.ts >= s.ts"""
 
   /** Word-bigram comprehension over `w` (split text) in DuckDB SQL — must
     * mirror `TextOps.bigrams`; ONE definition shared by every
@@ -394,12 +404,10 @@ object SparkEntry {
         """SELECT o_custkey FROM orders """ +
         """WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' """ +
         """AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')"""),
-    "asof_join" ->
-      ("""SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts, """ +
-        """epoch_us(e.ts) - epoch_us(s.ts) AS gap_us """ +
-        """FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e """ +
-        """ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s """ +
-        """ON e.user_id = s.user_id AND e.ts >= s.ts"""),
+    "asof_join" -> asofOracleSql,
+    // the native-operator twin is held to the SAME oracle: the custom
+    // SparkPlan must reproduce DuckDB's ASOF JOIN bit-for-bit
+    "asof_join_native" -> asofOracleSql,
     "range_join" ->
       ("""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b, """ +
         """abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us """ +

@@ -181,5 +181,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan (the native
+    // as-of join) — sessions without this extension get the strategy via
+    // the public experimental hook in AsOfJoin.asofNative
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Ties (right.time == left.time) match, mirroring ASOF JOIN >= semantics
   * (right side sorts before left at equal timestamps).
+  *
+  * Null-key corner: window partitioning groups NULL keys into one
+  * partition, so null-keyed left rows can pick up null-keyed right
+  * payloads here — SQL ASOF (and [[asofNative]]) never match null keys.
+  * Callers with nullable keys who need SQL semantics should filter or use
+  * the native operator.
   */
 object AsOfJoin {
 
@@ -57,5 +63,46 @@ object AsOfJoin {
       .drop("_t", "_side")
     if (inner) res.filter(rightCols.values.map(col(_).isNotNull).reduce(_ && _))
     else res
+  }
+
+  /** The NATIVE as-of join — same contract as [[asof]], executed by the
+    * custom Catalyst operator (`graft.plans.AsOfJoinPlan` →
+    * `AsOfJoinStrategy` → `AsOfJoinExec`): hash-clustered children,
+    * (key, time) sort, one O(|L|+|R|) merge pass per partition with a
+    * single buffered candidate per key — no union, no window state. Spec
+    * + oracle pin it result-identical to the compositional twin.
+    *
+    * The strategy self-registers on the session's public
+    * `experimental.extraStrategies` hook (idempotent), so plain sessions
+    * work; sessions configured with `spark.sql.extensions=
+    * graft.functions.GraftExtensions` get it injected at build time. */
+  def asofNative(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Map[String, String], inner: Boolean = true): DataFrame = {
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    import org.apache.spark.sql.graft.DatasetBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // fresh-alias the right side so the node's output attribute ids are
+    // disjoint from the left's even on a self-as-of (both frames derived
+    // from one scan — the exact shape of the reference's usage)
+    val rightProj = right.select(
+      col(key).as("_r_k") +: col(rightTime).as("_r_t") +:
+        rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
+    val lPlan = DatasetBridge.analyzed(left)
+    val rPlan = DatasetBridge.analyzed(rightProj)
+    val lOut = lPlan.output
+    val rOut = rPlan.output
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+        name: String) = out.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not found"))
+    val payload = rightCols.values.toSeq.map(attr(rOut, _))
+    DatasetBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        attr(lOut, key), attr(lOut, leftTime),
+        attr(rOut, "_r_k"), attr(rOut, "_r_t"),
+        payload, inner))
   }
 }

@@ -46,6 +46,23 @@ object ExtraOps {
         (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("gap_us"))
   }
 
+  /** The same as-of query executed by the NATIVE operator
+    * ([[AsOfJoin.asofNative]]: custom logical node + strategy + sort-merge
+    * exec) — oracle-checked against the identical DuckDB ASOF JOIN, so
+    * the custom SparkPlan is gated end-to-end, not just spec-compared. */
+  def asofErrorSignupNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts0"))
+    AsOfJoin.asofNative(errors, signups, key = "user_id",
+        leftTime = "ts", rightTime = "signup_ts0",
+        rightCols = Map("signup_ts0" -> "signup_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("gap_us"))
+  }
+
   /** Range (interval) self-join: ordered event pairs of the same user
     * within 60 seconds. Scalable shape: bucket time into 60 s cells, join
     * on (user, cell) with the left side exploded to 3 adjacent cells —

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native as-of join — the whole-operator Catalyst extension route
+  * (logical node → planner strategy → physical exec), for the one
+  * relational operator Spark ships no physical algorithm for. The
+  * compositional twin (`operators.AsOfJoin.asof`: union-tag + running
+  * window) stays as the oracle-anchored reference; this node executes the
+  * textbook sort-merge as-of directly:
+  *
+  *  - each child is hash-clustered on its key and sorted by (key, time) —
+  *    declared via requiredChildDistribution/Ordering, so EnsureRequirements
+  *    plans the exchanges and sorts exactly as it would for a sort-merge
+  *    join (co-partitioned children, AQE-coalescible shuffles);
+  *  - one streaming merge pass per partition: for every left row, the
+  *    latest right row of the same key with right.time <= left.time is in
+  *    hand when the left row streams by — O(|L|+|R|) per partition, zero
+  *    buffering beyond ONE candidate payload per key.
+  *
+  * Semantics match the compositional twin: ties (right.time == left.time)
+  * match; null keys and null times never match; `inner` drops matchless
+  * left rows.
+  *
+  * Reference behavior source: plenario-mapper resolves each observation
+  * against the metadata version current at observation time
+  * (app/mapper.js:72-112) — an as-of lookup.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    rightPayload: Seq[Attribute], inner: Boolean)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(!inner))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Registered both through
+  * `GraftExtensions` (injectPlannerStrategy, for sessions configured with
+  * spark.sql.extensions) and lazily through `spark.experimental
+  * .extraStrategies` by `AsOfJoin.asofNative` (public API — keeps plain
+  * sessions working). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.leftTime, p.rightKey, p.rightTime,
+        p.rightPayload, p.inner, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    rightPayload: Seq[Attribute], inner: Boolean,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(!inner))
+
+  // co-partition both children on their key, SMJ-style; EnsureRequirements
+  // inserts compatible exchanges (and AQE may coalesce them in lockstep)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // rows stream out in left-child order, one output row per (kept) left row
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** UTF8String evals point into the (reused) row buffer — detach before
+    * caching across iterator steps. */
+  private def detach(v: Any): Any = v match {
+    case s: UTF8String => s.copy()
+    case o => o
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    // widen to Expression BEFORE binding: bindReference returns its input
+    // type, and a BoundReference is not an Attribute
+    val payloadExprs: Seq[Expression] =
+      rightPayload.map(a => BindReferences.bindReference(a: Expression, right.output))
+    val innerL = inner
+    val out = output
+    val leftOut = left.output
+    val payloadAttrs = rightPayload
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val payloadProj = UnsafeProjection.create(payloadExprs.toArray)
+      val resultProj = UnsafeProjection.create(out, leftOut ++ payloadAttrs)
+      val nullPayload = new GenericInternalRow(payloadAttrs.length)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // the single buffered candidate: latest right row seen for candKey
+      var candKey: Any = null
+      var cand: InternalRow = null
+      lIter.flatMap { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTimeB.eval(lRow)
+        if (lk == null || lt == null) {
+          if (innerL) Iterator.empty
+          else Iterator.single(resultProj(joined(lRow, nullPayload)))
+        } else {
+          // advance the right side to the frontier (key < lk, or same key
+          // with time <= lt), keeping the latest same-key payload
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rk = rKeyB.eval(rRow)
+            val rt = rTimeB.eval(rRow)
+            if (rk == null || rt == null) rBuf.next() // never matches
+            else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0) rBuf.next() // bygone key; candidate invalidated below
+              else if (kc == 0 && timeOrd.compare(rt, lt) <= 0) {
+                candKey = detach(rk)
+                cand = payloadProj(rBuf.next()).copy()
+              } else advancing = false // right frontier is past this left row
+            }
+          }
+          val matched = cand != null && candKey != null &&
+            keyOrd.compare(candKey, lk) == 0
+          if (matched) Iterator.single(resultProj(joined(lRow, cand)))
+          else if (innerL) Iterator.empty
+          else Iterator.single(resultProj(joined(lRow, nullPayload)))
+        }
+      }
+    }
+  }
+}

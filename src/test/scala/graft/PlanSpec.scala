@@ -264,6 +264,17 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("native as-of plans as the custom exec: merge pass, no window state") {
+    val s = planString(graft.operators.ExtraOps.asofErrorSignupNative(spark, dir))
+    // the custom node is planned (strategy fired), children are keyed
+    // exchanges + sorts, and none of the compositional machinery (union +
+    // running window) appears
+    assert(s.contains("AsOfJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("Union"), s)
+  }
+
   test("ts resample: user-keyed shuffles only, never a cartesian grid") {
     val s = planString(graft.operators.ExtraOps.tsResample(spark, dir))
     // the grid must come from the per-user min/max aggregate (sequence

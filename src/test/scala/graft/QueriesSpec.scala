@@ -157,6 +157,35 @@ class QueriesSpec extends SparkSpec {
     perQ.foreach { case (q, n) => assert(n <= 5 && n > 0, s"q=$q n=$n") }
   }
 
+  test("native as-of operator is row-identical to the compositional twin") {
+    val comp = graft.operators.ExtraOps.asofErrorSignup(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    val native = graft.operators.ExtraOps.asofErrorSignupNative(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(comp.nonEmpty)
+    assert(native === comp)
+  }
+
+  test("native as-of edge semantics: ties match, null keys drop, outer fills") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((Option(1L), 10L, "l1"), (Option(1L), 20L, "l2"),
+        (Option(2L), 5L, "l3"), (Option.empty[Long], 7L, "l4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 9L, "r9"))
+      .toDF("k", "t0", "pay")
+    def run(inner: Boolean) = graft.operators.AsOfJoin
+      .asofNative(left, right, "k", "t", "t0", Map("pay" -> "pay"), inner)
+      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toSet
+    // tie (t=10 vs t0=10) matches; t=20 takes the latest prior (r15);
+    // l3 precedes every right row of its key; l4 has a null key
+    assert(run(inner = true) ===
+      Set(("l1", Some("r10")), ("l2", Some("r15"))))
+    assert(run(inner = false) ===
+      Set(("l1", Some("r10")), ("l2", Some("r15")),
+        ("l3", None), ("l4", None)))
+  }
+
   test("PQ knn: valid pairs, exact cosines, high recall, deterministic") {
     val bfAll = SimilarityOps.knnBruteForce(spark, dir, k = 499)
       .select("q_id", "vec_id", "cos_sim").collect()
