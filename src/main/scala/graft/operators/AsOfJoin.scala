@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * Ties (right.time == left.time) match, mirroring ASOF JOIN >= semantics
   * (right side sorts before left at equal timestamps).
   *
-  * Null-key corner: window partitioning groups NULL keys into one
-  * partition, so null-keyed left rows can pick up null-keyed right
-  * payloads here — SQL ASOF (and [[asofNative]]) never match null keys.
-  * Callers with nullable keys who need SQL semantics should filter or use
-  * the native operator.
+  * Null corner: window partitioning groups NULL keys into one partition
+  * and sorts NULL times first, so null-keyed (or null-timed) left rows
+  * can pick up null-keyed/null-timed right payloads here — SQL ASOF (and
+  * [[asofNative]]) never match null keys or null times. Callers with
+  * nullable keys/times who need SQL semantics should filter or use the
+  * native operator.
   */
 object AsOfJoin {
 
@@ -85,6 +86,18 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // no analyzer coercion runs on a hand-built node: mismatched key/time
+    // types would otherwise surface as executor-side ClassCastExceptions
+    // (or worse, different hash partitionings per side)
+    def requireSameType(what: String, l: String, r: String): Unit = {
+      val lt = left.schema(l).dataType
+      val rt = right.schema(r).dataType
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+          lt, rt, ignoreNullability = true),
+        s"asofNative $what types differ: left $l is $lt, right $r is $rt")
+    }
+    requireSameType("key", key, key)
+    requireSameType("time", leftTime, rightTime)
     // fresh-alias the right side so the node's output attribute ids are
     // disjoint from the left's even on a self-as-of (both frames derived
     // from one scan — the exact shape of the reference's usage)

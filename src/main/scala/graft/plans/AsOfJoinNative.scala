@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native as-of join — the whole-operator Catalyst extension route
   * (logical node → planner strategy → physical exec), for the one
@@ -25,9 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    hand when the left row streams by — O(|L|+|R|) per partition, zero
   *    buffering beyond ONE candidate payload per key.
   *
-  * Semantics match the compositional twin: ties (right.time == left.time)
-  * match; null keys and null times never match; `inner` drops matchless
-  * left rows.
+  * Semantics: ties (right.time == left.time) match; null keys and null
+  * times NEVER match (SQL ASOF semantics — the compositional twin's
+  * window partitioning can match null keys/times to each other, a
+  * documented divergence in its scaladoc); `inner` drops matchless left
+  * rows. Among right rows EQUAL on (key, time) the last in partition
+  * sort order wins — which specific row that is, is unspecified, exactly
+  * as in the compositional twin and SQL ASOF; callers needing a
+  * deterministic pick must make (key, time) unique or fold the
+  * tiebreaker into the time column.
   *
   * Reference behavior source: plenario-mapper resolves each observation
   * against the metadata version current at observation time
@@ -38,8 +43,11 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     rightKey: Expression, rightTime: Expression,
     rightPayload: Seq[Attribute], inner: Boolean)
   extends BinaryNode {
+  // widen, never narrow: an outer join adds nulls for matchless rows, but
+  // a MATCHED right row can still carry a legitimately-null payload value
   override def output: Seq[Attribute] =
-    left.output ++ rightPayload.map(_.withNullability(!inner))
+    left.output ++ rightPayload.map(a =>
+      a.withNullability(a.nullable || !inner))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -66,7 +74,8 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ rightPayload.map(_.withNullability(!inner))
+    left.output ++ rightPayload.map(a =>
+      a.withNullability(a.nullable || !inner))
 
   // co-partition both children on their key, SMJ-style; EnsureRequirements
   // inserts compatible exchanges (and AQE may coalesce them in lockstep)
@@ -86,12 +95,11 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** UTF8String evals point into the (reused) row buffer — detach before
-    * caching across iterator steps. */
-  private def detach(v: Any): Any = v match {
-    case s: UTF8String => s.copy()
-    case o => o
-  }
+  /** Buffer-backed evals (UTF8String, UnsafeArrayData, nested UnsafeRow,
+    * …) point into the reused row buffer — deep-copy before caching
+    * across iterator steps. `InternalRow.copyValue` handles every
+    * buffer-backed catalyst type; primitives pass through. */
+  private def detach(v: Any): Any = InternalRow.copyValue(v)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
@@ -110,7 +118,14 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
     val payloadAttrs = rightPayload
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadExprs.toArray)
-      val resultProj = UnsafeProjection.create(out, leftOut ++ payloadAttrs)
+      // bind against WIDENED payload nullability: BoundReference takes its
+      // null-check from the INPUT schema, and in outer mode the all-null
+      // fill row must pass through even when the right column itself is
+      // non-nullable (else a long payload silently becomes 0 and a string
+      // payload NPEs in the row writer)
+      val resultProj = UnsafeProjection.create(out,
+        leftOut ++ payloadAttrs.map(a =>
+          a.withNullability(a.nullable || !innerL)))
       val nullPayload = new GenericInternalRow(payloadAttrs.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

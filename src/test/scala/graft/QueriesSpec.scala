@@ -174,16 +174,21 @@ class QueriesSpec extends SparkSpec {
       .toDF("k", "t", "tag")
     val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 9L, "r9"))
       .toDF("k", "t0", "pay")
+    // pay is a nullable string; t0 as pay_t is a NON-NULLABLE long — the
+    // outer fill must produce real NULLs for it, not primitive zeros
+    // (exercises the widened-nullability projection binding)
     def run(inner: Boolean) = graft.operators.AsOfJoin
-      .asofNative(left, right, "k", "t", "t0", Map("pay" -> "pay"), inner)
-      .collect().map(r => (r.getString(2), Option(r.getString(3)))).toSet
+      .asofNative(left, right, "k", "t", "t0",
+        Map("pay" -> "pay", "t0" -> "pay_t"), inner)
+      .collect().map(r => (r.getString(2), Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
     // tie (t=10 vs t0=10) matches; t=20 takes the latest prior (r15);
     // l3 precedes every right row of its key; l4 has a null key
     assert(run(inner = true) ===
-      Set(("l1", Some("r10")), ("l2", Some("r15"))))
+      Set(("l1", Some("r10"), Some(10L)), ("l2", Some("r15"), Some(15L))))
     assert(run(inner = false) ===
-      Set(("l1", Some("r10")), ("l2", Some("r15")),
-        ("l3", None), ("l4", None)))
+      Set(("l1", Some("r10"), Some(10L)), ("l2", Some("r15"), Some(15L)),
+        ("l3", None, None), ("l4", None, None)))
   }
 
   test("PQ knn: valid pairs, exact cosines, high recall, deterministic") {
