@@ -185,5 +185,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of join) — sessions without this extension get the strategy via
     // the public experimental hook in AsOfJoin.asofNative
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }
 }

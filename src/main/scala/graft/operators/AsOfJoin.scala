@@ -80,12 +80,15 @@ object AsOfJoin {
   def asofNative(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightCols: Map[String, String], inner: Boolean = true): DataFrame = {
-    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PushFilterThroughAsOf}
     import org.apache.spark.sql.graft.DatasetBridge
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
     // no analyzer coercion runs on a hand-built node: mismatched key/time
     // types would otherwise surface as executor-side ClassCastExceptions
     // (or worse, different hash partitionings per side)

@@ -53,6 +53,32 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Pushes left-side Filter predicates through [[AsOfJoinPlan]] — Catalyst
+  * cannot reason about an unknown node, so without this rule a filter
+  * above the as-of stays above it and the left scan reads (and shuffles)
+  * rows the query immediately drops. Safe because each output row
+  * corresponds to exactly one left row and removing left rows never
+  * changes any other row's match; predicates touching the right payload
+  * stay above the node. Registered alongside [[AsOfJoinStrategy]]
+  * (injectOptimizerRule / experimental.extraOptimizations). */
+object PushFilterThroughAsOf
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))
+        if (kept.isEmpty) pushed else Filter(kept.reduce(And), pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Registered both through
   * `GraftExtensions` (injectPlannerStrategy, for sessions configured with
   * spark.sql.extensions) and lazily through `spark.experimental

@@ -275,6 +275,29 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Union"), s)
   }
 
+  test("as-of pushdown rule: left-only filter sinks below the custom node") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.ExtraOps.asofErrorSignupNative(spark, dir)
+      .filter(col("event_id") < 100)
+    val opt = df.queryExecution.optimizedPlan
+    val asofNodes = opt.collect { case a: graft.plans.AsOfJoinPlan => a }
+    assert(asofNodes.nonEmpty, opt.toString)
+    // the predicate reached the LEFT subtree (standard pushdown stops at
+    // an unknown node; PushFilterThroughAsOf carries it through) …
+    assert(asofNodes.head.left.exists {
+      case f: LFilter =>
+        f.condition.references.exists(_.name == "event_id")
+      case _ => false
+    }, opt.toString)
+    // … and no residual filter on it remains above the node
+    assert(!opt.exists {
+      case f: LFilter => f.child.isInstanceOf[graft.plans.AsOfJoinPlan] &&
+        f.condition.references.exists(_.name == "event_id")
+      case _ => false
+    }, opt.toString)
+  }
+
   test("ts resample: user-keyed shuffles only, never a cartesian grid") {
     val s = planString(graft.operators.ExtraOps.tsResample(spark, dir))
     // the grid must come from the per-user min/max aggregate (sequence
