@@ -191,6 +191,35 @@ class QueriesSpec extends SparkSpec {
         ("l3", None, None), ("l4", None, None)))
   }
 
+  test("native as-of equals compositional twin on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic seeds; constraints keep us inside the shared
+    // contract: non-null keys/times (documented divergence) and unique
+    // right (key, time) pairs (documented tie ambiguity)
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = (1 to 120).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong, i.toLong)
+      }.toDF("k", "t", "lid")
+      val right = rnd.shuffle(
+        (for (k <- 0 until nKeys; t <- 0 until 50 if rnd.nextBoolean())
+          yield (k.toLong, t.toLong, k * 1000L + t)).toList)
+        .toDF("k", "t0", "pay")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      Seq(true, false).foreach { inner =>
+        val comp = rows(graft.operators.AsOfJoin.asof(
+          left, right, "k", "t", "t0", Map("pay" -> "pay"), inner))
+        val native = rows(graft.operators.AsOfJoin.asofNative(
+          left, right, "k", "t", "t0", Map("pay" -> "pay"), inner))
+        assert(native === comp, s"seed=$seed inner=$inner")
+      }
+    }
+  }
+
   test("PQ knn: valid pairs, exact cosines, high recall, deterministic") {
     val bfAll = SimilarityOps.knnBruteForce(spark, dir, k = 499)
       .select("q_id", "vec_id", "cos_sim").collect()
