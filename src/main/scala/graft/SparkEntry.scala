@@ -75,6 +75,7 @@ object SparkEntry {
     "q17_scalar_subq" -> ((s, d) => ExtraOps.q17ScalarSubquery(s, d)),
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
     "cube_agg" -> ((s, d) => ExtraOps.cubeAgg(s, d)),
+    "stats_agg" -> ((s, d) => ExtraOps.statsAgg(s, d)),
     "w2_window_range" -> ((s, d) => ExtraOps.windowRangeFrames(s, d)),
     "listagg_nations" -> ((s, d) => ExtraOps.listAggCustomers(s, d)),
     "latest_per_key" -> ((s, d) => ExtraOps.latestPerKey(s, d)),
@@ -343,6 +344,13 @@ object SparkEntry {
       ("""SELECT l_returnflag, l_linestatus, """ +
         """CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, count(*) AS n """ +
         """FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""),
+    "stats_agg" ->
+      ("""SELECT l_returnflag, """ +
+        """round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, """ +
+        """round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp, """ +
+        """round(stddev_samp(l_quantity), 6) AS sd_qty, """ +
+        """round(avg(l_discount), 6) AS avg_disc """ +
+        """FROM lineitem GROUP BY l_returnflag"""),
     "w2_window_range" ->
       ("""WITH o AS (SELECT o_orderkey, o_custkey, """ +
         """CAST(round(o_totalprice * 100) AS BIGINT) AS cents, """ +

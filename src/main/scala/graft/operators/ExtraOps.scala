@@ -235,6 +235,24 @@ object ExtraOps {
       .toDF("l_returnflag", "wavg_cc")
   }
 
+  /** Statistical aggregates per group — correlation, sample covariance,
+    * sample stddev, mean. One partial+final hash aggregation (Spark's
+    * one-pass merge formulas). Determinism: corr/stddev/avg are
+    * normalized or small-magnitude continuums (6-dp rounding, error
+    * orders below the boundary); covariance is ~1e4-magnitude with
+    * ~1e-6 absolute float noise, so it rounds to 2 dp where the noise is
+    * three orders below the boundary. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+
   /** CUBE aggregation: all 4 grouping sets of (returnflag, linestatus) in
     * one pass — partial aggregation replicates rows per grouping set
     * map-side, so the shuffle carries pre-combined partials, not the fact
