@@ -250,6 +250,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"), s)
   }
 
+  test("lm score: vocabulary-bounded LM tables broadcast to the probe") {
+    val s = planString(graft.operators.TextOps.textLmScore(spark, dir))
+    // the per-doc probe must join the (tiny) bigram/context tables as
+    // broadcasts — a shuffle join here would re-shuffle the corpus twice
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("cosine pairs: inverted-index equi-joins only — no cartesian anywhere") {
     val s = planString(graft.operators.TextOps.textCosinePairs(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
