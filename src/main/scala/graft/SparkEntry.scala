@@ -76,6 +76,7 @@ object SparkEntry {
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
     "cube_agg" -> ((s, d) => ExtraOps.cubeAgg(s, d)),
     "stats_agg" -> ((s, d) => ExtraOps.statsAgg(s, d)),
+    "lateral_topn" -> ((s, d) => ExtraOps.lateralTopN(s, d)),
     "w2_window_range" -> ((s, d) => ExtraOps.windowRangeFrames(s, d)),
     "listagg_nations" -> ((s, d) => ExtraOps.listAggCustomers(s, d)),
     "latest_per_key" -> ((s, d) => ExtraOps.latestPerKey(s, d)),
@@ -351,6 +352,11 @@ object SparkEntry {
         """round(stddev_samp(l_quantity), 6) AS sd_qty, """ +
         """round(avg(l_discount), 6) AS avg_disc """ +
         """FROM lineitem GROUP BY l_returnflag"""),
+    "lateral_topn" ->
+      ("""SELECT c_custkey, o_orderkey, total_c FROM customer, """ +
+        """LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c """ +
+        """FROM orders WHERE o_custkey = c_custkey """ +
+        """ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l"""),
     "w2_window_range" ->
       ("""WITH o AS (SELECT o_orderkey, o_custkey, """ +
         """CAST(round(o_totalprice * 100) AS BIGINT) AS cents, """ +

@@ -353,6 +353,23 @@ object ExtraOps {
         col("sum_qty"))
   }
 
+  /** Correlated LATERAL subquery with LIMIT (top-2 orders per customer):
+    * Catalyst decorrelates the per-row ORDER BY … LIMIT into ONE window
+    * (rank ≤ 2) over orders plus a join — no per-customer subquery
+    * execution, the plan a hand-written topk-per-key would produce. The
+    * SQL-surface twin of [[topkPerKey]]'s DataFrame formulation. */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    tbl(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, total_c FROM customer_v,
+        | LATERAL (SELECT o_orderkey,
+        |          CAST(round(o_totalprice * 100) AS LONG) AS total_c
+        |          FROM orders_v WHERE o_custkey = c_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |""".stripMargin)
+  }
+
   /** Time-series resampling with forward fill — each user's event stream
     * regridded to an hourly lattice from their first to last observation:
     * per (user, hour) the LAST event wins (deterministic (ts, event_id)

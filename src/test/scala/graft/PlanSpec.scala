@@ -250,6 +250,14 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"), s)
   }
 
+  test("lateral top-n decorrelates to one window — no per-row subquery") {
+    val s = planString(graft.operators.ExtraOps.lateralTopN(spark, dir))
+    assert(s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles:\n$s")
+  }
+
   test("lm score: vocabulary-bounded LM tables broadcast to the probe") {
     val s = planString(graft.operators.TextOps.textLmScore(spark, dir))
     // the per-doc probe must join the (tiny) bigram/context tables as
