@@ -116,6 +116,7 @@ object SparkEntry {
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
     "sim_knn_pq" -> ((s, d) => SimilarityOps.knnPq(s, d)),
+    "sim_cluster_assign" -> ((s, d) => SimilarityOps.cellAssignments(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
     // qvec rendered as a CSV string: the driver's comparer sorts pandas
@@ -636,6 +637,15 @@ object SparkEntry {
         """SELECT vec_id, array_to_string(CASE WHEN ma = 0 THEN [CAST(0 AS BIGINT) for x in emb] """ +
         """ELSE [CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) for x in emb] END, ',') AS qvec_csv, """ +
         """ma / 127.0 AS scale FROM m"""),
+    "sim_cluster_assign" ->
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), """ +
+        """c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cn FROM n WHERE vec_id < 16), """ +
+        """s AS (SELECT n.vec_id, c.cid, list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) AS sim """ +
+        """FROM n CROSS JOIN c), """ +
+        """r AS (SELECT vec_id, cid, row_number() OVER """ +
+        """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) """ +
+        """SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM r WHERE rn = 1"""),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +

@@ -117,6 +117,61 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** The deterministic coarse quantizer shared by [[knnIvf]] and
+    * [[cellAssignments]]: centroid literals + per-row assignment
+    * expressions. Collect is bounded by the constant nCentroids; norms
+    * are folded exactly like Kernels.dotFF (index order, double acc). */
+  private case class CoarseQuantizer(centArr: Column) {
+    /** Per-row cosine to every centroid, evaluated in cent_id order. */
+    def centSims(e: Column, n: Column): Column =
+      transform(centArr, c => struct(
+        (dot(e, c.getField("c_emb")) / (n * c.getField("c_nrm"))).as("sim"),
+        c.getField("cent_id").as("cent_id")))
+    /** Argmax: strictly-greater keeps the earliest (lowest cent_id) on
+      * ties — identical tie-break to a (sim desc, cent_id asc) rank-1
+      * window. */
+    def nearestCell(e: Column, n: Column): Column =
+      aggregate(centSims(e, n),
+        struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cent_id")),
+        (acc, s) => when(s.getField("sim") > acc.getField("sim"), s)
+          .otherwise(acc))
+        .getField("cent_id")
+  }
+
+  private def coarseQuantizer(spark: SparkSession, dir: String,
+      nCentroids: Int): CoarseQuantizer = {
+    val cents: Array[(Long, Seq[Float], Double)] =
+      tbl(spark, dir, "embeddings")
+        .filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map { r =>
+          val e: Seq[Float] = r.getSeq[Float](1)
+          var s = 0.0
+          e.foreach(f => s += f.toDouble * f.toDouble)
+          (r.getLong(0), e, math.sqrt(s))
+        }.sortBy(_._1)
+    CoarseQuantizer(array(cents.map { case (id, e, cn) =>
+      struct(lit(id).as("cent_id"), typedlit(e).as("c_emb"), lit(cn).as("c_nrm"))
+    }: _*))
+  }
+
+  /** Cluster assignment as a first-class operator — the "which cell does
+    * every vector live in" map that IVF indexing, semantic-dedup
+    * bucketing, and diversity sampling all start from. Map-only, zero
+    * shuffle (the centroid set is a literal); deterministic argmax, so
+    * the DuckDB oracle replays it bit-for-bit — this puts the assignment
+    * stage of the (otherwise approximate, rows-only) ANN family under
+    * the exact hash gate. */
+  def cellAssignments(spark: SparkSession, dir: String,
+      nCentroids: Int = 16): DataFrame = {
+    val q = coarseQuantizer(spark, dir, nCentroids)
+    tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        q.nearestCell(col("embedding"), col("nrm")).as("cell"))
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer (the first nCentroids
     * vectors serve as centroids — a production system would k-means these),
     * corpus assigned to its nearest cell, queries probe the nProbe nearest
@@ -134,37 +189,10 @@ object SimilarityOps {
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    // driver-side collect is bounded by the constant nCentroids (16 rows);
-    // norms are folded exactly like Kernels.dotFF (index order, double acc)
-    val cents: Array[(Long, Seq[Float], Double)] =
-      tbl(spark, dir, "embeddings")
-        .filter(col("vec_id") < nCentroids)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map { r =>
-          val e: Seq[Float] = r.getSeq[Float](1)
-          var s = 0.0
-          e.foreach(f => s += f.toDouble * f.toDouble)
-          (r.getLong(0), e, math.sqrt(s))
-        }.sortBy(_._1)
-    val centArr = array(cents.map { case (id, e, cn) =>
-      struct(lit(id).as("cent_id"), typedlit(e).as("c_emb"), lit(cn).as("c_nrm"))
-    }: _*)
-    // per-row cosine to every centroid, evaluated in cent_id order
-    def centSims(e: Column, n: Column): Column =
-      transform(centArr, c => struct(
-        (dot(e, c.getField("c_emb")) / (n * c.getField("c_nrm"))).as("sim"),
-        c.getField("cent_id").as("cent_id")))
-    // argmax: strictly-greater keeps the earliest (lowest cent_id) on ties —
-    // identical tie-break to a (sim desc, cent_id asc) rank-1 window
-    def nearestCell(e: Column, n: Column): Column =
-      aggregate(centSims(e, n),
-        struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cent_id")),
-        (acc, s) => when(s.getField("sim") > acc.getField("sim"), s)
-          .otherwise(acc))
-        .getField("cent_id")
+    val q = coarseQuantizer(spark, dir, nCentroids)
     val cells = emb
-      .select(col("vec_id"), nearestCell(col("embedding"), col("nrm")).as("cell"),
+      .select(col("vec_id"),
+        q.nearestCell(col("embedding"), col("nrm")).as("cell"),
         col("embedding"), col("nrm"))
     // queries probe their nProbe nearest cells: sort the tiny sims array
     // (sim desc, cent_id asc) and explode the head
@@ -177,7 +205,7 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(transform(
-          slice(array_sort(centSims(col("embedding"), col("nrm")), bySimDesc),
+          slice(array_sort(q.centSims(col("embedding"), col("nrm")), bySimDesc),
             1, nProbe),
           c => c.getField("cent_id"))).as("cell"))
     val scored = cells.join(broadcast(queries),
