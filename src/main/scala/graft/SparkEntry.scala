@@ -349,9 +349,8 @@ object SparkEntry {
     "stats_agg" ->
       ("""SELECT l_returnflag, """ +
         """round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, """ +
-        """round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp, """ +
         """round(stddev_samp(l_quantity), 6) AS sd_qty, """ +
-        """round(avg(l_discount), 6) AS avg_disc """ +
+        """CAST(floor(100.0 * round(sum(l_discount) * 100, 0) / count(*)) AS BIGINT) AS avg_disc_bp """ +
         """FROM lineitem GROUP BY l_returnflag"""),
     "lateral_topn" ->
       ("""SELECT c_custkey, o_orderkey, total_c FROM customer, """ +

@@ -235,23 +235,27 @@ object ExtraOps {
       .toDF("l_returnflag", "wavg_cc")
   }
 
-  /** Statistical aggregates per group — correlation, sample covariance,
-    * sample stddev, mean. One partial+final hash aggregation (Spark's
-    * one-pass merge formulas). Determinism: corr/stddev/avg are
-    * normalized or small-magnitude continuums (6-dp rounding, error
-    * orders below the boundary); covariance is ~1e4-magnitude with
-    * ~1e-6 absolute float noise, so it rounds to 2 dp where the noise is
-    * three orders below the boundary. */
+  /** Statistical aggregates per group — correlation, sample stddev, mean.
+    * One partial+final hash aggregation (Spark's one-pass merge formulas).
+    * Determinism: corr is normalized to [−1,1] and stddev is an
+    * irrational sqrt — both in the accepted rounded-continuum (cosine)
+    * class; the mean of 2-decimal discounts is an integer rational and is
+    * emitted as floored basis points (the q1_agg pattern). Raw sample
+    * COVARIANCE of fixed-decimal data is deliberately NOT emitted: its
+    * exact value is a rational that can sit exactly on a rounding
+    * boundary, the class the Determinism note forbids (and its integer
+    * recovery n·Σxy − Σx·Σy overflows 2⁵³), while corr + stddev carry
+    * the same information normalized. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         round(corr(col("l_quantity"), col("l_extendedprice")), 6)
           .as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
-          .as("covar_qp"),
         round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"))
+        floor(lit(100.0) * round(sum(col("l_discount")) * 100, 0) /
+            count(lit(1)))
+          .cast("long").as("avg_disc_bp"))
 
   /** CUBE aggregation: all 4 grouping sets of (returnflag, linestatus) in
     * one pass — partial aggregation replicates rows per grouping set
