@@ -727,20 +727,14 @@ object TextOps {
     * of an order-dependent cross-row double sum — the COSINE determinism
     * class (boundary-collision exposure ~1e-8/doc), not tf·idf's
     * pointwise class. */
-  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents")
-    // per-doc bigram occurrences (non-distinct: the LM sees repeats)
-    val occ = docs
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
-    // the LM table is referenced twice (ctx derivation + probe join):
-    // eagerly materialize the ~vocabulary² rows once so neither reference
-    // re-runs the corpus scan + explode (dedup-job idiom)
-    val big = occ.groupBy("term").agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true)
+  /** The LM-score dataflow over a (possibly cached) occurrence relation:
+    * LM table, context counts derived from it, vocabulary size, probe. */
+  private def lmScoreFrom(spark: SparkSession, dir: String,
+      occ: DataFrame, big: DataFrame): DataFrame = {
     val ctx = big
       .groupBy(substring_index(col("term"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cw"))
-    val v = docs
+    val v = tbl(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     occ
@@ -754,6 +748,35 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logp"))
+  }
+
+  /** Per-doc bigram occurrences (non-distinct: the LM sees repeats). */
+  private def lmOccurrences(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
+
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    // occ is referenced by BOTH the LM-table aggregation and the probe
+    // join, so cached once: Catalyst shares no common subplans and an
+    // un-persisted occ would scan + explode the corpus twice; the LM
+    // table is itself referenced twice (ctx derivation + probe join) and
+    // is eagerly materialized (dedup-job idiom) — which also materializes
+    // occ's cache before the probe reads it
+    val occ = lmOccurrences(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val big = occ.groupBy("term").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val out = lmScoreFrom(spark, dir, occ, big).localCheckpoint(true)
+    occ.unpersist(true)
+    out
+  }
+
+  /** Un-materialized twin of [[textLmScore]] for plan inspection —
+    * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
+    * (identical builder, no caching). */
+  private[graft] def textLmScoreLazy(spark: SparkSession, dir: String): DataFrame = {
+    val occ = lmOccurrences(spark, dir)
+    lmScoreFrom(spark, dir, occ,
+      occ.groupBy("term").agg(count(lit(1)).as("cb")))
   }
 
   /** Deterministic stratified sampling — fixed per-(lang, decile) quotas
@@ -857,8 +880,11 @@ object TextOps {
     * reduced vocabulary. The pair list is a dedup-style JOB output —
     * eagerly materialized, intermediates released (same rationale as
     * [[dedupNgramJaccard]]). */
-  def textCosinePairs(spark: SparkSession, dir: String,
-      minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
+  /** The weighted inverted index (one row per surviving (doc, term) with
+    * tf·idf weight + windowed doc norm) — the relation the self-join
+    * reads twice. */
+  private def cosineIndex(spark: SparkSession, dir: String,
+      dfCapFrac: Int): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val tf = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
@@ -866,15 +892,18 @@ object TextOps {
     // integer cap: keep terms appearing in at most n/dfCapFrac docs
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val w = tf.join(df, "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .filter(col("df") * dfCapFrac <= col("n"))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
       .withColumn("nrm", sqrt(sum(col("w") * col("w"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val result = w.as("a").join(w.as("b"),
+  }
+
+  /** The pair dot-product over a (possibly cached) index relation. */
+  private def cosinePairsFrom(w: DataFrame, minShared: Int): DataFrame =
+    w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -884,13 +913,25 @@ object TextOps {
       .filter(col("shared") >= minShared)
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("dotp") / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+
+  def textCosinePairs(spark: SparkSession, dir: String,
+      minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
+    val w = cosineIndex(spark, dir, dfCapFrac)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // eager job semantics: both self-join sides read the SAME cached
     // index materialization instead of executing the tokenize→tf→df→
     // window pipeline twice; blocking unpersist as in dedupNgramJaccard
-    val out = result.localCheckpoint(true)
+    val out = cosinePairsFrom(w, minShared).localCheckpoint(true)
     w.unpersist(true)
     out
   }
+
+  /** Un-materialized twin of [[textCosinePairs]] for plan inspection —
+    * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
+    * (identical builder, no caching). */
+  private[graft] def textCosinePairsLazy(spark: SparkSession, dir: String,
+      minShared: Int = 10, dfCapFrac: Int = 5): DataFrame =
+    cosinePairsFrom(cosineIndex(spark, dir, dfCapFrac), minShared)
 
   /** Sequence packing — the concat-and-chunk assignment of documents to
     * fixed-length training sequences (GPT-style pretraining batches):

@@ -259,7 +259,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("lm score: vocabulary-bounded LM tables broadcast to the probe") {
-    val s = planString(graft.operators.TextOps.textLmScore(spark, dir))
+    // the lazy twin: the shipped op localCheckpoints (plan truncated)
+    val s = planString(graft.operators.TextOps.textLmScoreLazy(spark, dir))
     // the per-doc probe must join the (tiny) bigram/context tables as
     // broadcasts — a shuffle join here would re-shuffle the corpus twice
     assert(s.contains("BroadcastHashJoin"), s)
@@ -268,7 +269,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cosine pairs: inverted-index equi-joins only — no cartesian anywhere") {
-    val s = planString(graft.operators.TextOps.textCosinePairs(spark, dir))
+    // the lazy twin: the shipped op localCheckpoints, which truncates the
+    // plan and would make these assertions vacuous
+    val s = planString(graft.operators.TextOps.textCosinePairsLazy(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
     // the only nested-loop joins are the one-row corpus-count broadcasts
     // (once per self-join side; formatted explain prints each node twice)
