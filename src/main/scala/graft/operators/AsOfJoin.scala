@@ -83,12 +83,18 @@ object AsOfJoin {
     import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, PushFilterThroughAsOf}
     import org.apache.spark.sql.graft.DatasetBridge
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
+    // check-then-append under a lock: concurrent first calls on one
+    // session would otherwise both pass the contains() check and register
+    // the strategy/rule twice (harmless for results, but every subsequent
+    // plan pays the duplicate optimizer pass)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
+    }
     // no analyzer coercion runs on a hand-built node: mismatched key/time
     // types would otherwise surface as executor-side ClassCastExceptions
     // (or worse, different hash partitionings per side)
@@ -101,6 +107,14 @@ object AsOfJoin {
     }
     requireSameType("key", key, key)
     requireSameType("time", leftTime, rightTime)
+    // payload attributes are resolved by name after the projection below,
+    // so a target name colliding with the internal aliases (or another
+    // target) would silently bind the wrong attribute — fail loudly instead
+    val targets = rightCols.values.toSeq
+    require(targets.distinct.size == targets.size,
+      s"asofNative rightCols target names must be distinct: $targets")
+    require(!targets.exists(Set("_r_k", "_r_t")),
+      s"asofNative rightCols targets may not use reserved names _r_k/_r_t: $targets")
     // fresh-alias the right side so the node's output attribute ids are
     // disjoint from the left's even on a self-as-of (both frames derived
     // from one scan — the exact shape of the reference's usage)

@@ -363,15 +363,25 @@ object ExtraOps {
     * execution, the plan a hand-written topk-per-key would produce. The
     * SQL-surface twin of [[topkPerKey]]'s DataFrame formulation. */
   def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
-    tbl(spark, dir, "customer").createOrReplaceTempView("customer_v")
-    tbl(spark, dir, "orders").createOrReplaceTempView("orders_v")
-    spark.sql(
-      """SELECT c_custkey, o_orderkey, total_c FROM customer_v,
-        | LATERAL (SELECT o_orderkey,
-        |          CAST(round(o_totalprice * 100) AS LONG) AS total_c
-        |          FROM orders_v WHERE o_custkey = c_custkey
-        |          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
-        |""".stripMargin)
+    // per-call view names: temp views are session-global, so fixed names
+    // would race between concurrent queries on one session pointed at
+    // different data dirs; views resolve into the plan during analysis
+    // (inside spark.sql), so dropping them right after is safe
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val (cv, ov) = (s"customer_$tag", s"orders_$tag")
+    tbl(spark, dir, "customer").createOrReplaceTempView(cv)
+    tbl(spark, dir, "orders").createOrReplaceTempView(ov)
+    try spark.sql(
+      s"""SELECT c_custkey, o_orderkey, total_c FROM $cv,
+         | LATERAL (SELECT o_orderkey,
+         |          CAST(round(o_totalprice * 100) AS LONG) AS total_c
+         |          FROM $ov WHERE o_custkey = c_custkey
+         |          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+         |""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(cv)
+      spark.catalog.dropTempView(ov)
+    }
   }
 
   /** Time-series resampling with forward fill — each user's event stream

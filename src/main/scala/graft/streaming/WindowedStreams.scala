@@ -138,6 +138,18 @@ object WindowedStreams {
   // -------------------------------------------------------------------------
   // Streaming near-dup suppression — the incremental twin of
   // TextOps.lshNearDupPairs: a stateful MinHash-band blacklist.
+  //
+  // CHECKPOINT COMPATIBILITY: the state schemas below changed incompatibly
+  // when exact verification landed (suppressNearDups: BucketOwner ->
+  // BucketOwners; nearDupHitLog's BucketOwner gained the `sh` field). A
+  // checkpoint written by the pre-verification operators cannot be
+  // restarted across that change — state deserialization fails (or worse,
+  // misreads). Same class of break the alerts pipeline handles by
+  // splitting checkpoint dirs per mode (StreamPipeline.checkpointDirFor):
+  // callers upgrading a live query must point the restarted query at a
+  // FRESH checkpointLocation and accept the one-TTL warm-up (the blacklist
+  // re-learns claimants; the reference's in-memory blacklist forgets on
+  // every restart, so this is strictly no worse than reference semantics).
   // -------------------------------------------------------------------------
 
   /** One incoming document exploded onto a MinHash band bucket. `sh` is
@@ -284,11 +296,20 @@ object WindowedStreams {
     * remembered claimants). Single band by default: suppression
     * needs ONE verdict per doc, and one band = one bucket = one state
     * row — multi-band OR-semantics belong to [[nearDupHitLog]], whose
-    * output is per-collision rather than per-doc. */
+    * output is per-collision rather than per-doc.
+    *
+    * LRU means hits refresh recency: a claimant that keeps matching
+    * (suppressing) newcomers moves back to the tail of the owner list, so
+    * the evicted-at-cap owner is the least-recently-MATCHED, not merely
+    * the oldest-admitted — a hot duplicate source stays suppressible
+    * indefinitely. */
   def suppressNearDups(docs: DataFrame, tsCol: String = "ts",
       watermark: String = "10 minutes",
       ttlMs: Long = 24L * 3600 * 1000,
       threshold: Double = 0.5, maxOwners: Int = 8): Dataset[NovelDoc] = {
+    require(maxOwners >= 1,
+      s"maxOwners must be >= 1 (got $maxOwners): a bucket that remembers " +
+        "no claimants can never suppress anything")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
@@ -310,12 +331,18 @@ object WindowedStreams {
             var owners = state.getOption.map(_.owners).getOrElse(Nil)
             batch.foreach { d =>
               // claimed (this or an earlier batch) AND verified → suppress
-              if (!owners.exists(o => similar(o.sh, d.sh, threshold))) {
-                out += NovelDoc(d.doc_id, d.text, d.ts)
-                // LRU at the cap: evict the oldest claimant so the NEW
-                // doc's later duplicates stay suppressible
-                owners = (if (owners.length < maxOwners) owners
-                  else owners.tail) :+ OwnerSig(d.doc_id, d.sh)
+              owners.find(o => similar(o.sh, d.sh, threshold)) match {
+                case Some(hit) =>
+                  // true LRU: the matched claimant is the most recently
+                  // USED — refresh its position so a hot duplicate source
+                  // is never the eviction victim
+                  owners = owners.filterNot(_ eq hit) :+ hit
+                case None =>
+                  out += NovelDoc(d.doc_id, d.text, d.ts)
+                  // evict the least-recently-used claimant at the cap so
+                  // the NEW doc's later duplicates stay suppressible
+                  owners = (if (owners.length < maxOwners) owners
+                    else owners.tail) :+ OwnerSig(d.doc_id, d.sh)
               }
             }
             val maxEventMs = batch.map(_.ts.getTime).max

@@ -228,6 +228,57 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup blacklist LRU: a suppression hit refreshes the claimant's recency") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    // three mutually-dissimilar docs sharing the band-0 bucket: base's two
+    // minhash minima survive in both supersets (asserted below)
+    val base = "alpha beta gamma delta epsilon"
+    val collider = "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu"
+    val collider2 = "alpha beta gamma delta epsilon nu xi omicron pi rho sigma"
+    locally {
+      import graft.operators.TextOps
+      import org.apache.spark.sql.functions._
+      val bucket = (text: String) => {
+        val sh = TextOps.shingles(lit(text))
+        val mins = TextOps.minhashParams.take(2).map { case (a, b) =>
+          array_min(transform(sh,
+            s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
+        }
+        spark.range(1).select(concat_ws("_", mins: _*)).head.getString(0)
+      }
+      assert(bucket(base) === bucket(collider) &&
+        bucket(base) === bucket(collider2),
+        "spec precondition: all three docs must share the band-0 bucket")
+    }
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.suppressNearDups(src.toDF(), maxOwners = 2)
+    val q = out.writeStream.format("memory").queryName("nddlru2")
+      .outputMode("append").start()
+    try {
+      src.addData(DocEv(t(1), 1, base))        // owners [1]
+      q.processAllAvailable()
+      src.addData(DocEv(t(11), 2, collider))   // dissimilar → owners [1,2]
+      q.processAllAvailable()
+      // copy of doc 1: suppressed, and the HIT must move owner 1 to the
+      // recent end — owners [2,1]
+      src.addData(DocEv(t(21), 3, base))
+      q.processAllAvailable()
+      // third dissimilar claimant at cap 2: evicts the least-recently-USED
+      // owner, which after the refresh is doc 2 (FIFO would evict doc 1)
+      src.addData(DocEv(t(31), 4, collider2))  // owners [1,4]
+      q.processAllAvailable()
+      // copy of doc 1: STILL suppressed (the refresh saved it); copy of
+      // doc 2: re-admitted (it was the eviction victim)
+      src.addData(DocEv(t(41), 5, base), DocEv(t(42), 6, collider))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT doc_id FROM nddlru2").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted === Set(1L, 2L, 4L, 6L), emitted)
+    } finally q.stop()
+  }
+
   test("near-dup hit log emits (owner, newcomer) pairs for band collisions") {
     val spark2 = spark
     import spark2.implicits._
