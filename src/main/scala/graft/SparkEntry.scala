@@ -82,6 +82,12 @@ object SparkEntry {
     "latest_per_key" -> ((s, d) => ExtraOps.latestPerKey(s, d)),
     "q18_big_orders" -> ((s, d) => ExtraOps.q18BigOrders(s, d)),
     "q21_waiting" -> ((s, d) => ExtraOps.q21WaitingSupplier(s, d)),
+    "q10_returned" -> ((s, d) => StarOps.q10Returned(s, d)),
+    "q14_promo_bp" -> ((s, d) => StarOps.q14PromoBp(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => StarOps.q16SupplierCnt(s, d)),
+    "q19_disjunctive" -> ((s, d) => StarOps.q19Disjunct(s, d)),
+    "w3_window_nav" -> ((s, d) => ExtraOps.windowNav(s, d)),
+    "grouping_sets" -> ((s, d) => ExtraOps.groupingSetsAgg(s, d)),
     "ts_resample" -> ((s, d) => ExtraOps.tsResample(s, d)),
     "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
     "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
@@ -92,6 +98,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, d) => TextOps.minhashSignatures(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
     "text_quality" -> ((s, d) => TextOps.textQuality(s, d)),
@@ -189,6 +196,21 @@ object SparkEntry {
        |h AS (SELECT doc_id, ${weakHashSql("s")} AS hv FROM t),
        |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash16 FROM b""".stripMargin
+  }
+
+  /** The 32-bit sign-projection simhash (TextOps.simhash32) in DuckDB
+    * SQL — same universal-hash params, same 2·h > p sign test. */
+  private def simhash32Sql: String = {
+    val bitSums = TextOps.simhash32Params.zipWithIndex.map { case ((a, b), j) =>
+      s"CAST(SUM(CASE WHEN (($a*hv + $b) % ${TextOps.MOD}) * 2 > ${TextOps.MOD} " +
+        s"THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
+    }.mkString(", ")
+    val combine = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+       |h AS (SELECT doc_id, ${weakHashSql("s")} AS hv FROM t),
+       |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash32 FROM b""".stripMargin
   }
 
   private def minhashSql: String = {
@@ -399,6 +421,57 @@ object SparkEntry {
         """FROM ps JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey """ +
         """WHERE ps.late = 1 AND po.nsupp >= 2 AND po.nlate = 1 """ +
         """GROUP BY s_suppkey, s_name"""),
+    "q10_returned" ->
+      ("""SELECT c_custkey, c_name, n_name, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_dm """ +
+        """FROM lineitem JOIN orders ON l_orderkey = o_orderkey """ +
+        """JOIN customer ON o_custkey = c_custkey """ +
+        """JOIN nation ON c_nationkey = n_nationkey """ +
+        """WHERE l_returnflag = 'R' """ +
+        """AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' """ +
+        """GROUP BY c_custkey, c_name, n_name """ +
+        """ORDER BY revenue_dm DESC, c_custkey LIMIT 20"""),
+    "q14_promo_bp" ->
+      ("""WITH j AS (SELECT p_type, l_extendedprice * (1 - l_discount) AS rev """ +
+        """FROM lineitem JOIN part ON l_partkey = p_partkey """ +
+        """WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'), """ +
+        """a AS (SELECT """ +
+        """CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 10000) AS BIGINT) AS promo_dm, """ +
+        """CAST(round(sum(rev) * 10000) AS BIGINT) AS total_dm FROM j) """ +
+        """SELECT promo_dm, total_dm, """ +
+        """CAST(floor(10000.0 * promo_dm / total_dm) AS BIGINT) AS promo_share_bp FROM a"""),
+    "q16_supplier_cnt" ->
+      ("""SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt """ +
+        """FROM lineitem JOIN part ON l_partkey = p_partkey """ +
+        """WHERE p_brand <> 'Brand#1' GROUP BY p_brand, p_type"""),
+    "q19_disjunctive" ->
+      ("""SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_dm, """ +
+        """count(*) AS n_lines """ +
+        """FROM lineitem JOIN part ON l_partkey = p_partkey """ +
+        """WHERE l_quantity >= 1 AND l_quantity <= 30 """ +
+        """AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) """ +
+        """OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) """ +
+        """OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""),
+    "w3_window_nav" ->
+      ("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, """ +
+        """CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders), """ +
+        """w AS (SELECT o_orderkey, o_custkey, total_c, """ +
+        """lag(total_c, 1) OVER win AS prev_c, """ +
+        """lead(total_c, 1) OVER win AS next_c, """ +
+        """first_value(total_c) OVER win AS first_c, """ +
+        """row_number() OVER win AS rn, """ +
+        """count(*) OVER (PARTITION BY o_custkey) AS n FROM o """ +
+        """WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) """ +
+        """SELECT o_orderkey, o_custkey, total_c, prev_c, next_c, first_c, """ +
+        """CASE WHEN n = 1 THEN 0 ELSE CAST(floor(10000.0 * (rn - 1) / (n - 1)) AS BIGINT) END AS pos_bp """ +
+        """FROM w"""),
+    "grouping_sets" ->
+      ("""SELECT l_returnflag, l_linestatus, """ +
+        """CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, """ +
+        """CAST(grouping(l_linestatus) AS BIGINT) AS g_ls, """ +
+        """CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, count(*) AS n """ +
+        """FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), """ +
+        """(l_returnflag), (l_linestatus), ())"""),
     "ts_resample" ->
       ("""WITH e AS (SELECT user_id, ts, event_id, """ +
         """CAST(round(value * 100) AS BIGINT) AS value_c, """ +
@@ -498,6 +571,15 @@ object SparkEntry {
         """FROM reach GROUP BY src"""),
     "dedup_minhash_sig" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" ->
+      // all-pairs popcount over the shared signature definition: the
+      // banded Spark plan is EXACT at radius 3 (pigeonhole over 4 bands),
+      // so the brute-force oracle replays it row-for-row
+      (s"""WITH sa AS ($simhash32Sql), sb AS ($simhash32Sql) """ +
+        """SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, """ +
+        """CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS BIGINT) AS hamming """ +
+        """FROM sa JOIN sb ON sa.doc_id < sb.doc_id """ +
+        """WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3"""),
     "text_tokens" ->
       ("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, """ +
         """CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, """ +

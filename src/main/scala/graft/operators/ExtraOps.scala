@@ -426,6 +426,56 @@ object ExtraOps {
     * form directly, so the plan is two keyed aggregations and a semi-ish
     * join of tiny survivor sets rather than two correlated subquery scans
     * of lineitem. */
+  /** Navigation window functions — lag/lead/first_value plus a rank-based
+    * percent position, per customer ordered by (date, key): the full
+    * offset-function family over ONE window spec, so the plan is a single
+    * shuffle on the partition key and one sort within it — N offset
+    * columns never cost N windows. percent position is integer math
+    * (floored bp of (rn−1)/(n−1)) — rank ties can't exist under the
+    * keyed ordering and the division never touches doubles. */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    val ord = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_c"))
+    ord
+      .withColumn("prev_c", lag(col("total_c"), 1).over(w))
+      .withColumn("next_c", lead(col("total_c"), 1).over(w))
+      .withColumn("first_c", first(col("total_c")).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("o_orderkey"), col("o_custkey"), col("total_c"),
+        col("prev_c"), col("next_c"), col("first_c"),
+        when(col("n") === 1, 0L).otherwise(
+          floor(lit(10000) * (col("rn") - 1) / (col("n") - 1))).cast("long")
+          .as("pos_bp"))
+  }
+
+  /** GROUPING SETS — the general form cube/rollup specialize: an explicit
+    * set list with per-column GROUPING flags so downstream readers can
+    * tell a real NULL group from a rolled-up one. SQL surface (Spark and
+    * DuckDB share the syntax verbatim); per-call temp view names as in
+    * [[lateralTopN]]. One Expand + one aggregation — four set shapes
+    * never cost four scans. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    tbl(spark, dir, "lineitem").createOrReplaceTempView(v)
+    try spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+         |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+         |  count(*) AS n
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), (l_linestatus), ())
+         |""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val perSupp = tbl(spark, dir, "lineitem")
       .join(tbl(spark, dir, "orders"),

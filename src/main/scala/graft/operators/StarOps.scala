@@ -170,6 +170,96 @@ object StarOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .limit(20)
 
+  /** Q10-style returned-item report: revenue lost to returns, per
+    * customer, top 20. Return-flag + date filters push into the scans;
+    * the heavy join is lineitem⋈orders (both SF-scaling, shuffle on the
+    * order key); customer carries no hint (AQE broadcasts it only while
+    * small) and nation (25 rows) broadcasts explicitly. The LIMIT rides
+    * a deterministic integer ordering (revenue, then key), so top-20
+    * membership can't float-flip — and plans as TakeOrderedAndProject,
+    * never a global sort. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = tbl(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = tbl(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+        .cast("long").as("revenue_dm"))
+      .orderBy(col("revenue_dm").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14-style promotion-revenue share: one fact⋈dim join and ONE pass —
+    * both the promo-conditional sum and the total ride the same
+    * aggregation (no second scan), and the share is integer division of
+    * two exact-recovered decimal sums in floored basis points. */
+  def q14PromoBp(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = tbl(spark, dir, "part").select("p_partkey", "p_type")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) * 10000, 0).cast("long").as("promo_dm"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+          .cast("long").as("total_dm"))
+      .select(col("promo_dm"), col("total_dm"),
+        floor(lit(10000.0) * col("promo_dm") / col("total_dm")).cast("long")
+          .as("promo_share_bp"))
+  }
+
+  /** Q16-style supplier-count-per-part-class: exact COUNT(DISTINCT) per
+    * (brand, type) — the two-phase distinct aggregation (partial distinct
+    * within partitions, exact count after one shuffle on the group key),
+    * with the excluded brand's filter pushed into the dimension scan
+    * before the join. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val part = tbl(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1")
+      .select("p_partkey", "p_brand", "p_type")
+    val li = tbl(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q19-style disjunctive-predicate join: an OR of three
+    * (brand, size-range, quantity-range) conjunctions. The residual OR
+    * can't become a join key, but its brand/size disjunction PUSHES DOWN
+    * to the part scan and the quantity bound to the lineitem scan — the
+    * point of the shape: a disjunction is not an excuse for a full scan
+    * on either side. */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = tbl(spark, dir, "part")
+      .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)))
+      .select("p_partkey", "p_brand", "p_size")
+    li.join(part, col("l_partkey") === col("p_partkey") &&
+        ((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+         (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+         (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30))))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+          .cast("long").as("revenue_dm"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** S3 — catalog scan + broadcast dimension join chain (customers per
     * region through nation → region). */
   def s3CatalogJoin(spark: SparkSession, dir: String): DataFrame = {

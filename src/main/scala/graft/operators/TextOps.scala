@@ -387,6 +387,70 @@ object TextOps {
           .reduce(_ + _).as("simhash16"))
   }
 
+  /** Sign-projection parameters for the 32-bit simhash: 32 universal
+    * hashes (a·x + b mod p) over the token's [[weakHash]], each bit set
+    * by the SIGN of the per-doc ±1 vote sum. [[simhash]]'s direct
+    * bit-slicing of weakHash is fine for a compact signature column, but
+    * weakHash's range is only a few thousand, so its high bits are
+    * near-constant — useless for BANDING. The projections re-randomize
+    * every bit uniformly over p (integer math both engines replay
+    * exactly; products stay ≤ 2^40, far under the ANSI overflow line). */
+  private[graft] val simhash32Params: IndexedSeq[(Long, Long)] =
+    (0 until 32).map(j => (104729L * (j + 1) % MOD, 15485863L * (j + 7) % MOD))
+
+  /** 32-bit sign-projection simhash per doc (see [[simhash32Params]]). */
+  def simhash32(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("hv", weakHash(col("t")))
+    val bitSums = simhash32Params.zipWithIndex.map { case ((a, b), j) =>
+      // 2·h > p avoids a halved threshold's rounding question entirely
+      sum(when(((lit(a) * col("hv") + lit(b)) % MOD) * 2 > MOD, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash32"))
+  }
+
+  /** SimHash near-dup PAIRS — banded Hamming search over the 32-bit
+    * [[simhash32]] signatures, EXACT for the default radius: the
+    * signature splits into 4 disjoint 8-bit bands, and a pair within
+    * Hamming distance 3 cannot corrupt all 4 bands (pigeonhole), so
+    * every qualifying pair shares at least one intact band and
+    * bucket-joining per band has perfect recall — candidates are then
+    * verified with a popcount on the XOR, so precision is exact too.
+    * The banded join is the scale shape (bucket-local self-join, never
+    * all-pairs; 256 keys per band spread the corpus); a pair colliding
+    * in several bands is deduplicated by the distinct on the id pair.
+    * Requires maxHamming < 4 to keep the recall proof; the verify keeps
+    * arbitrary radii correct but recall drops above it. */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"banded recall is exact only below 4 corrupted bands (got $maxHamming)")
+    val sig = simhash32(spark, dir)
+    val banded = sig.select(col("doc_id"), col("simhash32"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash32"), b * 8).bitwiseAND(255).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash32"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash32").as("sig_a"), col("b.simhash32").as("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** MinHash-LSH banded candidate generation + exact Jaccard verify: the
     * approximate-fast-path near-dup operator (2 bands × 2 rows over the
     * 4-hash signature). Output shape matches dedupNgramJaccard but recall
