@@ -124,6 +124,7 @@ object SparkEntry {
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
     "sim_knn_pq" -> ((s, d) => SimilarityOps.knnPq(s, d)),
     "sim_cluster_assign" -> ((s, d) => SimilarityOps.cellAssignments(s, d)),
+    "sim_kmeans_step" -> ((s, d) => SimilarityOps.kmeansStep(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
     // qvec rendered as a CSV string: the driver's comparer sorts pandas
@@ -727,6 +728,20 @@ object SparkEntry {
         """r AS (SELECT vec_id, cid, row_number() OVER """ +
         """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) """ +
         """SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM r WHERE rn = 1"""),
+    "sim_kmeans_step" ->
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), """ +
+        """c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cn FROM n WHERE vec_id < 16), """ +
+        """s AS (SELECT n.vec_id, c.cid, list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) AS sim """ +
+        """FROM n CROSS JOIN c), """ +
+        """r AS (SELECT vec_id, cid, row_number() OVER """ +
+        """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s), """ +
+        """a AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1), """ +
+        """x AS (SELECT a.cell, unnest([{'dim': i, 'v': emb[i + 1]} for i in """ +
+        """range(0, len(emb))]) AS u FROM a JOIN e USING (vec_id)) """ +
+        """SELECT CAST(cell AS BIGINT) AS cell, CAST(u.dim AS BIGINT) AS dim, """ +
+        """count(*) AS n_vecs, round(avg(u.v), 6) AS centroid_r6 """ +
+        """FROM x GROUP BY 1, 2"""),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +

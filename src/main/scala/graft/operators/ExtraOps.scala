@@ -437,7 +437,11 @@ object ExtraOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val wAll = Window.partitionBy(col("o_custkey"))
+    // the partition count uses the SAME ordered spec with an explicit
+    // full-partition frame: a separate unordered Window spec (same keys,
+    // no sort) plans a second Exchange instead of riding this one —
+    // PlanSpec pins the single-shuffle shape
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ord = tbl(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         round(col("o_totalprice") * 100, 0).cast("long").as("total_c"))

@@ -172,6 +172,34 @@ object SimilarityOps {
         q.nearestCell(col("embedding"), col("nrm")).as("cell"))
   }
 
+  /** One k-means (Lloyd) UPDATE step over the IVF cells — the training
+    * loop the coarse quantizer's scaladoc defers to ("a production system
+    * would k-means these"): every vector is assigned to its nearest cell
+    * (the same map-only literal-centroid argmax as [[cellAssignments]]),
+    * then each cell's new centroid is the per-dimension mean of its
+    * members. Emitted LONG (cell, dim) keyed — scalar columns only, per
+    * the array-column comparer rule — with the member count riding along
+    * so a driver loop can weight or detect empty cells.
+    *
+    * Scale shape: assignment is map-only (zero shuffle); the update is
+    * ONE keyed aggregation over (cell, dim) — nCentroids·d groups (512
+    * here), partial map-side combine, tiny shuffle. An iterating trainer
+    * re-inlines the emitted centroids and repeats; nothing in the loop
+    * grows with the corpus. avg is a cross-row double sum (cosine
+    * determinism class): rounded to 6 dp. */
+  def kmeansStep(spark: SparkSession, dir: String,
+      nCentroids: Int = 16): DataFrame = {
+    val q = coarseQuantizer(spark, dir, nCentroids)
+    tbl(spark, dir, "embeddings")
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("embedding"),
+        q.nearestCell(col("embedding"), col("nrm")).as("cell"))
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("col").cast("double")), 6).as("centroid_r6"))
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer (the first nCentroids
     * vectors serve as centroids — a production system would k-means these),
     * corpus assigned to its nearest cell, queries probe the nProbe nearest

@@ -281,6 +281,74 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 8, s)
   }
 
+  test("q19: the brand/size disjunction pushes into the part scan") {
+    val s = planString(StarOps.q19Disjunct(spark, dir))
+    // the OR-of-conjunctions must reach PushedFilters as an Or — a
+    // disjunction is not an excuse for an unfiltered dimension scan
+    val scanInfo = s.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scanInfo.contains("Or"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q10: top-20 plans as TakeOrderedAndProject, nation broadcasts") {
+    val s = planString(StarOps.q10Returned(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("window nav: all offset columns share ONE partition shuffle") {
+    val s = planString(graft.operators.ExtraOps.windowNav(spark, dir))
+    // lag/lead/first/row_number/count all ride one (o_custkey) exchange —
+    // count node-detail headers only (the tree section prints each node a
+    // second time as "+- Exchange (n)")
+    val exchanges = s.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$s")
+  }
+
+  test("grouping sets: four set shapes cost one Expand + one agg pass, not four scans") {
+    val s = planString(graft.operators.ExtraOps.groupingSetsAgg(spark, dir))
+    assert(s.contains("Expand"), s)
+    assert(s.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*")) <= 1, s)
+  }
+
+  test("simhash pairs: banded bucket equi-join — no cartesian, no all-pairs") {
+    val s = planString(graft.operators.TextOps.simhashPairs(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("runtime bloom filter prunes the fact side of a non-broadcast join") {
+    // The 100 TB fact⋈fact shape: when the selective side is too big to
+    // broadcast, Spark 4's runtime bloom filter (default-on) builds a
+    // bloom_filter_agg over the filtered side's join keys and row-prunes
+    // the big scan before the shuffle. Local datasets never cross the
+    // default 10 GB application-side threshold, so the thresholds are
+    // lowered HERE only — the capability, not a config trick, is what the
+    // engine relies on at scale.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevScan = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      import org.apache.spark.sql.functions._
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 450000)
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val s = planString(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey").agg(sum("l_quantity")))
+      assert(s.contains("bloom_filter_agg"), s)
+      assert(s.contains("might_contain"), s)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevScan.foreach(conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", _))
+    }
+  }
+
   test("pq knn: code index joins broadcast queries — corpus never shuffle-joined") {
     val s = planString(SimilarityOps.knnPq(spark, dir))
     assert(!s.contains("SortMergeJoin"), s)
