@@ -83,6 +83,10 @@ object SparkEntry {
     "q18_big_orders" -> ((s, d) => ExtraOps.q18BigOrders(s, d)),
     "q21_waiting" -> ((s, d) => ExtraOps.q21WaitingSupplier(s, d)),
     "q10_returned" -> ((s, d) => StarOps.q10Returned(s, d)),
+    "q8_market_share" -> ((s, d) => StarOps.q8MarketShare(s, d)),
+    "q11_important_parts" -> ((s, d) => StarOps.q11ImportantParts(s, d)),
+    "q15_top_supplier" -> ((s, d) => StarOps.q15TopSupplier(s, d)),
+    "q22_idle_balance" -> ((s, d) => StarOps.q22IdleBalance(s, d)),
     "q14_promo_bp" -> ((s, d) => StarOps.q14PromoBp(s, d)),
     "q16_supplier_cnt" -> ((s, d) => StarOps.q16SupplierCnt(s, d)),
     "q19_disjunctive" -> ((s, d) => StarOps.q19Disjunct(s, d)),
@@ -432,6 +436,41 @@ object SparkEntry {
         """AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' """ +
         """GROUP BY c_custkey, c_name, n_name """ +
         """ORDER BY revenue_dm DESC, c_custkey LIMIT 20"""),
+    "q8_market_share" ->
+      ("""WITH cn AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey """ +
+        """WHERE r_name = 'ASIA'), """ +
+        """c AS (SELECT c_custkey FROM customer JOIN cn ON c_nationkey = n_nationkey), """ +
+        """y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, """ +
+        """CAST(round(sum(CASE WHEN s_nationkey = 0 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000) AS BIGINT) AS nation_dm, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS total_dm """ +
+        """FROM lineitem JOIN orders ON l_orderkey = o_orderkey """ +
+        """JOIN c ON o_custkey = c_custkey """ +
+        """JOIN supplier ON l_suppkey = s_suppkey """ +
+        """WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' """ +
+        """GROUP BY 1) """ +
+        """SELECT o_year, nation_dm, total_dm, """ +
+        """CAST(floor(10000.0 * nation_dm / total_dm) AS BIGINT) AS share_bp FROM y"""),
+    "q11_important_parts" ->
+      ("""WITH p AS (SELECT l_partkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty """ +
+        """FROM lineitem GROUP BY l_partkey), """ +
+        """t AS (SELECT sum(sum_qty) AS total_qty, count(*) AS n_parts FROM p) """ +
+        """SELECT l_partkey, sum_qty FROM p, t """ +
+        """WHERE sum_qty * n_parts * 100 > total_qty * 120"""),
+    "q15_top_supplier" ->
+      ("""WITH rev AS (SELECT l_suppkey, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_dm """ +
+        """FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' """ +
+        """GROUP BY l_suppkey), """ +
+        """m AS (SELECT max(revenue_dm) AS max_dm FROM rev) """ +
+        """SELECT s_suppkey, s_name, revenue_dm FROM rev, m """ +
+        """JOIN supplier ON l_suppkey = s_suppkey WHERE revenue_dm = max_dm"""),
+    "q22_idle_balance" ->
+      ("""WITH c AS (SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c FROM customer), """ +
+        """a AS (SELECT sum(acctbal_c) AS sum_c, count(*) AS n_pos FROM c WHERE acctbal_c > 0) """ +
+        """SELECT c_custkey, c_name, acctbal_c FROM c, a """ +
+        """WHERE acctbal_c * n_pos > sum_c """ +
+        """AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey """ +
+        """AND o_orderdate >= TIMESTAMP '2000-01-01')"""),
     "q14_promo_bp" ->
       ("""WITH j AS (SELECT p_type, l_extendedprice * (1 - l_discount) AS rev """ +
         """FROM lineitem JOIN part ON l_partkey = p_partkey """ +

@@ -260,6 +260,114 @@ object StarOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q8-style market share: one supplier nation's share of yearly revenue
+    * into one customer region, in floored basis points per year. The
+    * conditional share rides the SAME yearly aggregation as the total
+    * (no second pass); the nation/region dimension chain broadcasts; the
+    * share is integer division of two exact-recovered decimal sums. */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      nationKey: Int = 0): DataFrame = {
+    val custNation = tbl(spark, dir, "nation")
+      .join(broadcast(tbl(spark, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val cust = tbl(spark, dir, "customer")
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val ord = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = tbl(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = tbl(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        round(sum(when(col("s_nationkey") === nationKey,
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))) * 10000, 0).cast("long").as("nation_dm"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+          .cast("long").as("total_dm"))
+      .select(col("o_year"), col("nation_dm"), col("total_dm"),
+        floor(lit(10000.0) * col("nation_dm") / col("total_dm")).cast("long")
+          .as("share_bp"))
+  }
+
+  /** Q11-style important-part filter: parts whose total shipped quantity
+    * exceeds `pctOverMean`% above the MEAN part's — a keyed aggregation
+    * guarded by a one-row scalar aggregate that joins in as a broadcast,
+    * with the threshold as exact integer cross-multiplication (no
+    * fraction or average ever becomes a double). Relative-to-mean, not
+    * fraction-of-global: a fixed global share (TPC-H's literal form)
+    * empties as the part count grows — 0.01% of the total means 2× the
+    * mean at 20k parts but 200× at 2M — where "K× the mean" selects the
+    * same tail at every SF. The schema has no partsupp, so lineitem is
+    * both sides' source — the "aggregate, then join the one-row scalar"
+    * plan shape is the point. */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+      pctOverMean: Long = 20): DataFrame = {
+    val li = tbl(spark, dir, "lineitem").select("l_partkey", "l_quantity")
+    val perPart = li.groupBy("l_partkey")
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"))
+    val total = perPart.agg(sum(col("sum_qty")).as("total_qty"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      // qty > (1 + pct/100)·(total/n) ⟺ qty·n·100 > total·(100+pct)
+      .filter(col("sum_qty") * col("n_parts") * 100 >
+        col("total_qty") * (100 + pctOverMean))
+      .select(col("l_partkey"), col("sum_qty"))
+  }
+
+  /** Q15-style top supplier: supplier(s) achieving the maximum revenue in
+    * a quarter — max-of-aggregates via a one-row scalar joined back on
+    * exact integer equality (ties all surface, no LIMIT-on-float risk).
+    * The revenue relation feeds both the max and the final equi-join; on
+    * a 100 TB run it would be a cached/reused exchange, here the graph is
+    * tiny (one row per supplier). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+        .cast("long").as("revenue_dm"))
+    val maxRev = rev.agg(max(col("revenue_dm")).as("max_dm"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("revenue_dm") === col("max_dm"))
+      .join(tbl(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_dm"))
+  }
+
+  /** Q22-style idle-balance customers: above-average account balance and
+    * no RECENT orders — a global scalar threshold (exact integer
+    * cross-multiplication: balance·n > sum, never a double average) plus
+    * a left-anti join against the recent slice of orders (every customer
+    * in this data has SOME order, so the window is what makes "idle"
+    * non-vacuous; the date filter pushes into the anti-join's scan). */
+  def q22IdleBalance(spark: SparkSession, dir: String,
+      since: String = "2000-01-01"): DataFrame = {
+    val cust = tbl(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("acctbal_c"))
+    val avgPos = cust.filter(col("acctbal_c") > 0)
+      .agg(sum(col("acctbal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+    val recent = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgPos))
+      // acctbal > avg ⟺ acctbal_c·n_pos > sum_c (exact longs)
+      .filter(col("acctbal_c") * col("n_pos") > col("sum_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("acctbal_c"))
+  }
+
   /** S3 — catalog scan + broadcast dimension join chain (customers per
     * region through nation → region). */
   def s3CatalogJoin(spark: SparkSession, dir: String): DataFrame = {
