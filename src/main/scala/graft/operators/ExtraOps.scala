@@ -109,18 +109,17 @@ object ExtraOps {
 
   /** SQL-API entry (TPC-H Q6 shape): revenue from discounted small lots —
     * exercises spark.sql + temp views end to end. */
-  def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
-    tbl(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    spark.sql(
-      """SELECT CAST(round(sum(l_extendedprice * l_discount) * 10000, 0) AS LONG)
-        |  AS revenue_dm
-        |FROM lineitem_v
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24
-        |""".stripMargin)
-  }
+  def sqlQ6(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark, "lineitem" -> tbl(spark, dir, "lineitem")) { v =>
+      s"""SELECT CAST(round(sum(l_extendedprice * l_discount) * 10000, 0) AS LONG)
+         |  AS revenue_dm
+         |FROM ${v("lineitem")}
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24
+         |""".stripMargin
+    }
 
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition;
@@ -137,31 +136,30 @@ object ExtraOps {
   /** Correlated EXISTS (TPC-H Q4 shape): orders with ≥1 late lineitem,
     * counted per priority — exercises Catalyst's subquery decorrelation
     * (rewritten to a left-semi join; no per-row subquery execution). */
-  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
-    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
-    tbl(spark, dir, "orders").createOrReplaceTempView("ord_v")
-    spark.sql(
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM ord_v
-        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM li_v
-        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        |GROUP BY o_orderpriority""".stripMargin)
-  }
+  def q4Exists(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "li" -> tbl(spark, dir, "lineitem"),
+      "ord" -> tbl(spark, dir, "orders")) { v =>
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM ${v("ord")}
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM ${v("li")}
+         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         |GROUP BY o_orderpriority""".stripMargin
+    }
 
   /** Correlated scalar subquery (TPC-H Q17 shape): revenue of small-lot
     * lineitems below 20% of their part's average quantity — decorrelates
     * to an aggregate + join. Exact-integer output. */
-  def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
-    spark.sql(
-      """SELECT CAST(round(sum(l_extendedprice) * 100, 0) AS LONG) AS total_c,
-        |       count(*) AS n
-        |FROM li_v outer_li
-        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM li_v
-        |                    WHERE l_partkey = outer_li.l_partkey)""".stripMargin)
-  }
+  def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark, "li" -> tbl(spark, dir, "lineitem")) { v =>
+      s"""SELECT CAST(round(sum(l_extendedprice) * 100, 0) AS LONG) AS total_c,
+         |       count(*) AS n
+         |FROM ${v("li")} outer_li
+         |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM ${v("li")}
+         |                    WHERE l_partkey = outer_li.l_partkey)""".stripMargin
+    }
 
   /** Custom typed Aggregator: quantity-weighted average extended price.
     * Buffer = (Σ price·qty, Σ qty); finish recovers exact integer cents
@@ -362,27 +360,17 @@ object ExtraOps {
     * (rank ≤ 2) over orders plus a join — no per-customer subquery
     * execution, the plan a hand-written topk-per-key would produce. The
     * SQL-surface twin of [[topkPerKey]]'s DataFrame formulation. */
-  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
-    // per-call view names: temp views are session-global, so fixed names
-    // would race between concurrent queries on one session pointed at
-    // different data dirs; views resolve into the plan during analysis
-    // (inside spark.sql), so dropping them right after is safe
-    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
-    val (cv, ov) = (s"customer_$tag", s"orders_$tag")
-    tbl(spark, dir, "customer").createOrReplaceTempView(cv)
-    tbl(spark, dir, "orders").createOrReplaceTempView(ov)
-    try spark.sql(
-      s"""SELECT c_custkey, o_orderkey, total_c FROM $cv,
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "customer" -> tbl(spark, dir, "customer"),
+      "orders" -> tbl(spark, dir, "orders")) { v =>
+      s"""SELECT c_custkey, o_orderkey, total_c FROM ${v("customer")},
          | LATERAL (SELECT o_orderkey,
          |          CAST(round(o_totalprice * 100) AS LONG) AS total_c
-         |          FROM $ov WHERE o_custkey = c_custkey
+         |          FROM ${v("orders")} WHERE o_custkey = c_custkey
          |          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
-         |""".stripMargin)
-    finally {
-      spark.catalog.dropTempView(cv)
-      spark.catalog.dropTempView(ov)
+         |""".stripMargin
     }
-  }
 
   /** Time-series resampling with forward fill — each user's event stream
     * regridded to an hourly lattice from their first to last observation:
@@ -453,9 +441,11 @@ object ExtraOps {
       .withColumn("n", count(lit(1)).over(wAll))
       .select(col("o_orderkey"), col("o_custkey"), col("total_c"),
         col("prev_c"), col("next_c"), col("first_c"),
+        // rn is IntegerType: the multiplication must widen FIRST or a
+        // partition beyond ~214k rows overflows 32-bit (ANSI throw)
         when(col("n") === 1, 0L).otherwise(
-          floor(lit(10000) * (col("rn") - 1) / (col("n") - 1))).cast("long")
-          .as("pos_bp"))
+          floor(lit(10000L) * (col("rn") - 1).cast("long") / (col("n") - 1)))
+          .cast("long").as("pos_bp"))
   }
 
   /** GROUPING SETS — the general form cube/rollup specialize: an explicit
@@ -464,21 +454,18 @@ object ExtraOps {
     * DuckDB share the syntax verbatim); per-call temp view names as in
     * [[lateralTopN]]. One Expand + one aggregation — four set shapes
     * never cost four scans. */
-  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
-    val v = s"lineitem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    tbl(spark, dir, "lineitem").createOrReplaceTempView(v)
-    try spark.sql(
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark, "lineitem" -> tbl(spark, dir, "lineitem")) { v =>
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
          |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
          |  count(*) AS n
-         |FROM $v
+         |FROM ${v("lineitem")}
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
          |  (l_returnflag), (l_linestatus), ())
-         |""".stripMargin)
-    finally spark.catalog.dropTempView(v)
-  }
+         |""".stripMargin
+    }
 
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val perSupp = tbl(spark, dir, "lineitem")

@@ -93,50 +93,50 @@ object StarOps {
     * aggregate + join — no per-row subquery execution; the equality probe
     * is a SELECTION on stored doubles (no arithmetic), so it is
     * cross-engine exact. */
-  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
-    tbl(spark, dir, "part").createOrReplaceTempView("part_v")
-    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
-    tbl(spark, dir, "supplier").createOrReplaceTempView("supp_v")
-    spark.sql(
-      """SELECT p.p_partkey, p.p_brand, s.s_name,
-        |       CAST(round(l.l_extendedprice * 100, 0) AS LONG) AS min_price_c
-        |FROM part_v p
-        |JOIN li_v l ON l.l_partkey = p.p_partkey
-        |JOIN supp_v s ON s.s_suppkey = l.l_suppkey
-        |WHERE p.p_size = 15
-        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM li_v l2
-        |                           WHERE l2.l_partkey = p.p_partkey)
-        |""".stripMargin)
-  }
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "part" -> tbl(spark, dir, "part"),
+      "li" -> tbl(spark, dir, "lineitem"),
+      "supp" -> tbl(spark, dir, "supplier")) { v =>
+      s"""SELECT p.p_partkey, p.p_brand, s.s_name,
+         |       CAST(round(l.l_extendedprice * 100, 0) AS LONG) AS min_price_c
+         |FROM ${v("part")} p
+         |JOIN ${v("li")} l ON l.l_partkey = p.p_partkey
+         |JOIN ${v("supp")} s ON s.s_suppkey = l.l_suppkey
+         |WHERE p.p_size = 15
+         |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM ${v("li")} l2
+         |                           WHERE l2.l_partkey = p.p_partkey)
+         |""".stripMargin
+    }
 
   /** Q7-shape multi-way date-bounded join: bilateral shipping volume
     * between two nations by year. Five joins — nation twice (tiny,
     * broadcast by stats), customer/supplier/orders shuffled on their keys
     * at scale; the shipdate bound is pushed into the lineitem scan. */
-  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
-    tbl(spark, dir, "supplier").createOrReplaceTempView("supp_v")
-    tbl(spark, dir, "lineitem").createOrReplaceTempView("li_v")
-    tbl(spark, dir, "orders").createOrReplaceTempView("ord_v")
-    tbl(spark, dir, "customer").createOrReplaceTempView("cust_v")
-    tbl(spark, dir, "nation").createOrReplaceTempView("nat_v")
-    spark.sql(
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |       CAST(year(l.l_shipdate) AS LONG) AS l_year,
-        |       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
-        |            AS LONG) AS revenue_dm
-        |FROM supp_v s
-        |JOIN li_v l ON s.s_suppkey = l.l_suppkey
-        |JOIN ord_v o ON o.o_orderkey = l.l_orderkey
-        |JOIN cust_v c ON c.c_custkey = o.o_custkey
-        |JOIN nat_v n1 ON s.s_nationkey = n1.n_nationkey
-        |JOIN nat_v n2 ON c.c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
-        |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
-        |  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
-        |                       AND TIMESTAMP '1996-12-31 00:00:00'
-        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
-        |""".stripMargin)
-  }
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "supp" -> tbl(spark, dir, "supplier"),
+      "li" -> tbl(spark, dir, "lineitem"),
+      "ord" -> tbl(spark, dir, "orders"),
+      "cust" -> tbl(spark, dir, "customer"),
+      "nat" -> tbl(spark, dir, "nation")) { v =>
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l.l_shipdate) AS LONG) AS l_year,
+         |       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+         |            AS LONG) AS revenue_dm
+         |FROM ${v("supp")} s
+         |JOIN ${v("li")} l ON s.s_suppkey = l.l_suppkey
+         |JOIN ${v("ord")} o ON o.o_orderkey = l.l_orderkey
+         |JOIN ${v("cust")} c ON c.c_custkey = o.o_custkey
+         |JOIN ${v("nat")} n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN ${v("nat")} n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+         |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+         |  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+         |                       AND TIMESTAMP '1996-12-31 00:00:00'
+         |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+         |""".stripMargin
+    }
 
   /** Window function: latest shipment per supplier (rank-1 with full
     * deterministic tie-break). */
@@ -187,7 +187,7 @@ object StarOps {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
     val cust = tbl(spark, dir, "customer")
-      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      .select("c_custkey", "c_name", "c_nationkey")
     val nat = tbl(spark, dir, "nation").select("n_nationkey", "n_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))

@@ -429,16 +429,40 @@ object TextOps {
     * arbitrary radii correct but recall drops above it. */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4,
-      s"banded recall is exact only below 4 corrupted bands (got $maxHamming)")
-    val sig = simhash32(spark, dir)
-    val banded = sig.select(col("doc_id"), col("simhash32"),
+    // eager-job idiom (dedupNgramJaccard): the self-join reads ONE cached
+    // materialization of the banded signatures — Catalyst shares no common
+    // subplans, so an unpersisted relation would run the whole
+    // tokenize→hash→aggregate signature pipeline once per join side
+    val banded = bandedSimhash(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = simhashPairsFrom(banded, maxHamming).localCheckpoint(true)
+    banded.unpersist(true)
+    out
+  }
+
+  /** Un-materialized twin of [[simhashPairs]] for plan inspection —
+    * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
+    * (identical builder, no caching). */
+  private[graft] def simhashPairsLazy(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(bandedSimhash(spark, dir), maxHamming)
+
+  /** Signatures exploded onto their 4 band buckets. */
+  private def bandedSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhash32(spark, dir).select(col("doc_id"), col("simhash32"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash32"), b * 8).bitwiseAND(255).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("simhash32"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** The banded bucket self-join + popcount verify over a (possibly
+    * cached) banded-signature relation. */
+  private def simhashPairsFrom(banded: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < 4,
+      s"banded recall is exact only below 4 corrupted bands (got $maxHamming)")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

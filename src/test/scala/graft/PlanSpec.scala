@@ -312,7 +312,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("simhash pairs: banded bucket equi-join — no cartesian, no all-pairs") {
-    val s = planString(graft.operators.TextOps.simhashPairs(spark, dir))
+    // the lazy twin: the shipped op localCheckpoints (plan truncated)
+    val s = planString(graft.operators.TextOps.simhashPairsLazy(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
