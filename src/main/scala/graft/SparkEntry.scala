@@ -91,6 +91,7 @@ object SparkEntry {
     "q16_supplier_cnt" -> ((s, d) => StarOps.q16SupplierCnt(s, d)),
     "q19_disjunctive" -> ((s, d) => StarOps.q19Disjunct(s, d)),
     "w3_window_nav" -> ((s, d) => ExtraOps.windowNav(s, d)),
+    "full_outer_recon" -> ((s, d) => ExtraOps.fullOuterRecon(s, d)),
     "grouping_sets" -> ((s, d) => ExtraOps.groupingSetsAgg(s, d)),
     "ts_resample" -> ((s, d) => ExtraOps.tsResample(s, d)),
     "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
@@ -505,6 +506,21 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, total_c, prev_c, next_c, first_c, """ +
         """CASE WHEN n = 1 THEN 0 ELSE CAST(floor(10000.0 * (rn - 1) / (n - 1)) AS BIGINT) END AS pos_bp """ +
         """FROM w"""),
+    "full_outer_recon" ->
+      ("""WITH a AS (SELECT o_custkey, count(*) AS n_1997, """ +
+        """CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_1997_c FROM orders """ +
+        """WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' """ +
+        """GROUP BY o_custkey), """ +
+        """b AS (SELECT o_custkey, count(*) AS n_1998, """ +
+        """CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_1998_c FROM orders """ +
+        """WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' """ +
+        """GROUP BY o_custkey) """ +
+        """SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, """ +
+        """coalesce(n_1997, 0) AS n_1997, coalesce(n_1998, 0) AS n_1998, """ +
+        """coalesce(total_1997_c, 0) AS total_1997_c, coalesce(total_1998_c, 0) AS total_1998_c, """ +
+        """CASE WHEN a.o_custkey IS NULL THEN 'right_only' """ +
+        """WHEN b.o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS presence """ +
+        """FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey"""),
     "grouping_sets" ->
       ("""SELECT l_returnflag, l_linestatus, """ +
         """CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, """ +

@@ -414,6 +414,35 @@ object ExtraOps {
     * form directly, so the plan is two keyed aggregations and a semi-ish
     * join of tiny survivor sets rather than two correlated subquery scans
     * of lineitem. */
+  /** FULL OUTER reconciliation — the "compare two snapshots" shape every
+    * pipeline audit needs (and the one join type the inventory lacked):
+    * per-customer order activity in two periods, full-outer-joined so
+    * customers active in only one period surface with a side marker
+    * instead of vanishing. Both sides aggregate BEFORE the join (the
+    * join input is one row per customer per side, not the fact table)
+    * and the join shuffles on the customer key once. */
+  def fullOuterRecon(spark: SparkSession, dir: String): DataFrame = {
+    def activity(year: Int) = tbl(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")) * 100, 0).cast("long").as("total_c"))
+    val a = activity(1997).withColumnsRenamed(
+      Map("n" -> "n_1997", "total_c" -> "total_1997_c"))
+    val b = activity(1998).withColumnsRenamed(
+      Map("n" -> "n_1998", "total_c" -> "total_1998_c"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+        coalesce(col("n_1998"), lit(0L)).as("n_1998"),
+        coalesce(col("total_1997_c"), lit(0L)).as("total_1997_c"),
+        coalesce(col("total_1998_c"), lit(0L)).as("total_1998_c"),
+        when(col("n_1997").isNull, "right_only")
+          .when(col("n_1998").isNull, "left_only")
+          .otherwise("both").as("presence"))
+  }
+
   /** Navigation window functions — lag/lead/first_value plus a rank-based
     * percent position, per customer ordered by (date, key): the full
     * offset-function family over ONE window spec, so the plan is a single
