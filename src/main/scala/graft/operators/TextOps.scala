@@ -592,12 +592,19 @@ object TextOps {
 
   /** THE quality score — min(5000, 25·n_tokens) + ⌊5000·n_stop/n⌋ in basis
     * points: half length score (saturating at 200 tokens), half stopword
-    * ratio. One definition shared by [[textQuality]], [[qualityBins]] and
-    * [[llmPipeline]]'s quality floor (and mirrored by their oracle SQL) —
-    * a constant changed here must change in the oracle strings too. */
-  private def qualityBpCol: Column =
-    least(lit(5000L), nTokCol * 25) +
-      floor(lit(5000.0) * nStopCol / nTokCol).cast("long")
+    * ratio. One definition shared by [[textQuality]], [[qualityBins]],
+    * [[llmPipeline]]'s quality floor and the streaming pipeline's
+    * stateless floor (and mirrored by their oracle SQL) — a constant
+    * changed here must change in the oracle strings too. NULL on null or
+    * token-less text (callers decide whether unscorable means dropped). */
+  private[graft] def qualityBpOf(text: Column): Column = {
+    val n = size(tokens(text)).cast("long")
+    val ns = size(filter(tokens(text), w => w.isin(stopwords.map(lit): _*)))
+      .cast("long")
+    least(lit(5000L), n * 25) + floor(lit(5000.0) * ns / n).cast("long")
+  }
+
+  private def qualityBpCol: Column = qualityBpOf(col("text"))
 
   /** Quality scoring: length/stopword-ratio heuristics in integer basis
     * points (floored rationals — cross-engine exact; see Determinism note

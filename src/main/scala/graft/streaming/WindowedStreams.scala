@@ -135,6 +135,39 @@ object WindowedStreams {
       .drop("bench_sh")
   }
 
+  /** The COMPOSED streaming curation pipeline — the incremental twin of
+    * TextOps.llmPipeline: arriving documents are
+    *   1. exact-content-deduped within the watermark horizon
+    *      ([[dedupExactText]], stateful, hash-keyed);
+    *   2. quality-floored (stateless map over the shared
+    *      TextOps.qualityBpOf formula — null/token-less text scores NULL
+    *      and is dropped: unscorable means uncurated here);
+    *   3. decontaminated against the static benchmark shingle set
+    *      ([[decontaminate]], stateless one-row-broadcast probe);
+    *   4. near-dup-suppressed by the stateful MinHash-band blacklist
+    *      ([[suppressNearDups]]).
+    *
+    * Stage order is the scale design: both stateless filters sit between
+    * the two stateful operators' cheap side and the blacklist, so junk
+    * (low-quality, contaminated) never pins a bucket state row; exact
+    * dedup runs first because a storm of bit-identical copies is the
+    * common hot case and one hash-keyed state row is cheaper than a
+    * verified band collision per copy. Chained stateful operators in one
+    * query are a Spark 4 capability (append mode, watermark propagated
+    * through both state stores). */
+  def streamCuratePipeline(docs: DataFrame, benchShingles: DataFrame,
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      minQualityBp: Long = 2500): Dataset[NovelDoc] = {
+    val base = docs.select(col("doc_id"), col("text"), col(tsCol).as("ts"))
+    val deduped = dedupExactText(base, "ts", watermark)
+    val floored = deduped.filter(
+      coalesce(graft.operators.TextOps.qualityBpOf(col("text"))
+        >= minQualityBp, lit(false)))
+    // core entry point: the watermark set by stage 1 propagates; setting
+    // it again here would be rejected (see suppressNearDupsCore)
+    suppressNearDupsCore(decontaminate(floored, benchShingles))
+  }
+
   // -------------------------------------------------------------------------
   // Streaming near-dup suppression — the incremental twin of
   // TextOps.lshNearDupPairs: a stateful MinHash-band blacklist.
@@ -306,15 +339,26 @@ object WindowedStreams {
   def suppressNearDups(docs: DataFrame, tsCol: String = "ts",
       watermark: String = "10 minutes",
       ttlMs: Long = 24L * 3600 * 1000,
+      threshold: Double = 0.5, maxOwners: Int = 8): Dataset[NovelDoc] =
+    suppressNearDupsCore(docs
+        .withWatermark(tsCol, watermark)
+        .select(col("doc_id"), col("text"), col(tsCol).as("ts")),
+      ttlMs, threshold, maxOwners)
+
+  /** [[suppressNearDups]] over a stream that ALREADY carries its
+    * watermark and the (doc_id, text, ts) shape — the composition entry
+    * point: re-applying `withWatermark` downstream of another stateful
+    * operator is rejected by Spark ("Redefining watermark is
+    * disallowed"), so a chained pipeline sets the watermark ONCE at the
+    * source and every stage after it consumes the propagated one. */
+  private[streaming] def suppressNearDupsCore(base: DataFrame,
+      ttlMs: Long = 24L * 3600 * 1000,
       threshold: Double = 0.5, maxOwners: Int = 8): Dataset[NovelDoc] = {
     require(maxOwners >= 1,
       s"maxOwners must be >= 1 (got $maxOwners): a bucket that remembers " +
         "no claimants can never suppress anything")
-    val spark = docs.sparkSession
+    val spark = base.sparkSession
     import spark.implicits._
-    val base = docs
-      .withWatermark(tsCol, watermark)
-      .select(col("doc_id"), col("text"), col(tsCol).as("ts"))
     // shingle-less docs can't collide: stateless pass-through, no state row
     val short = base.filter(!hasShingles).as[NovelDoc]
     val judged = bandedDocs(base, nBands = 1)

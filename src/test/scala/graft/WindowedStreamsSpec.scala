@@ -279,6 +279,53 @@ class WindowedStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed curation pipeline: dedup, quality floor, decontaminate, blacklist") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    // quality-floor arithmetic (shared formula): each "good" doc carries
+    // enough stopwords that 25·n + ⌊5000·ns/n⌋ clears 2500 bp
+    val goodA = "the quick brown fox is in the grass and it runs to a tree of the forest"
+    val lowQ = "tungsten codegen stages fuse narrow transformations"
+    val contaminated = "the answers of the secret benchmark eval suite and it is in a box to keep"
+    val nearDupA = goodA + " green hills afar"
+    val novelD = "a parade of new ideas is in the air and it moves to the city of lights"
+    locally { // precondition: the near-dup shares goodA's band-0 bucket
+      import graft.operators.TextOps
+      import org.apache.spark.sql.functions._
+      val bucket = (text: String) => {
+        val sh = TextOps.shingles(lit(text))
+        val mins = TextOps.minhashParams.take(2).map { case (a, b) =>
+          array_min(transform(sh,
+            s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
+        }
+        spark.range(1).select(concat_ws("_", mins: _*)).head.getString(0)
+      }
+      assert(bucket(goodA) === bucket(nearDupA),
+        "spec precondition: near-dup must share goodA's band-0 bucket")
+    }
+    val bench = Seq("secret benchmark eval", "benchmark eval suite").toDF("s")
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.streamCuratePipeline(src.toDF(), bench)
+    val q = out.writeStream.format("memory").queryName("curate")
+      .outputMode("append").start()
+    try {
+      src.addData(DocEv(t(1), 1, goodA)) // novel, curated
+      q.processAllAvailable()
+      src.addData(
+        DocEv(t(11), 2, goodA),        // bit-exact copy → stage-1 dedup
+        DocEv(t(12), 3, lowQ),         // 150 bp → quality floor
+        DocEv(t(13), 4, contaminated), // passes floor, shares a bench shingle
+        DocEv(t(14), 5, nearDupA),     // verified band collision → blacklist
+        DocEv(t(15), 6, novelD),       // clean and novel → curated
+        DocEv(t(16), 7, null))         // unscorable → quality floor
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT doc_id FROM curate").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted === Set(1L, 6L), emitted)
+    } finally q.stop()
+  }
+
   test("near-dup hit log emits (owner, newcomer) pairs for band collisions") {
     val spark2 = spark
     import spark2.implicits._
