@@ -90,6 +90,10 @@ object SparkEntry {
     "q14_promo_bp" -> ((s, d) => StarOps.q14PromoBp(s, d)),
     "q16_supplier_cnt" -> ((s, d) => StarOps.q16SupplierCnt(s, d)),
     "q19_disjunctive" -> ((s, d) => StarOps.q19Disjunct(s, d)),
+    "q9_profit" -> ((s, d) => StarOps.q9ProfitNationYear(s, d)),
+    "q12_late_priority" -> ((s, d) => StarOps.q12LatePriority(s, d)),
+    "q13_order_dist" -> ((s, d) => StarOps.q13OrderCountDist(s, d)),
+    "q20_excess_shippers" -> ((s, d) => StarOps.q20ExcessShippers(s, d)),
     "w3_window_nav" -> ((s, d) => ExtraOps.windowNav(s, d)),
     "full_outer_recon" -> ((s, d) => ExtraOps.fullOuterRecon(s, d)),
     "grouping_sets" -> ((s, d) => ExtraOps.groupingSetsAgg(s, d)),
@@ -104,6 +108,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
     "text_quality" -> ((s, d) => TextOps.textQuality(s, d)),
@@ -122,6 +127,8 @@ object SparkEntry {
     "text_quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.textLmScore(s, d)),
     "text_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "text_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
+    "text_shuffle" -> ((s, d) => TextOps.shuffleShard(s, d)),
     "llm_pipeline" -> ((s, d) => TextOps.llmPipeline(s, d)),
     // --- similarity search over `embeddings` ---
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
@@ -131,6 +138,7 @@ object SparkEntry {
     "sim_cluster_assign" -> ((s, d) => SimilarityOps.cellAssignments(s, d)),
     "sim_kmeans_step" -> ((s, d) => SimilarityOps.kmeansStep(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
+    "sim_semantic_dedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
     // qvec rendered as a CSV string: the driver's comparer sorts pandas
     // frames by every column and an array-typed column is unhashable
@@ -158,6 +166,24 @@ object SparkEntry {
       s"""floor(5000.0 * len(list_filter(w, x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) / len(w)) AS BIGINT) AS quality_bp FROM d) """ +
       """SELECT doc_id, lang, quality_bp, CAST(ntile(10) OVER """ +
       """(PARTITION BY lang ORDER BY quality_bp, doc_id) AS BIGINT) AS decile FROM q"""
+
+  /** The quality score over `w` (split text) in DuckDB SQL — must mirror
+    * `TextOps.qualityBpOf`; shared by every quality-derived oracle. */
+  private val qualityBpSql: String =
+    s"CAST(least(5000, len(w) * 25) + floor(5000.0 * len(list_filter(w, " +
+      s"x -> x IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}))) " +
+      "/ len(w)) AS BIGINT)"
+
+  /** srpBucket's deterministic hyperplanes rendered as DuckDB SQL over an
+    * `emb` double-list column (64-dim embeddings per TESTDATA.md); same
+    * index-order double fold as the Spark side via list_dot_product.
+    * Shared by sim_embed_neardup and sim_semantic_dedup. */
+  private lazy val srpBucketSql: String = (0 until 8).map { p =>
+    val w = (0 until 64)
+      .map(i => SimilarityOps.planeWeightScala(p, i).toDouble)
+      .mkString("[", ",", "]")
+    s"CASE WHEN list_dot_product(emb, $w) > 0 THEN ${1L << p} ELSE 0 END"
+  }.mkString(" + ")
 
   /** weakHash(s) rendered in DuckDB SQL (must mirror TextOps.weakHash). */
   private def weakHashSql(s: String): String =
@@ -493,6 +519,37 @@ object SparkEntry {
         """AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) """ +
         """OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) """ +
         """OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""),
+    "q9_profit" ->
+      ("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, """ +
+        """CAST(round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity) * 10000) AS BIGINT) AS profit_dm """ +
+        """FROM lineitem JOIN part ON l_partkey = p_partkey """ +
+        """JOIN supplier ON l_suppkey = s_suppkey """ +
+        """JOIN orders ON l_orderkey = o_orderkey """ +
+        """JOIN nation ON s_nationkey = n_nationkey """ +
+        """WHERE p_name LIKE '%red%' GROUP BY 1, 2"""),
+    "q12_late_priority" ->
+      ("""SELECT l_linestatus, """ +
+        """CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, """ +
+        """CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count """ +
+        """FROM lineitem JOIN orders ON l_orderkey = o_orderkey """ +
+        """WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY """ +
+        """GROUP BY l_linestatus"""),
+    "q13_order_dist" ->
+      ("""WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count """ +
+        """FROM customer LEFT OUTER JOIN orders """ +
+        """ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' """ +
+        """GROUP BY c_custkey) """ +
+        """SELECT c_count, count(*) AS custdist FROM c GROUP BY c_count"""),
+    "q20_excess_shippers" ->
+      ("""WITH ps AS (SELECT l_partkey, l_suppkey, """ +
+        """CAST(round(sum(l_quantity)) AS BIGINT) AS supp_qty """ +
+        """FROM lineitem JOIN part ON l_partkey = p_partkey """ +
+        """WHERE p_size = 15 """ +
+        """AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' """ +
+        """GROUP BY l_partkey, l_suppkey), """ +
+        """tot AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY l_partkey) """ +
+        """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ( """ +
+        """SELECT l_suppkey FROM ps JOIN tot USING (l_partkey) WHERE supp_qty * 2 > part_qty)"""),
     "w3_window_nav" ->
       ("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, """ +
         """CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders), """ +
@@ -636,6 +693,38 @@ object SparkEntry {
         """CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS BIGINT) AS hamming """ +
         """FROM sa JOIN sb ON sa.doc_id < sb.doc_id """ +
         """WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3"""),
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE $ngramPairCtes, """ +
+        """pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
+        s"""FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $ngramPairCond), """ +
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs """ +
+        """UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """reach(src, dst) AS (SELECT src, dst FROM edges """ +
+        """UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), """ +
+        """cl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_rep """ +
+        """FROM reach GROUP BY src), """ +
+        s"""q AS (SELECT doc_id, $qualityBpSql AS quality_bp FROM d), """ +
+        """r AS (SELECT cl.cluster_rep, cl.doc_id, q.quality_bp, """ +
+        """row_number() OVER (PARTITION BY cl.cluster_rep """ +
+        """ORDER BY q.quality_bp DESC, cl.doc_id) AS rn, """ +
+        """count(*) OVER (PARTITION BY cl.cluster_rep) AS nm """ +
+        """FROM cl JOIN q USING (doc_id)) """ +
+        """SELECT cluster_rep, doc_id AS keep_doc_id, quality_bp, """ +
+        """CAST(nm AS BIGINT) AS n_members FROM r WHERE rn = 1"""),
+    "text_token_budget" ->
+      ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""t AS (SELECT doc_id, $qualityBpSql AS quality_bp, """ +
+        """CAST(len(w) AS BIGINT) AS n_tokens FROM d), """ +
+        """c AS (SELECT doc_id, quality_bp, n_tokens, """ +
+        """CAST(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id """ +
+        """ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) """ +
+        """SELECT doc_id, quality_bp, n_tokens, cum_tokens FROM c """ +
+        """WHERE cum_tokens <= 12000"""),
+    "text_shuffle" ->
+      ("""SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, """ +
+        """CAST(row_number() OVER (PARTITION BY doc_id % 8 """ +
+        """ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos """ +
+        """FROM documents"""),
     "text_tokens" ->
       ("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, """ +
         """CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, """ +
@@ -807,23 +896,31 @@ object SparkEntry {
         """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
         """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
         """FROM ranked WHERE rank <= 5"""),
-    "sim_embed_neardup" -> {
-      // replay srpBucket's deterministic hyperplanes as literal weight
-      // vectors (64-dim embeddings per TESTDATA.md); same index-order
-      // double fold as the Spark side via list_dot_product
-      val bucketExpr = (0 until 8).map { p =>
-        val w = (0 until 64)
-          .map(i => SimilarityOps.planeWeightScala(p, i).toDouble)
-          .mkString("[", ",", "]")
-        s"CASE WHEN list_dot_product(emb, $w) > 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString(" + ")
-      """WITH e0 AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
-        s"""e AS (SELECT vec_id, label, emb, $bucketExpr AS bucket FROM e0) """ +
+    "sim_embed_neardup" ->
+      ("""WITH e0 AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        s"""e AS (SELECT vec_id, label, emb, $srpBucketSql AS bucket FROM e0) """ +
         """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, """ +
         """round(list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim """ +
         """FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id """ +
-        """WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9"""
-    },
+        """WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9"""),
+    "sim_semantic_dedup" ->
+      // cluster-assign CTEs shared verbatim with sim_cluster_assign; the
+      // drop rule is pure pair membership (no rank, no float output)
+      ("""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e0), """ +
+        """c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cn FROM n WHERE vec_id < 16), """ +
+        """s AS (SELECT n.vec_id, c.cid, list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) AS sim """ +
+        """FROM n CROSS JOIN c), """ +
+        """r AS (SELECT vec_id, cid, row_number() OVER """ +
+        """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s), """ +
+        """a AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1), """ +
+        s"""eb AS (SELECT n.vec_id, emb, nrm, $srpBucketSql AS bucket, cell """ +
+        """FROM n JOIN a USING (vec_id)), """ +
+        """p AS (SELECT DISTINCT y.vec_id FROM eb x JOIN eb y """ +
+        """ON x.cell = y.cell AND x.bucket = y.bucket AND x.vec_id < y.vec_id """ +
+        """WHERE list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) >= 0.35) """ +
+        """SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, """ +
+        """a.vec_id NOT IN (SELECT vec_id FROM p) AS kept FROM a"""),
     "sim_normalize" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """n AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm, emb FROM e), """ +

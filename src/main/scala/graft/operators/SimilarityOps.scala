@@ -414,6 +414,48 @@ object SimilarityOps {
         (maxabs / 127.0).as("scale"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. '23, public
+    * technique): cluster the corpus into coarse cells, then within each
+    * cell drop every vector that has a SMALLER-id neighbor above the
+    * cosine threshold — the survivors are the semantic representatives a
+    * curation pipeline trains on. Composes the engine's own stages:
+    * [[cellAssignments]] (map-only literal-centroid argmax) for the
+    * cells, [[srpBucket]] WITHIN cell for candidate generation (a hot
+    * cell never squares — same skew defense as [[embeddingNearDup]]),
+    * exact cosine verify, then a left anti probe marks survivors.
+    *
+    * Output is total over the corpus: (vec_id, cell, kept). Deterministic:
+    * the drop rule is a pure predicate of exact pair membership — no
+    * rank, no float output, so the DuckDB oracle replays it exactly
+    * (cosines fold in index order in both engines).
+    *
+    * The default threshold sits BELOW the production regime (0.85+) on
+    * purpose: the synthetic embeddings are near-orthogonal (max
+    * within-bucket cosine ≈ 0.37 at sf0.01), so a production threshold
+    * would leave the drop branch dead in every gate — 0.35 keeps both
+    * kept=true and kept=false flowing through the correctness hash. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, nBits: Int = 8,
+      nCentroids: Int = 16): DataFrame = {
+    val cells = cellAssignments(spark, dir, nCentroids)
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        srpBucket(col("embedding"), nBits).as("bucket"))
+      .join(cells, "vec_id")
+    val dropped = emb.as("a").join(emb.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    cells.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("is_dup").isNull.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold: candidates
     * are generated by SRP-LSH bucketing WITHIN each label block (reusing
     * [[srpBucket]] — deterministic hyperplanes, so the DuckDB oracle can

@@ -368,6 +368,98 @@ object StarOps {
       .select(col("c_custkey"), col("c_name"), col("acctbal_c"))
   }
 
+  /** Q9-style product-type profit by nation and year: the widest join
+    * fan in the suite (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ nation).
+    * The schema has no partsupp, so `p_retailprice` plays the unit-cost
+    * role; the name filter (`contains 'red'`, the '%green%' analogue)
+    * pushes into the part scan and prunes the fact join early. Profit
+    * per line is 4-decimal (2-dec price × 2-dec discount; 2-dec cost ×
+    * integral qty), so the sum recovers exactly in decimillis. Facts
+    * shuffle on their join keys; only nation (25 rows) is hinted. */
+  def q9ProfitNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val part = tbl(spark, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val li = tbl(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    val supp = tbl(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = tbl(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val nat = tbl(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity")) * 10000, 0)
+        .cast("long").as("profit_dm"))
+  }
+
+  /** Q12-style late-shipment priority split: one fact–fact join whose
+    * residual predicate (shipped > 60 days after ordering) cannot become
+    * a join key, then a conditional two-way count per line status (the
+    * shipmode analogue — the schema has no l_shipmode/commitdate). Both
+    * counts ride ONE aggregation pass; the join shuffles on the order
+    * key at scale. */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+    val ord = tbl(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+  }
+
+  /** Q13-style customer order-count distribution: the filter lives in the
+    * OUTER JOIN's ON clause (pre-join filter on the right side — NOT a
+    * WHERE, which would turn the join inner and drop order-less
+    * customers), then a double aggregation: count per customer (nulls
+    * count 0), histogram over the counts. Second agg's input is one row
+    * per customer — tiny at any scale. */
+  def q13OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(spark, dir, "customer").select("c_custkey")
+    val ord = tbl(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q20-style excess-shipper semi-join chain: suppliers who shipped
+    * more than half of a filtered part's 1997 volume. Aggregate per
+    * (part, supplier), re-aggregate per part, integer-exact threshold
+    * (qty·2 > total — no fraction materialized), then LEFT SEMI into the
+    * supplier dimension — the probe list is O(qualifying suppliers), so
+    * the semi-join broadcasts at any corpus size. */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val part = tbl(spark, dir, "part")
+      .filter(col("p_size") === 15).select("p_partkey")
+    val ps = tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(sum(col("l_quantity")), 0).cast("long").as("supp_qty"))
+    val tot = ps.groupBy("l_partkey").agg(sum(col("supp_qty")).as("part_qty"))
+    val excess = ps.join(tot, "l_partkey")
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .select("l_suppkey")
+    tbl(spark, dir, "supplier")
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+  }
+
   /** S3 — catalog scan + broadcast dimension join chain (customers per
     * region through nation → region). */
   def s3CatalogJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -355,6 +355,30 @@ object TextOps {
     out
   }
 
+  /** Quality-aware canonical selection — the curation-grade refinement of
+    * [[dedupClusters]]: instead of keeping the minimum doc_id per
+    * near-dup cluster, keep the HIGHEST-QUALITY member (quality score
+    * desc, doc_id asc on ties). One broadcast-scale join (cluster labels
+    * are O(clustered docs)) plus one keyed aggregation whose per-group
+    * state is a single (quality, doc) struct — max-struct is
+    * combiner-friendly (partial agg ships one candidate per group per
+    * partition), where a rank window would sort every cluster. */
+  def dedupKeepBest(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val quality = tbl(spark, dir, "documents")
+      .select(col("doc_id"), qualityBpOf(col("text")).as("quality_bp"))
+    dedupClusters(spark, dir, threshold)
+      .join(quality, "doc_id")
+      // argmax by (quality desc, doc_id asc): doc_id ≥ 0, so max of
+      // (quality, -doc_id) picks exactly that order's winner
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_bp").as("q"), (-col("doc_id")).as("negid")))
+          .as("best"))
+      .select(col("cluster_rep"), (-col("best.negid")).as("keep_doc_id"),
+        col("best.q").as("quality_bp"), col("n_members"))
+  }
+
   /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
   val minhashParams: Seq[(Long, Long)] =
     Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
@@ -1089,6 +1113,67 @@ object TextOps {
         (col("end_off") - col("n_tokens")).as("start_off"), col("end_off"),
         floor((col("end_off") - col("n_tokens")) / lit(seqLen.toDouble))
           .cast("long").as("bin"))
+  }
+
+  /** Token-budget curation — "take the best documents until the token
+    * budget is spent": documents ranked by (quality desc, doc_id asc)
+    * survive while the running token total stays within `budget`.
+    *
+    * A single global running-sum window would serialize the corpus
+    * through ONE partition, so the cumulative total is decomposed:
+    * quality scores are integer basis points (≤ 10001 distinct values),
+    * so per-LEVEL token totals are a tiny aggregate whose exclusive
+    * prefix sum (the level offset) costs one ≤10001-row window; each
+    * doc's cumulative position is then `level_offset + within-level
+    * running sum`, and the within-level window is keyed by quality_bp —
+    * partition-parallel across levels at any corpus size (one level's
+    * docs sort together; the level histogram stays 10001 rows at 100 TB).
+    * Deterministic: integer tokens, total order (quality, doc_id). */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 12000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), qualityBpOf(col("text")).as("quality_bp"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // tiny: one row per distinct quality level
+    val levels = docs.groupBy("quality_bp")
+      .agg(sum(col("n_tokens")).as("level_tokens"))
+    val wLevels = Window.orderBy(col("quality_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = levels
+      .withColumn("level_off",
+        sum(col("level_tokens")).over(wLevels) - col("level_tokens"))
+      .select("quality_bp", "level_off")
+    val wInLevel = Window.partitionBy(col("quality_bp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(offsets), "quality_bp")
+      .withColumn("cum_tokens",
+        col("level_off") + sum(col("n_tokens")).over(wInLevel))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "quality_bp", "n_tokens", "cum_tokens")
+  }
+
+  /** Deterministic corpus shuffle — the "write training data in random
+    * order" pass: a pseudo-random but replayable global order as
+    * (shard, pos), where the shard is round-robin on doc_id and the
+    * within-shard position orders by the md5 of the doc id (decorrelated
+    * from insertion, source, and quality order — the same replayable-draw
+    * key [[stratifiedSample]] uses). A reader interleaving shards sees a
+    * shuffled corpus; a retry sees the identical one. One shuffle (the
+    * shard window), per-shard sorts only — never a global sort; nShards
+    * tracks the executor count at scale. */
+  def shuffleShard(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, "nShards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
   }
 
   /** Position-weighted document fingerprint (rolling-hash style):

@@ -290,6 +290,35 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("semantic dedup: candidates are (cell, bucket) equi-joined — no cartesian, no label-block square") {
+    val s = planString(SimilarityOps.semanticDedup(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    // the survivor probe is an outer join against the DISTINCT dropped set
+    assert(s.contains("LeftOuter") || s.contains("RightOuter"), s)
+  }
+
+  test("q9: part name filter pushes into the scan; nation broadcasts") {
+    val s = planString(StarOps.q9ProfitNationYear(spark, dir))
+    val scanInfo = s.linesIterator.filter(_.contains("PushedFilters")).mkString
+    // contains() compiles to StringContains — it must reach the part scan,
+    // not sit as a post-scan Filter over an unfiltered dimension read
+    assert(scanInfo.contains("StringContains"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q13: ON-clause filter keeps the join LEFT OUTER (order-less customers survive)") {
+    val s = planString(StarOps.q13OrderCountDist(spark, dir))
+    assert(s.contains("LeftOuter"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q20: supplier probe is a semi join, threshold never materializes a fraction") {
+    val s = planString(StarOps.q20ExcessShippers(spark, dir))
+    assert(s.contains("LeftSemi"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q10: top-20 plans as TakeOrderedAndProject, nation broadcasts") {
     val s = planString(StarOps.q10Returned(spark, dir))
     assert(s.contains("TakeOrderedAndProject"), s)

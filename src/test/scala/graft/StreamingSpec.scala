@@ -214,6 +214,57 @@ class StreamingSpec extends SparkSpec {
     assert(step(err).map(_.kind) === Seq("alert"))            // re-alerts
   }
 
+  test("transformWithState blacklist twin: alert/suppress/resolve/re-alert through a live stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // state API v2 requires the RocksDB provider; scope it to this query.
+    // Changelog checkpointing is the at-scale configuration (per-batch
+    // commits append a changelog instead of zip-snapshotting every store),
+    // and 2 state partitions keep a 5-batch unit test from paying 32
+    // RocksDB commits per batch.
+    val overrides = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true",
+      "spark.sql.shuffle.partitions" -> "2")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val source = MemoryStream[Alerts.ObsStatus]
+      val out = mutable.Buffer[Alerts.AlertEvent]()
+      // ttlMs = 0 ⇒ TimeMode.None: batches fire only on data, so
+      // processAllAvailable drains (ProcessingTime mode spins empty
+      // batches for TTL eviction and never settles — see the scaladoc)
+      val q = Alerts.alertStreamTws(source.toDS(), ttlMs = 0L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-tws").toString)
+        .foreachBatch((df: Dataset[Alerts.AlertEvent], _: Long) =>
+          out.synchronized { out ++= df.collect() }: Unit)
+        .start()
+      val err = Alerts.ObsStatus("s1", "net", "invalid_key", Seq("m1"))
+      val ok = Alerts.ObsStatus("s1", "net", null, Nil)
+      def feed(s: Alerts.ObsStatus): Unit = {
+        source.addData(s); q.processAllAvailable()
+      }
+      feed(err) // alert
+      feed(err) // suppressed while blacklisted
+      feed(ok)  // resolve
+      feed(ok)  // no spurious resolve
+      feed(err) // re-alerts after resolve
+      q.stop()
+      assert(out.map(_.kind).toSeq === Seq("alert", "resolve", "alert"))
+      assert(out.head.messages === Seq("m1"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** Minimal GroupState stub for unit-testing the transition function. */
   class TestGroupState(var value: Option[Alerts.SensorState],
       var timedOut: Boolean = false)
