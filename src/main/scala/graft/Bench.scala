@@ -8,17 +8,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Optional args (driver passes none; used for isolation re-measurement):
   *   args(0) — comma-separated query-name filter ("all" = everything)
-  *   args(1) — repeat count per query (default 2); every repetition is
+  *   args(1) — repeat count per query (default 3); every repetition is
   *             timed in the same JVM and all samples are printed to
   *             stderr, so a one-off GC/JIT artifact is distinguishable
   *             from a real cost. The reported number is the MIN of the
   *             samples: rounds 1, 2 and 4 each mis-flagged 3-6 queries as
   *             regressed on single samples that isolation later showed
-  *             were cross-query cache pressure or box load — best-of-2
+  *             were cross-query cache pressure or box load — best-of-n
   *             keeps the headline honest (memo state is cleared per
-  *             sample, so no sample ever reads another's work) while
-  *             halving the odds a transient artifact becomes the number
-  *             of record.
+  *             sample, so no sample ever reads another's work). Default
+  *             raised 2 → 3 in round 5: this box's kernel memory-reclaim
+  *             daemons (kdamond/kcompactd) produce multi-second stalls in
+  *             BURSTS, so two consecutive samples can both land in one bad
+  *             phase (measured: the same mining query 51 s, 5.5 s, 2.8 s
+  *             within one JVM, and 8 s cold in the next) — a third sample
+  *             makes the min robust to a single storm.
   *
   * A query that throws is reported in an `errors` map (name → exception
   * class) and its wall-clock entry is negated — a broken query must never
@@ -30,7 +34,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only: Option[Set[String]] = args.headOption.filter(_ != "all")
       .map(_.split(",").map(_.trim).toSet)
-    val repeats = if (args.length > 1) args(1).toInt else 2
+    val repeats = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,15 +75,29 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var errors = List.empty[(String, String)]
+    // Block hygiene between samples, OUTSIDE the timed section: several
+    // queries eagerly localCheckpoint/persist (dedup pair graphs, LM
+    // tables, cosine indexes) and their blocks are released only after
+    // driver GC + the ASYNC ContextCleaner — across ~200 samples the
+    // orphans fill the block manager and successors crawl under eviction
+    // pressure (measured: llm_pipeline 1.2 s isolated vs 21 s late in a
+    // full pass). Unpersist everything still registered, drop the SQL
+    // cache, and give the cleaner a GC to act on.
+    def releaseOrphanedBlocks(): Unit = {
+      graft.operators.TextOps.clearMinedPairs()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
-        // EVERY sample (and every query) starts memo-cold: a memoized
-        // pair graph would make whichever dedup query runs first absorb
-        // the mining cost and the rest read cache — per-query rows would
-        // not be independently comparable across rounds. The mine-once
-        // pipeline shape is measured separately and honestly below as
-        // `dedup_pipeline_mine_once`.
-        graft.operators.TextOps.clearMinedPairs()
+        // EVERY sample (and every query) starts memo-cold AND block-cold:
+        // a memoized pair graph would make whichever dedup query runs
+        // first absorb the mining cost and the rest read cache — per-query
+        // rows would not be independently comparable across rounds. The
+        // mine-once pipeline shape is measured separately and honestly
+        // below as `dedup_pipeline_mine_once`.
+        releaseOrphanedBlocks()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -99,7 +117,7 @@ object Bench {
     // as its own entry so the memo never distorts a per-query number.
     val pipelineRow =
       if (only.forall(s => s.contains("dedup_pipeline_mine_once"))) {
-        graft.operators.TextOps.clearMinedPairs()
+        releaseOrphanedBlocks()
         val t0 = System.nanoTime()
         val ok = try {
           graft.operators.TextOps.nearDupPairs(spark, sfDir).count()

@@ -437,12 +437,38 @@ object SimilarityOps {
   def semanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35, nBits: Int = 8,
       nCentroids: Int = 16): DataFrame = {
-    val cells = cellAssignments(spark, dir, nCentroids)
-    val emb = tbl(spark, dir, "embeddings")
+    // eager-job idiom (simhashPairs): the assigned+bucketed relation is
+    // referenced THREE times (both self-join sides + the survivor probe);
+    // Catalyst shares no common subplans, so unpersisted it would scan and
+    // re-derive the corpus three times
+    val emb = semanticDedupIndex(spark, dir, nBits, nCentroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = semanticDedupFrom(emb, threshold).localCheckpoint(true)
+    emb.unpersist(true)
+    out
+  }
+
+  /** Un-materialized twin of [[semanticDedup]] for plan inspection —
+    * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
+    * (identical builder, no caching). */
+  private[graft] def semanticDedupLazy(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, nBits: Int = 8,
+      nCentroids: Int = 16): DataFrame =
+    semanticDedupFrom(semanticDedupIndex(spark, dir, nBits, nCentroids),
+      threshold)
+
+  /** The per-vector (embedding, norm, SRP bucket, cell) index relation. */
+  private def semanticDedupIndex(spark: SparkSession, dir: String,
+      nBits: Int, nCentroids: Int): DataFrame =
+    tbl(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
         srpBucket(col("embedding"), nBits).as("bucket"))
-      .join(cells, "vec_id")
+      .join(cellAssignments(spark, dir, nCentroids), "vec_id")
+
+  /** The drop-smaller-id dataflow over a (possibly cached) index. */
+  private def semanticDedupFrom(emb: DataFrame,
+      threshold: Double): DataFrame = {
     val dropped = emb.as("a").join(emb.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.bucket") === col("b.bucket") &&
@@ -451,7 +477,8 @@ object SimilarityOps {
         (col("a.nrm") * col("b.nrm")) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    cells.join(dropped, Seq("vec_id"), "left_outer")
+    emb.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"),
         col("is_dup").isNull.as("kept"))
   }

@@ -1128,7 +1128,13 @@ object TextOps {
     * running sum`, and the within-level window is keyed by quality_bp —
     * partition-parallel across levels at any corpus size (one level's
     * docs sort together; the level histogram stays 10001 rows at 100 TB).
-    * Deterministic: integer tokens, total order (quality, doc_id). */
+    * Deterministic: integer tokens, total order (quality, doc_id).
+    *
+    * The scored projection is referenced twice (level histogram + probe)
+    * and deliberately NOT persisted: two column-pruned map-only scans
+    * beat pinning a corpus-sized cache for the query's lifetime — and in
+    * a production pipeline quality/token counts are ingest-time columns,
+    * making the histogram pass a metadata-only aggregate. */
   def tokenBudget(spark: SparkSession, dir: String,
       budget: Long = 12000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

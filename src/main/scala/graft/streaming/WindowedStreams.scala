@@ -451,4 +451,109 @@ object WindowedStreams {
           }
       }
   }
+
+  // -------------------------------------------------------------------------
+  // Streaming EMBEDDING near-dup suppression (state API v2)
+  // -------------------------------------------------------------------------
+
+  /** A bucketed embedding event entering the suppressor. */
+  case class BucketedVec(bucket: Long, vec_id: Long, embedding: Seq[Float],
+      ts: java.sql.Timestamp)
+
+  /** An admitted (novel) vector. */
+  case class NovelVec(vec_id: Long, ts: java.sql.Timestamp)
+
+  /** A remembered bucket claimant: id + raw embedding for exact verify. */
+  case class VecOwner(vec_id: Long, emb: Seq[Float])
+
+  /** Exact cosine between two float embeddings, double accumulation in
+    * index order (the Kernels.dotFF fold — same arithmetic as the batch
+    * ops). 0 when either norm is 0. */
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The embedding suppressor as a state-API-v2 StatefulProcessor — the
+    * streaming-similarity twin of [[suppressNearDups]] over vectors
+    * instead of shingles, and the `transformWithState` showcase for
+    * LIST-shaped state: the per-bucket claimant list lives in a
+    * `ListState[VecOwner]` (per-element storage — an LRU rewrite touches
+    * the list, not a whole serialized blob) with declarative TTL.
+    * Same precision/recall contract as the text twin: SRP bucket =
+    * candidate, exact cosine = verdict; at most `maxOwners` claimants
+    * per bucket, evicted least-recently-MATCHED. */
+  class EmbedDedupProcessor(threshold: Double, maxOwners: Int,
+      ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BucketedVec, NovelVec] {
+    import org.apache.spark.sql.{Encoders => JE}
+    import org.apache.spark.sql.streaming.{ListState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var owners: ListState[VecOwner] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      owners = getHandle.getListState[VecOwner]("owners",
+        JE.product[VecOwner], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(bucket: Long, rows: Iterator[BucketedVec],
+        timerValues: TimerValues): Iterator[NovelVec] = {
+      // deterministic within-batch order, like the text twin's ordered()
+      val batch = rows.toSeq.sortBy(v => (v.ts.getTime, v.vec_id))
+      var cur: List[VecOwner] = owners.get().toList
+      val out = scala.collection.mutable.ArrayBuffer[NovelVec]()
+      batch.foreach { v =>
+        cur.find(o => cosine(o.emb, v.embedding) >= threshold) match {
+          case Some(hit) => // verified duplicate: suppress, LRU-refresh
+            cur = cur.filterNot(_ eq hit) :+ hit
+          case None =>
+            out += NovelVec(v.vec_id, v.ts)
+            cur = (if (cur.length < maxOwners) cur else cur.tail) :+
+              VecOwner(v.vec_id, v.embedding)
+        }
+      }
+      owners.put(cur.toArray) // rewrite; put() re-arms the TTL clock
+      out.iterator
+    }
+  }
+
+  /** Suppress near-duplicate EMBEDDINGS across micro-batches: a vector
+    * whose SRP bucket already has a claimant within cosine `threshold`
+    * is dropped; novel vectors are admitted and remembered. Candidates
+    * are per-bucket only (2^nBits buckets bound the state fan-out; a
+    * qualifying pair in different buckets is missed — (1 − θ/π)^nBits
+    * recall, 1.0 for exact copies), the verdict is the exact cosine.
+    *
+    * `ttlMs > 0` runs TimeMode.ProcessingTime so claimants expire after
+    * quiet-period TTL (state bounded by |recently-claiming buckets|);
+    * `ttlMs = 0` is the drain/test mode (TimeMode.None — batches only on
+    * data; state bounded by 2^nBits · maxOwners). Requires the RocksDB
+    * state store provider. */
+  def suppressEmbedNearDups(vecs: DataFrame, tsCol: String = "ts",
+      threshold: Double = 0.9, nBits: Int = 8, maxOwners: Int = 8,
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[NovelVec] = {
+    require(maxOwners >= 1,
+      s"maxOwners must be >= 1 (got $maxOwners)")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (Some(java.time.Duration.ofMillis(ttlMs)), TimeMode.ProcessingTime())
+      else (None, TimeMode.None())
+    vecs
+      .select(
+        graft.operators.SimilarityOps.srpBucket(col("embedding"), nBits)
+          .cast("long").as("bucket"),
+        col("vec_id"), col("embedding"), col(tsCol).as("ts"))
+      .as[BucketedVec]
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new EmbedDedupProcessor(threshold, maxOwners, ttl), mode, OM.Append())
+  }
 }

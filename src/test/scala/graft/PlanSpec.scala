@@ -291,7 +291,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("semantic dedup: candidates are (cell, bucket) equi-joined — no cartesian, no label-block square") {
-    val s = planString(SimilarityOps.semanticDedup(spark, dir))
+    // the lazy twin: the shipped op localCheckpoints, which truncates the
+    // plan and would make these assertions vacuous
+    val s = planString(SimilarityOps.semanticDedupLazy(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
     // the survivor probe is an outer join against the DISTINCT dropped set
     assert(s.contains("LeftOuter") || s.contains("RightOuter"), s)

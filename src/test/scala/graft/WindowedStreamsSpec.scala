@@ -407,4 +407,51 @@ class WindowedStreamsSpec extends SparkSpec {
     val starts = out.collect().map(_.getTimestamp(0).toString).sorted
     assert(starts === Array("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
   }
+
+  test("embedding near-dup suppressor drops a cosine-duplicate vector arriving later") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    // state API v2 needs the RocksDB provider; scope it to this query
+    val overrides = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true",
+      "spark.sql.shuffle.partitions" -> "2")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val src = MemoryStream[(Timestamp, Long, Seq[Float])]
+      // ε = 0.005 keeps the perturbed vector on the same side of every
+      // SRP hyperplane (|w_0| ≥ 25 ≫ ε·|w_1| ≤ 3.4 for the first 8
+      // planes), so same bucket AND cosine ≈ 0.99999 ≥ 0.9
+      val a  = Seq(1f, 0f, 0f, 0f)
+      val a2 = Seq(1f, 0.005f, 0f, 0f)
+      val a3 = Seq(1f, 0f, 0.005f, 0f)
+      val b  = Seq(0f, 1f, 0f, 0f) // orthogonal: novel wherever it lands
+      val out = WindowedStreams.suppressEmbedNearDups(
+        src.toDF().toDF("ts", "vec_id", "embedding"), ttlMs = 0L)
+      val q = out.writeStream.format("memory").queryName("embdedup")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-embdedup").toString)
+        .start()
+      src.addData((t(1), 1L, a))
+      q.processAllAvailable()
+      src.addData((t(2), 2L, a2), (t(3), 3L, b)) // 2 suppressed, 3 novel
+      q.processAllAvailable()
+      src.addData((t(4), 4L, a3)) // still a dup of the batch-1 claimant
+      q.processAllAvailable()
+      q.stop()
+      val emitted = spark.sql("SELECT vec_id FROM embdedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted === Set(1L, 3L), emitted)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
