@@ -71,6 +71,7 @@ object SparkEntry {
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
     "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
     "pct_agg" -> ((s, d) => ExtraOps.percentileAgg(s, d)),
+    "pct_approx" -> ((s, d) => ExtraOps.percentileApprox(s, d)),
     "q4_exists" -> ((s, d) => ExtraOps.q4Exists(s, d)),
     "q17_scalar_subq" -> ((s, d) => ExtraOps.q17ScalarSubquery(s, d)),
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextOps.textLmScore(s, d)),
     "text_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "text_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
+    "text_domain_mix" -> ((s, d) => TextOps.domainMix(s, d)),
     "text_shuffle" -> ((s, d) => TextOps.shuffleShard(s, d)),
     "llm_pipeline" -> ((s, d) => TextOps.llmPipeline(s, d)),
     // --- similarity search over `embeddings` ---
@@ -720,6 +722,14 @@ object SparkEntry {
         """ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) """ +
         """SELECT doc_id, quality_bp, n_tokens, cum_tokens FROM c """ +
         """WHERE cum_tokens <= 12000"""),
+    "text_domain_mix" ->
+      ("""WITH r AS (SELECT doc_id, lang, """ +
+        """CAST(row_number() OVER (PARTITION BY lang """ +
+        """ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS mix_rank """ +
+        """FROM documents) """ +
+        """SELECT doc_id, lang, mix_rank FROM r WHERE mix_rank <= """ +
+        """CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 25 WHEN 'es' THEN 25 """ +
+        """WHEN 'fr' THEN 25 WHEN 'zh' THEN 25 ELSE 0 END"""),
     "text_shuffle" ->
       ("""SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, """ +
         """CAST(row_number() OVER (PARTITION BY doc_id % 8 """ +

@@ -133,6 +133,21 @@ object ExtraOps {
       .select(col("l_returnflag"), col("ps")(0).as("p25"),
         col("ps")(1).as("p50"), col("ps")(2).as("p75"))
 
+  /** Sketch twin of [[percentileAgg]]: `approx_percentile` (Greenwald-
+    * Khanna quantile summary) — at 100 TB the exact percentile's
+    * per-group sorted buffer is corpus-sized, while the GK sketch is
+    * O(1/accuracy) per group, mergeable map-side, and bounds rank error
+    * by n/accuracy. Approximate ⇒ rows-only gate; TopKSpec pins the
+    * rank-error bound against the exact twin. */
+  def percentileApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_quantity, array(0.25, 0.5, 0.75), $accuracy)")
+        .as("ps"))
+      .select(col("l_returnflag"), col("ps")(0).as("p25"),
+        col("ps")(1).as("p50"), col("ps")(2).as("p75"))
+
   /** Correlated EXISTS (TPC-H Q4 shape): orders with ≥1 late lineitem,
     * counted per priority — exercises Catalyst's subquery decorrelation
     * (rewritten to a left-semi join; no per-row subquery execution). */

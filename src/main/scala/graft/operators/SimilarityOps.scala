@@ -138,22 +138,111 @@ object SimilarityOps {
         .getField("cent_id")
   }
 
-  private def coarseQuantizer(spark: SparkSession, dir: String,
-      nCentroids: Int): CoarseQuantizer = {
-    val cents: Array[(Long, Seq[Float], Double)] =
-      tbl(spark, dir, "embeddings")
-        .filter(col("vec_id") < nCentroids)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map { r =>
-          val e: Seq[Float] = r.getSeq[Float](1)
-          var s = 0.0
-          e.foreach(f => s += f.toDouble * f.toDouble)
-          (r.getLong(0), e, math.sqrt(s))
-        }.sortBy(_._1)
+  /** (cent_id, embedding, norm) triples — the in-driver centroid set. */
+  private type Centroids = Array[(Long, Seq[Float], Double)]
+
+  /** Deterministic initial centroids: the first `nCentroids` vectors. */
+  private def initialCentroids(spark: SparkSession, dir: String,
+      nCentroids: Int): Centroids =
+    tbl(spark, dir, "embeddings")
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val e: Seq[Float] = r.getSeq[Float](1)
+        var s = 0.0
+        e.foreach(f => s += f.toDouble * f.toDouble)
+        (r.getLong(0), e, math.sqrt(s))
+      }.sortBy(_._1)
+
+  /** Quantizer over an arbitrary (driver-resident, constant-size)
+    * centroid set, rendered as a literal array column. */
+  private def quantizerOf(cents: Centroids): CoarseQuantizer =
     CoarseQuantizer(array(cents.map { case (id, e, cn) =>
       struct(lit(id).as("cent_id"), typedlit(e).as("c_emb"), lit(cn).as("c_nrm"))
     }: _*))
+
+  private def coarseQuantizer(spark: SparkSession, dir: String,
+      nCentroids: Int): CoarseQuantizer =
+    quantizerOf(initialCentroids(spark, dir, nCentroids))
+
+  /** The full Lloyd TRAINING loop the single [[kmeansStep]] update is one
+    * iteration of — the "production system would k-means these" closure
+    * for the IVF coarse quantizer. Each iteration is one map-only
+    * assignment pass (literal centroids, zero shuffle) plus ONE keyed
+    * (cell, dim) aggregation whose output is nCentroids·d rows (1024
+    * here) — the only driver-side state is that constant-size centroid
+    * table, re-inlined as literals each round, so nothing in the loop
+    * grows with the corpus and the iteration count bounds total work at
+    * `iters` corpus scans. A cell that loses all members keeps its
+    * previous centroid (standard empty-cluster fallback; deterministic).
+    * Returns the final centroids as (cell, dim, centroid) rows, exact
+    * doubles — every input is deterministic, so the whole training run
+    * replays bit-identically at fixed iteration count. */
+  def kmeansTrain(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    var cents = initialCentroids(spark, dir, nCentroids)
+    val base = tbl(spark, dir, "embeddings")
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+    for (_ <- 1 to iters) {
+      val q = quantizerOf(cents)
+      val updated = base
+        .select(col("embedding"),
+          q.nearestCell(col("embedding"), col("nrm")).as("cell"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.map { case (id, oldEmb, oldNrm) =>
+        updated.get(id) match {
+          case Some(m) =>
+            val e: Seq[Float] = m.map(_.toFloat).toSeq
+            var s = 0.0
+            e.foreach(f => s += f.toDouble * f.toDouble)
+            (id, e, math.sqrt(s))
+          case None => (id, oldEmb, oldNrm) // empty cell: keep centroid
+        }
+      }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    cents.toSeq.flatMap { case (id, e, _) =>
+      e.zipWithIndex.map { case (v, d) => (id, d.toLong, v.toDouble) }
+    }.toDF("cell", "dim", "centroid")
+  }
+
+  /** Mean cosine of every vector to its assigned centroid under a given
+    * trained centroid table — the (negated-WCSS-style) objective a
+    * training loop improves; spec-verified monotone over [[kmeansTrain]]
+    * iterations. */
+  def kmeansObjective(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame = {
+    val cents: Centroids = centroids
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("centroid"))))
+        .as("ds"))
+      .collect()
+      .map { r =>
+        val e: Seq[Float] = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getDouble(1).toFloat)
+        var s = 0.0
+        e.foreach(f => s += f.toDouble * f.toDouble)
+        (r.getLong(0), e, math.sqrt(s))
+      }.sortBy(_._1)
+    val q = quantizerOf(cents)
+    tbl(spark, dir, "embeddings")
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("embedding"), col("nrm"),
+        q.centSims(col("embedding"), col("nrm")).as("sims"))
+      .select(aggregate(col("sims"),
+        lit(Double.NegativeInfinity),
+        (acc, s) => greatest(acc, s.getField("sim"))).as("best"))
+      .agg(avg(col("best")).as("mean_cos"), count(lit(1)).as("n_vecs"))
   }
 
   /** Cluster assignment as a first-class operator — the "which cell does

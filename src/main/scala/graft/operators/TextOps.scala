@@ -1115,6 +1115,37 @@ object TextOps {
           .cast("long").as("bin"))
   }
 
+  /** Deterministic corpus-mixture draw — the "train on 50% English, at
+    * most N docs total" mixing step every multi-domain pretraining corpus
+    * goes through (public practice: The Pile / LLaMA-style source
+    * weights): each domain (language here) gets a quota of
+    * ⌊total · weight_bp / 10⁴⌋ documents, drawn in the replayable
+    * md5-of-id order [[stratifiedSample]] uses; unlisted domains get 0.
+    *
+    * One domain-keyed window (rank within domain, partition-parallel
+    * across domains at any corpus size) + a literal quota map that rides
+    * the rows — no driver sampling state, no rand(): a retry or a
+    * different partitioning draws the identical mixture. */
+  def domainMix(spark: SparkSession, dir: String, total: Long = 200,
+      weightsBp: Map[String, Long] = Map("en" -> 5000L, "de" -> 1250L,
+        "es" -> 1250L, "fr" -> 1250L, "zh" -> 1250L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weightsBp.values.forall(_ >= 0), "weights must be non-negative")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // quotas resolve to exact longs in the driver; the when-chain is a
+    // broadcast-free literal lookup
+    val quota = weightsBp.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, bp)) =>
+        when(col("lang") === k, lit(total * bp / 10000L)).otherwise(acc)
+    }
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= quota)
+      .select("doc_id", "lang", "mix_rank")
+  }
+
   /** Token-budget curation — "take the best documents until the token
     * budget is spent": documents ranked by (quality desc, doc_id asc)
     * survive while the running token total stays within `budget`.

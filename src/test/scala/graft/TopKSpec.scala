@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.BoundedTopK
-import graft.operators.ExtraOps
+import graft.operators.{ExtraOps, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 class TopKSpec extends SparkSpec {
@@ -48,6 +48,42 @@ class TopKSpec extends SparkSpec {
     b.insert(Double.NaN, 1); b.insert(10.0, 2); b.insert(9.0, 3)
     b.insert(8.0, 4) // must evict the NaN, not be rejected by it
     assert(b.sortedEntries.toSeq === Seq((10.0, 2L), (9.0, 3L), (8.0, 4L)))
+  }
+
+  test("approx_percentile matches the exact percentile within the GK rank bound") {
+    val exact = ExtraOps.percentileAgg(spark, dir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = ExtraOps.percentileApprox(spark, dir).collect()
+    assert(approx.nonEmpty)
+    // accuracy=1000 bounds rank error by n/1000; on this integral-quantity
+    // column that translates to a small absolute value gap
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zip(e).foreach {
+        case (a, x) => assert(math.abs(a - x) <= math.max(1.0, 0.05 * x),
+          s"${r.getString(0)}: approx=$a exact=$x")
+      }
+    }
+  }
+
+  test("kmeans training: objective is monotone non-decreasing over iterations") {
+    val spark2 = spark
+    import spark2.implicits._
+    // mean best-cosine must not get worse as Lloyd iterations proceed
+    val objs = (1 to 3).map { it =>
+      val cents = SimilarityOps.kmeansTrain(spark, dir, iters = it)
+      SimilarityOps.kmeansObjective(spark, dir, cents)
+        .collect().head.getDouble(0)
+    }
+    assert(objs.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"objective regressed across iterations: $objs")
+    // deterministic: the same training run replays bit-identically
+    val again = SimilarityOps.kmeansTrain(spark, dir, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val first = SimilarityOps.kmeansTrain(spark, dir, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(again === first)
   }
 
   test("approx_count_distinct within 5% of exact") {
