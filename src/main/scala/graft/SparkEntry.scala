@@ -139,6 +139,7 @@ object SparkEntry {
     "sim_knn_pq" -> ((s, d) => SimilarityOps.knnPq(s, d)),
     "sim_cluster_assign" -> ((s, d) => SimilarityOps.cellAssignments(s, d)),
     "sim_kmeans_step" -> ((s, d) => SimilarityOps.kmeansStep(s, d)),
+    "sim_kmeans_train" -> ((s, d) => SimilarityOps.kmeansTrain(s, d)),
     "sim_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "sim_semantic_dedup" -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
     "sim_normalize" -> ((s, d) => SimilarityOps.normalizeEmbeddings(s, d)),
@@ -255,6 +256,39 @@ object SparkEntry {
        |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM d WHERE len(w) >= 3),
        |h AS (SELECT doc_id, ${weakHashSql("s")} AS hv FROM sh)
        |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  /** The full [[SimilarityOps.kmeansTrain]] Lloyd loop unrolled in DuckDB
+    * SQL: `iters` rounds of cosine-argmax assignment (the
+    * sim_cluster_assign window pattern) → quantized-integer mean update
+    * (exact, order-free — see SimilarityOps.QUANT) with the same
+    * empty-cell keep-previous fallback (LEFT JOIN + coalesce). Centroids
+    * live as (cell, dim, val) rows between rounds and are re-listed for
+    * each round's dot products; the REAL cast mirrors the Float centroid
+    * table on the Spark side. */
+  private def kmeansTrainSql(nCentroids: Int = 16, iters: Int = 3): String = {
+    val q = SimilarityOps.QUANT.toLong
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""c$p AS (SELECT cell, list(val ORDER BY dim) AS cemb FROM c${p}d GROUP BY cell), """ +
+        s"""c${p}n AS (SELECT cell, cemb, sqrt(list_dot_product(cemb, cemb)) AS cn FROM c$p), """ +
+        s"""a$k AS (SELECT vec_id, cell FROM (SELECT n.vec_id, c.cell, row_number() OVER """ +
+        s"""(PARTITION BY n.vec_id ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) DESC, c.cell) AS rn """ +
+        s"""FROM n CROSS JOIN c${p}n c) t WHERE rn = 1), """ +
+        s"""u$k AS (SELECT a.cell, x.dim, CAST(CAST(CAST(SUM(x.q) AS DOUBLE) / (count(*) * ${q}.0) AS REAL) AS DOUBLE) AS mval """ +
+        s"""FROM a$k a JOIN qx x USING (vec_id) GROUP BY a.cell, x.dim), """ +
+        s"""c${k}d AS (SELECT c.cell, c.dim, coalesce(u.mval, c.val) AS val """ +
+        s"""FROM c${p}d c LEFT JOIN u$k u ON c.cell = u.cell AND c.dim = u.dim)"""
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+      s"""n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), """ +
+      s"""qx0 AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, """ +
+      s"""unnest(emb) AS x FROM e), """ +
+      s"""qx AS (SELECT vec_id, dim, CAST(floor(x * $q + 0.5) AS BIGINT) AS q FROM qx0), """ +
+      s"""c0d AS (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim, """ +
+      s"""unnest(emb) AS val FROM e WHERE vec_id < $nCentroids), """ +
+      rounds +
+      s""" SELECT cell, dim, val AS centroid FROM c${iters}d"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -695,6 +729,25 @@ object SparkEntry {
         """CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS BIGINT) AS hamming """ +
         """FROM sa JOIN sb ON sa.doc_id < sb.doc_id """ +
         """WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3"""),
+    "dedup_lsh_pairs" ->
+      // exact replay of the MinHash banding: candidates collide on band 0
+      // (mh0, mh1) or band 1 (mh2, mh3) — pairwise equality is the string
+      // bucket key's semantics (the mh values are integers, so the "_"
+      // separator cannot collide) — then the same exact-Jaccard verify as
+      // dedup_ngram_jaccard. The hot-bucket cap (4096) is unreachable at
+      // oracle scale, so the replay omits it.
+      (s"""WITH sig AS ($minhashSql), """ +
+        """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d WHERE len(w) >= 3), """ +
+        """cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
+        """FROM sig a JOIN sig b ON a.doc_id < b.doc_id """ +
+        """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))) """ +
+        """SELECT doc_a, doc_b, """ +
+        """CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh)) / """ +
+        """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_bp """ +
+        """FROM cand JOIN s sa ON cand.doc_a = sa.doc_id JOIN s sb ON cand.doc_b = sb.doc_id """ +
+        """WHERE 2 * len(list_intersect(sa.sh, sb.sh)) >= """ +
+        """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"""),
     "dedup_keep_best" ->
       (s"""WITH RECURSIVE $ngramPairCtes, """ +
         """pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
@@ -714,12 +767,15 @@ object SparkEntry {
         """SELECT cluster_rep, doc_id AS keep_doc_id, quality_bp, """ +
         """CAST(nm AS BIGINT) AS n_members FROM r WHERE rn = 1"""),
     "text_token_budget" ->
+      // quality_bp IS NOT NULL mirrors the Spark side's explicit
+      // exclusion of unscorable docs (see TextOps.tokenBudget)
       ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
         s"""t AS (SELECT doc_id, $qualityBpSql AS quality_bp, """ +
         """CAST(len(w) AS BIGINT) AS n_tokens FROM d), """ +
         """c AS (SELECT doc_id, quality_bp, n_tokens, """ +
         """CAST(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id """ +
-        """ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) """ +
+        """ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t """ +
+        """WHERE quality_bp IS NOT NULL) """ +
         """SELECT doc_id, quality_bp, n_tokens, cum_tokens FROM c """ +
         """WHERE cum_tokens <= 12000"""),
     "text_domain_mix" ->
@@ -896,12 +952,51 @@ object SparkEntry {
         """SELECT CAST(cell AS BIGINT) AS cell, CAST(u.dim AS BIGINT) AS dim, """ +
         """count(*) AS n_vecs, round(avg(u.v), 6) AS centroid_r6 """ +
         """FROM x GROUP BY 1, 2"""),
+    "sim_kmeans_train" -> kmeansTrainSql(),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +
         """scored AS (SELECT q.q_id, e.vec_id, """ +
         """list_dot_product(q.q_emb, e.emb) / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) AS c """ +
         """FROM e JOIN q ON e.vec_id <> q.q_id), """ +
+        """ranked AS (SELECT q_id, vec_id, c, row_number() OVER """ +
+        """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
+        """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
+        """FROM ranked WHERE rank <= 5"""),
+    "sim_knn_lsh" ->
+      // sim_knn's CTEs restricted to same-SRP-bucket candidates: the
+      // bucketing is the deterministic srpBucketSql replay (shared with
+      // sim_embed_neardup), so recall loss vs the exact kNN is replayed
+      // identically, not approximated
+      ("""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        s"""e AS (SELECT vec_id, emb, $srpBucketSql AS bucket FROM e0), """ +
+        """q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < 10), """ +
+        """scored AS (SELECT q.q_id, e.vec_id, """ +
+        """list_dot_product(q.q_emb, e.emb) / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) AS c """ +
+        """FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id), """ +
+        """ranked AS (SELECT q_id, vec_id, c, row_number() OVER """ +
+        """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
+        """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
+        """FROM ranked WHERE rank <= 5"""),
+    "sim_knn_ivf" ->
+      // sim_cluster_assign's CTEs give every corpus vector its cell; each
+      // query probes its nProbe=2 nearest cells (same sim-desc/cid-asc
+      // tie-break); candidates = corpus rows in probed cells, exact
+      // cosine re-rank — a corpus row lives in exactly one cell, so no
+      // pair can duplicate across probes
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+        """n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), """ +
+        """c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cn FROM n WHERE vec_id < 16), """ +
+        """s AS (SELECT n.vec_id, c.cid, list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) AS sim """ +
+        """FROM n CROSS JOIN c), """ +
+        """r AS (SELECT vec_id, cid, row_number() OVER """ +
+        """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s), """ +
+        """a AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1), """ +
+        """probe AS (SELECT vec_id AS q_id, cid AS cell FROM r WHERE rn <= 2 AND vec_id < 10), """ +
+        """scored AS (SELECT p.q_id, x.vec_id, """ +
+        """list_dot_product(qn.emb, xn.emb) / (qn.nrm * xn.nrm) AS c """ +
+        """FROM probe p JOIN a x ON p.cell = x.cell AND x.vec_id <> p.q_id """ +
+        """JOIN n qn ON qn.vec_id = p.q_id JOIN n xn ON xn.vec_id = x.vec_id), """ +
         """ranked AS (SELECT q_id, vec_id, c, row_number() OVER """ +
         """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
         """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +

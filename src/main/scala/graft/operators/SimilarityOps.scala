@@ -97,8 +97,10 @@ object SimilarityOps {
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: hash corpus + queries to SRP buckets, search only
-    * same-bucket candidates, exact cosine re-rank. Approximate (recall <1),
-    * so no SQL oracle — spec-verified against knnBruteForce instead. */
+    * same-bucket candidates, exact cosine re-rank. Approximate vs the
+    * exact kNN (recall < 1, spec-verified against knnBruteForce), but
+    * DETERMINISTIC given the fixed hyperplanes — so the DuckDB oracle
+    * replays the same SRP bucketing and candidate ranking exactly. */
   def knnLsh(spark: SparkSession, dir: String, k: Int = 5,
       nBits: Int = 8): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
@@ -166,6 +168,12 @@ object SimilarityOps {
       nCentroids: Int): CoarseQuantizer =
     quantizerOf(initialCentroids(spark, dir, nCentroids))
 
+  /** 2^20 — the dyadic quantization grid for [[kmeansTrain]]'s exact
+    * centroid folds: a power of two, so v·QUANT is an exponent shift
+    * (never rounds) and the quantized contributions sum exactly in any
+    * order. Shared with the SQL-oracle renderer in SparkEntry. */
+  private[graft] val QUANT = 1048576.0
+
   /** The full Lloyd TRAINING loop the single [[kmeansStep]] update is one
     * iteration of — the "production system would k-means these" closure
     * for the IVF coarse quantizer. Each iteration is one map-only
@@ -176,9 +184,22 @@ object SimilarityOps {
     * grows with the corpus and the iteration count bounds total work at
     * `iters` corpus scans. A cell that loses all members keeps its
     * previous centroid (standard empty-cluster fallback; deterministic).
-    * Returns the final centroids as (cell, dim, centroid) rows, exact
-    * doubles — every input is deterministic, so the whole training run
-    * replays bit-identically at fixed iteration count. */
+    * Returns the final centroids as (cell, dim, centroid) rows.
+    *
+    * Determinism: a plain avg() over doubles merges partial aggregates in
+    * shuffle-fetch order, so two runs could differ in the last bit. The
+    * centroid mean here instead folds contributions QUANTIZED to the
+    * 2^-20 dyadic grid: floor(v·2^20 + 0.5) is an exact integer, integer
+    * sums are order-independent, and the single closing division is
+    * correctly rounded — so the whole training run replays bit-identically
+    * across runs AND engines (the DuckDB oracle re-derives all `iters`
+    * rounds). The grid error (≤ 2^-21 per member) is below the float cast
+    * the centroid table applies anyway. The update is the raw Euclidean
+    * Lloyd mean while assignment maximizes cosine — the classic spherical
+    * relaxation; objective monotonicity is empirical, not guaranteed
+    * (cosine is scale-invariant in the centroid, so the direction of the
+    * mean is what matters, and the raw mean's direction equals the
+    * norm-weighted mean of members). */
   def kmeansTrain(spark: SparkSession, dir: String, nCentroids: Int = 16,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
@@ -192,11 +213,14 @@ object SimilarityOps {
           q.nearestCell(col("embedding"), col("nrm")).as("cell"))
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg(sum(floor(col("col").cast("double") * QUANT + lit(0.5))
+            .cast("long")).as("sq"),
+          count(lit(1)).as("cnt"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * QUANT))
         }
       cents = cents.map { case (id, oldEmb, oldNrm) =>
         updated.get(id) match {
@@ -300,8 +324,10 @@ object SimilarityOps {
     * shuffle. (The previous formulation crossJoined the corpus ×nCentroids
     * and ran a row_number window over the amplified relation, i.e. a full
     * corpus shuffle just to pick each vector's cell.) The search then touches
-    * ~nProbe/nCentroids of the data. Approximate, so no SQL oracle —
-    * spec-verified per-pair against the exact cosine. */
+    * ~nProbe/nCentroids of the data. Approximate vs the exact kNN
+    * (spec-verified per-pair against the exact cosine), but deterministic
+    * given the fixed first-N centroids — the DuckDB oracle replays cell
+    * assignment, the nProbe probe set, and the in-cell ranking exactly. */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")

@@ -502,8 +502,10 @@ object TextOps {
   /** MinHash-LSH banded candidate generation + exact Jaccard verify: the
     * approximate-fast-path near-dup operator (2 bands × 2 rows over the
     * 4-hash signature). Output shape matches dedupNgramJaccard but recall
-    * is probabilistic — verified by spec against the exact op, not by the
-    * SQL oracle.
+    * is probabilistic RELATIVE TO the exact op (spec-verified against it);
+    * the banding itself is deterministic, so the DuckDB oracle re-derives
+    * the signatures, replays both bands' collisions, and verifies the
+    * same candidates exactly.
     *
     * `maxBucketSize` is standard LSH hygiene at scale: a degenerate band
     * value (think empty-ish documents all hashing alike) squares in the
@@ -511,9 +513,16 @@ object TextOps {
     * DROPPED from candidate generation — never silently: each run logs how
     * many buckets/memberships the cap removed. A dropped bucket trades its
     * (mostly junk) pairs for bounded cost; members still pair through their
-    * OTHER band unless both collide hot. */
+    * OTHER band unless both collide hot.
+    *
+    * `isinLimit` bounds the hot-bucket EXCLUSION plan: up to this many hot
+    * buckets are excluded with a literal `isin` (plan-size-safe for the
+    * realistic handful); above it — a degenerate corpus with thousands of
+    * hot buckets — they ship as a broadcast anti-join instead, keeping the
+    * plan constant-size at any hot count. */
   def lshNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxBucketSize: Int = 4096): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 4096,
+      isinLimit: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
       .withColumn("band0", concat_ws("_", col("mh0"), col("mh1")))
       .withColumn("band1", concat_ws("_", col("mh2"), col("mh3")))
@@ -539,11 +548,12 @@ object TextOps {
           "from candidate generation")
     // ≤ |memberships|/cap hot buckets can exist; a literal isin is right
     // for the realistic handful, but a degenerate corpus (millions of
-    // stub docs) could produce thousands — beyond a plan-size-safe bound,
-    // ship them as a broadcast anti-join instead of a giant literal
+    // stub docs) could produce thousands — beyond the plan-size-safe
+    // `isinLimit`, ship them as a broadcast anti-join instead of a giant
+    // literal (path pinned by the pathological-corpus spec in QueriesSpec)
     val kept =
       if (hot.isEmpty) buckets
-      else if (hot.length <= 1000)
+      else if (hot.length <= isinLimit)
         buckets.filter(!col("bucket").isin(hot.map(_.getString(0)).toSeq: _*))
       else {
         import spark.implicits._
@@ -1169,9 +1179,15 @@ object TextOps {
   def tokenBudget(spark: SparkSession, dir: String,
       budget: Long = 12000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // unscorable docs (NULL quality_bp, e.g. null text) are EXCLUDED from
+    // the budget outright: the level-decomposition equi-join would drop
+    // them silently, and "spend budget on docs we cannot quality-rank"
+    // is not a sensible contract anyway — the exclusion is explicit here
+    // and mirrored in the oracle SQL so both engines share it
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), qualityBpOf(col("text")).as("quality_bp"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("quality_bp").isNotNull)
     // tiny: one row per distinct quality level
     val levels = docs.groupBy("quality_bp")
       .agg(sum(col("n_tokens")).as("level_tokens"))

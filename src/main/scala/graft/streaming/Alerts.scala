@@ -131,9 +131,20 @@ object Alerts {
     * semantics; data arriving keeps the state alive indefinitely. */
   val blacklistTtlMs: Long = 6 * 60 * 60 * 1000L
 
-  /** The blacklist transition: errors first, then cleans (deterministic
-    * within-batch order; matches the reference's sequential trace for
-    * one-observation batches). On TTL expiry the state row is dropped —
+  /** The blacklist transition: errors first, then cleans. Transitions are
+    * BATCH-GRANULAR, not per-event: a micro-batch is folded into at most
+    * one alert OR one resolve (clean-then-error while blacklisted emits
+    * nothing; error-then-clean emits only the alert) — `ObsStatus`
+    * carries no event time, so within-batch sequencing is undefined by
+    * construction and the operator deliberately collapses it. This
+    * matches the reference's sequential trace exactly for one-observation
+    * batches (its consumer processes records one at a time,
+    * app/mapper.js:429-489); for multi-observation batches the collapsed
+    * semantics are the documented contract. Which error's messages ride
+    * the alert (`errors.head`) follows batch arrival order — stable in
+    * practice under a single-partition group read, but not a promise;
+    * consumers needing a canonical message set should aggregate from the
+    * dead-letter sink instead. On TTL expiry the state row is dropped —
     * the sensor re-alerts if it returns still broken. */
   def transition(sensor: String, it: Iterator[ObsStatus],
       state: GroupState[SensorState]): Iterator[AlertEvent] =
@@ -205,6 +216,9 @@ object Alerts {
     *  - state schema evolution is supported by the runtime, where v1's
     *    case-class encoder breaks checkpoints on any field change (the
     *    round-4 WindowedStreams lesson).
+    * Transitions are BATCH-GRANULAR exactly like the v1 twin (at most
+    * one alert or resolve per micro-batch; see [[transition]]) — the
+    * same no-event-time rationale applies.
     * The DRAIN caveat carries over from v1, only the lever moves: TTL
     * needs `TimeMode.ProcessingTime`, under which the engine keeps
     * scheduling (empty) batches so evictions can happen — wrong for

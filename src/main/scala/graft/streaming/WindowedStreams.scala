@@ -177,13 +177,57 @@ object WindowedStreams {
   // BucketOwners; nearDupHitLog's BucketOwner gained the `sh` field). A
   // checkpoint written by the pre-verification operators cannot be
   // restarted across that change — state deserialization fails (or worse,
-  // misreads). Same class of break the alerts pipeline handles by
-  // splitting checkpoint dirs per mode (StreamPipeline.checkpointDirFor):
-  // callers upgrading a live query must point the restarted query at a
-  // FRESH checkpointLocation and accept the one-TTL warm-up (the blacklist
-  // re-learns claimants; the reference's in-memory blacklist forgets on
-  // every restart, so this is strictly no worse than reference semantics).
+  // misreads). [[stateSchemaVersions]] + [[versionedCheckpoint]] make the
+  // break explicit: each operator's state encoding carries a version, the
+  // checkpoint path is version-suffixed (a bump lands the restarted query
+  // in a FRESH directory — one-TTL warm-up, never a deserialization
+  // error; the reference's in-memory blacklist forgets on every restart,
+  // so this is strictly no worse than reference semantics), and a marker
+  // file inside the directory fails LOUDLY with instructions if a
+  // checkpoint from a different version is ever pointed at directly.
   // -------------------------------------------------------------------------
+
+  /** Current state-schema version per stateful operator in this file —
+    * bump on ANY incompatible change to the operator's state case
+    * classes (the pre-/post-verification change above is exactly the
+    * class of break this records). */
+  val stateSchemaVersions: Map[String, Int] = Map(
+    "suppressNearDups" -> 2, // v1: single BucketOwner; v2: BucketOwners LRU list
+    "nearDupHitLog" -> 2, // v1: id-only owner; v2: BucketOwner carries sh
+    "suppressEmbedNearDups" -> 1)
+
+  /** Resolve the checkpoint location for one of this file's stateful
+    * operators: `root/op-vN` where N is the operator's current state
+    * version. A schema bump changes the directory, so an upgraded query
+    * starts from fresh state (one-TTL warm-up) instead of dying inside
+    * the state store; the version marker stamped into the directory
+    * makes any direct mismatch (a copied/renamed checkpoint, a version
+    * edit without a migration) fail loudly at START with instructions,
+    * not mid-batch with a deserialization error. */
+  def versionedCheckpoint(root: String, op: String): String = {
+    val version = stateSchemaVersions.getOrElse(op,
+      throw new IllegalArgumentException(s"unknown stateful operator '$op' " +
+        s"(known: ${stateSchemaVersions.keys.toSeq.sorted.mkString(", ")})"))
+    val dir = new java.io.File(root, s"$op-v$version")
+    dir.mkdirs()
+    val marker = new java.io.File(dir, "_graft_state_version")
+    if (marker.exists()) {
+      val found = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      if (found != version.toString)
+        throw new IllegalStateException(
+          s"checkpoint at $dir was written under $op state-schema v$found " +
+            s"but this build encodes v$version: the operator's state " +
+            "changed incompatibly. Point the restarted query at a fresh " +
+            "checkpointLocation (versionedCheckpoint does this " +
+            "automatically when the version constant is bumped) and " +
+            "accept the one-TTL state warm-up.")
+    } else {
+      java.nio.file.Files.write(marker.toPath,
+        version.toString.getBytes("UTF-8"))
+    }
+    dir.getAbsolutePath
+  }
 
   /** One incoming document exploded onto a MinHash band bucket. `sh` is
     * the doc's sorted distinct shingle-HASH set (xxhash64 per shingle):
@@ -468,10 +512,14 @@ object WindowedStreams {
 
   /** Exact cosine between two float embeddings, double accumulation in
     * index order (the Kernels.dotFF fold — same arithmetic as the batch
-    * ops). 0 when either norm is 0. */
-  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    * ops). 0 when either norm is 0, and 0 on DIMENSION MISMATCH: vectors
+    * from different embedding spaces are never "similar" — truncating to
+    * a shared prefix could suppress a vector as a duplicate of (or admit
+    * it as a claimant against) one of a different dimensionality. */
+  private[streaming] def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    if (a.length != b.length) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
@@ -533,7 +581,14 @@ object WindowedStreams {
     * quiet-period TTL (state bounded by |recently-claiming buckets|);
     * `ttlMs = 0` is the drain/test mode (TimeMode.None — batches only on
     * data; state bounded by 2^nBits · maxOwners). Requires the RocksDB
-    * state store provider. */
+    * state store provider.
+    *
+    * WARNING — the 24 h default selects ProcessingTime, which keeps
+    * scheduling (empty) micro-batches: a query built with the default
+    * NEVER terminates under Trigger.AvailableNow / processAllAvailable.
+    * Batch/test callers draining a finite input must use
+    * [[suppressEmbedNearDupsDrain]] (or pass `ttlMs = 0`) — the
+    * continuous default is for genuinely unbounded streams only. */
   def suppressEmbedNearDups(vecs: DataFrame, tsCol: String = "ts",
       threshold: Double = 0.9, nBits: Int = 8, maxOwners: Int = 8,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[NovelVec] = {
@@ -556,4 +611,14 @@ object WindowedStreams {
       .transformWithState(
         new EmbedDedupProcessor(threshold, maxOwners, ttl), mode, OM.Append())
   }
+
+  /** [[suppressEmbedNearDups]] in DRAIN mode (TimeMode.None — no TTL, no
+    * empty-batch scheduling): the factory for Trigger.AvailableNow /
+    * processAllAvailable callers, which would never terminate under the
+    * continuous default's ProcessingTime configuration. State is bounded
+    * by 2^nBits · maxOwners claimants for the life of the query. */
+  def suppressEmbedNearDupsDrain(vecs: DataFrame, tsCol: String = "ts",
+      threshold: Double = 0.9, nBits: Int = 8,
+      maxOwners: Int = 8): Dataset[NovelVec] =
+    suppressEmbedNearDups(vecs, tsCol, threshold, nBits, maxOwners, ttlMs = 0L)
 }

@@ -125,6 +125,49 @@ class QueriesSpec extends SparkSpec {
     assert(wideCapped === uncapped)
   }
 
+  test("LSH hot-bucket fallback: hot count past isinLimit takes the broadcast anti-join path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pathological stub corpus: 1100 "families" of 3 identical docs — each
+    // family's band buckets hold ≥3 members, so with cap=2 they are ALL
+    // hot (weakHash is deliberately weak, so families merge into ~150
+    // distinct hot buckets — still far past the isinLimit below, forcing
+    // the broadcast anti-join branch instead of the literal isin) — plus
+    // ONE cold exact-dup pair whose buckets hold 2 members (≤ cap) and
+    // must survive the exclusion
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshhot").toString
+    val families = (0 until 1100).flatMap { i =>
+      val text = s"fam${i}a fam${i}b fam${i}c fam${i}d"
+      (0 until 3).map(j => (100L + i * 3 + j, text, "en", "stub", text.length.toLong))
+    }
+    val cold = Seq(
+      (1L, "cold pair survives the cap", "en", "stub", 27L),
+      (2L, "cold pair survives the cap", "en", "stub", 27L))
+    (families ++ cold)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // construction check: the census really exceeds the isinLimit used below
+    val hotCount = TextOps.minhashSignatures(spark, tmp)
+      .select(col("doc_id"),
+        explode(array(
+          concat_ws("_", lit("0|"), col("mh0"), col("mh1")),
+          concat_ws("_", lit("1|"), col("mh2"), col("mh3")))).as("bucket"))
+      .groupBy("bucket").count().filter(col("count") > 2).count()
+    assert(hotCount > 100, s"stub corpus produced only $hotCount hot buckets")
+    val got = TextOps.lshNearDupPairs(spark, tmp, maxBucketSize = 2,
+        isinLimit = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the cold exact pair remains; every family pair was dropped with
+    // its hot buckets (bounded-cost trade documented on the operator)
+    assert(got.toSeq === Seq((1L, 2L, 10000L)), got.mkString(","))
+    // the literal-isin path on the SAME corpus must agree exactly — the
+    // two exclusion plans are semantically identical
+    val viaIsin = TextOps.lshNearDupPairs(spark, tmp, maxBucketSize = 2,
+        isinLimit = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIsin.toSeq === got.toSeq)
+  }
+
   test("LSH knn ranks are consistent with brute force where buckets agree") {
     val bf = SimilarityOps.knnBruteForce(spark, dir)
       .select("q_id", "vec_id", "rank").collect()

@@ -430,8 +430,15 @@ class WindowedStreamsSpec extends SparkSpec {
       val a2 = Seq(1f, 0.005f, 0f, 0f)
       val a3 = Seq(1f, 0f, 0.005f, 0f)
       val b  = Seq(0f, 1f, 0f, 0f) // orthogonal: novel wherever it lands
-      val out = WindowedStreams.suppressEmbedNearDups(
-        src.toDF().toDF("ts", "vec_id", "embedding"), ttlMs = 0L)
+      // 3-dim twin of `a`: the zero 4th component means it projects onto
+      // every SRP hyperplane exactly like `a` (same bucket), and its
+      // 3-dim PREFIX cosine vs `a` is 1.0 — so it pins the dimension
+      // guard: a dimension-mismatched vector must be treated as novel,
+      // never suppressed on a prefix match
+      val short3 = Seq(1f, 0f, 0f)
+      // the drain factory IS the test-mode contract (TimeMode.None)
+      val out = WindowedStreams.suppressEmbedNearDupsDrain(
+        src.toDF().toDF("ts", "vec_id", "embedding"))
       val q = out.writeStream.format("memory").queryName("embdedup")
         .outputMode("append")
         .option("checkpointLocation",
@@ -443,15 +450,59 @@ class WindowedStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       src.addData((t(4), 4L, a3)) // still a dup of the batch-1 claimant
       q.processAllAvailable()
+      src.addData((t(5), 5L, short3)) // dim mismatch: novel, not a prefix-dup
+      q.processAllAvailable()
       q.stop()
       val emitted = spark.sql("SELECT vec_id FROM embdedup").collect()
         .map(_.getLong(0)).toSet
-      assert(emitted === Set(1L, 3L), emitted)
+      assert(emitted === Set(1L, 3L, 5L), emitted)
     } finally {
       prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
     }
+  }
+
+  test("versioned checkpoint: restart across a state-schema change fails loudly, not in the state store") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cpver").toString
+    // run a REAL checkpointed instance of the operator first, so the
+    // guard is exercised against a directory a streaming query owns
+    val src = MemoryStream[DocEv]
+    val out = WindowedStreams.suppressNearDups(
+      src.toDF().toDF("ts", "doc_id", "text"))
+    val cp = WindowedStreams.versionedCheckpoint(root, "suppressNearDups")
+    val q = out.writeStream.format("memory").queryName("cpver")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    try {
+      src.addData(DocEv(t(1), 1L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // same build, same version → resolves to the same directory, no error
+    assert(WindowedStreams.versionedCheckpoint(root, "suppressNearDups") === cp)
+    // simulate a checkpoint written under a DIFFERENT schema version
+    // (an old build's directory copied/renamed into the current path):
+    // the restart must die at resolution time with instructions, never
+    // reach state deserialization
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cp, "_graft_state_version"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      WindowedStreams.versionedCheckpoint(root, "suppressNearDups")
+    }
+    assert(e.getMessage.contains("state-schema v1"), e.getMessage)
+    assert(e.getMessage.contains("fresh"), e.getMessage)
+    // unknown operators are rejected rather than silently unversioned
+    intercept[IllegalArgumentException] {
+      WindowedStreams.versionedCheckpoint(root, "nope")
+    }
+    // a version BUMP lands in a fresh directory (never a mismatch):
+    // distinct ops resolve to distinct dirs as a proxy for distinct
+    // versions of one op
+    val other = WindowedStreams.versionedCheckpoint(root, "suppressEmbedNearDups")
+    assert(other !== cp)
   }
 }
