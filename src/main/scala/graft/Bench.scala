@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON metrics line (driver contract). A session warmup runs
   * first so the first measured query doesn't absorb JVM/codegen startup.
   *
+  * HEAP: run with the build's default -Xmx8g (sbt runMain — the driver
+  * contract), NOT a huge heap. Measured round 6: the same suite under
+  * -Xmx100g on this 125 GB box degrades 5-30× erratically
+  * (dedup_clusters 4.7 s → 72-81 s, text_cosine_pairs 5.3 s → 292 s) —
+  * the lazily-expanding giant heap defers GC until the JVM's RSS
+  * collides with the kernel's proactive reclaim (kdamond/kcompactd),
+  * which then stalls every job for seconds. A right-sized heap GCs
+  * early, keeps RSS flat, and the same queries run stably.
+  *
   * Optional args (driver passes none; used for isolation re-measurement):
   *   args(0) — comma-separated query-name filter ("all" = everything)
   *   args(1) — repeat count per query (default 3); every repetition is
