@@ -371,10 +371,11 @@ object SimilarityOps {
     *
     * 100 TB shape: the candidate scan reads m+8 bytes per vector instead
     * of dim·4 (a 16× smaller index that fits executor RAM); full vectors
-    * are fetched only for the shortlist (shortlist/N of the corpus). A
-    * production ADC kernel folds the per-(query, subspace) dot products
-    * into an nCodes-entry lookup table computed once per query, making
-    * scoring m table reads per pair.
+    * are fetched only for the shortlist (shortlist/N of the corpus).
+    * Scoring uses the classic ADC factorization: the per-(query,
+    * subspace, code) dot products fold into an m×nCodes lookup table
+    * computed ONCE per query row before the broadcast, so each candidate
+    * pair costs m table reads, not m subDim-wide dot products.
     *
     * Codebooks are deterministic — initialized from the first `nCodes`
     * vectors' subvectors and refined with a fixed number of Lloyd
@@ -471,13 +472,22 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
     def vecsArr(s: Int): Column = array(books(s).map(b => typedlit(b._1)): _*)
+    // the per-query ADC LOOKUP TABLE: lut[s][c] = q_s · book_s[c]
+    // (m·nCodes doubles), computed once per query row BEFORE the
+    // broadcast — scoring a corpus row is then m array lookups instead of
+    // m subDim-wide dot products (the production ADC kernel the scaladoc
+    // promises). Same index-order folds and the same Σ over s, so the adc
+    // values — hence shortlist and output — are bit-identical to the
+    // unfactored per-pair form this replaces.
+    val lutCol = array((0 until m).map(s =>
+      transform(vecsArr(s), sub => dot(subSlice(col("q_emb"), s), sub))): _*)
     val adc = (0 until m).map(s =>
-        dot(subSlice(col("q_emb"), s),
-          element_at(vecsArr(s), col("codes")(s) + 1)))
+        element_at(element_at(col("lut"), s + 1), col("codes")(s) + 1))
       .reduce(_ + _)
     // stage 1: ADC over the code index → per-query shortlist
     val short = encoded
-      .join(broadcast(queries.select(col("q_id"), col("q_emb"), col("q_nrm"))),
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"), col("q_nrm"))
+          .withColumn("lut", lutCol)),
         col("vec_id") =!= col("q_id"))
       .withColumn("adc", adc / (col("q_nrm") * col("recon_nrm")))
       .withColumn("srank", row_number().over(Window.partitionBy(col("q_id"))
