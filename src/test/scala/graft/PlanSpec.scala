@@ -387,6 +387,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("pq knn: ADC scores via the per-query lookup table, not per-pair dots") {
+    val s = planString(SimilarityOps.knnPq(spark, dir))
+    // the lut (m×nCodes dot products) is projected on the broadcast side,
+    // once per query row; each candidate pair then reads it via
+    // element_at — the classic ADC factorization
+    assert(s.contains("lut"), s)
+    assert(s.contains("element_at"), s)
+  }
+
   test("native as-of plans as the custom exec: merge pass, no window state") {
     val s = planString(graft.operators.ExtraOps.asofErrorSignupNative(spark, dir))
     // the custom node is planned (strategy fired), children are keyed

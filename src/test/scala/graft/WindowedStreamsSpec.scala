@@ -464,6 +464,44 @@ class WindowedStreamsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup blacklist survives a restart: recovered state suppresses post-restart duplicates") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    // X1 for the near-dup blacklist: parquet sink (the memory sink does
+    // not support checkpoint recovery), versioned checkpoint dir, stop,
+    // NEW MemoryStream + query from the same checkpoint — batch 0 replays
+    // (MemoryStream offsets), then a post-restart duplicate of the
+    // RECOVERED claimant must be suppressed and batch 0 not double-written
+    val root = java.nio.file.Files.createTempDirectory("graft-ndrestart").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-ndsink").toString
+    val cp = WindowedStreams.versionedCheckpoint(root, "suppressNearDups")
+    val src1 = MemoryStream[DocEv]
+    val q1 = WindowedStreams.suppressNearDups(
+        src1.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      src1.addData(DocEv(t(1), 1L, "alpha beta gamma delta epsilon"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val src2 = MemoryStream[DocEv]
+    src2.addData(DocEv(t(1), 1L, "alpha beta gamma delta epsilon")) // replayed batch 0
+    val q2 = WindowedStreams.suppressNearDups(
+        src2.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try {
+      src2.addData(
+        DocEv(t(2), 2L, "alpha beta gamma delta epsilon"), // dup of recovered claimant
+        DocEv(t(3), 3L, "one two three four five six"))    // novel
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val emitted = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(emitted === Seq(1L, 3L), emitted)
+  }
+
   test("versioned checkpoint: restart across a state-schema change fails loudly, not in the state store") {
     val spark2 = spark
     import spark2.implicits._
