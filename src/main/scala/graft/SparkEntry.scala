@@ -291,6 +291,76 @@ object SparkEntry {
       s""" SELECT cell, dim, val AS centroid FROM c${iters}d"""
   }
 
+  /** The full [[SimilarityOps.knnPq]] pipeline unrolled in DuckDB SQL —
+    * codebook training (per-subspace Lloyd over the first-`trainN`
+    * sample), corpus encoding, ADC shortlist, exact re-rank. Replay is
+    * exact because every Spark-side fold is LEFT-ASSOCIATIVE in a fixed
+    * order (driver loops in vec_id/index order; Column-side `reduce(_+_)`
+    * chains), which DuckDB reproduces with explicit `a + b + c` chains
+    * and `list_reduce(list(x ORDER BY ...))` sequential folds; the means
+    * are single divisions of those exact-ordered sums, and the Float
+    * codebook cast is CAST(AS REAL). `subDim` is dim/m = 4 for the
+    * 64-dim testdata embeddings (the Spark op reads dim from data; the
+    * oracle pins the testdata contract). */
+  private def pqKnnSql(m: Int = 16, nCodes: Int = 16, trainN: Int = 256,
+      iters: Int = 8, shortlist: Int = 50, k: Int = 5,
+      subDim: Int = 4): String = {
+    // left-assoc chains mirror the Scala while-loops / reduce(_ + _)
+    def sqChain(x: String, c: String) = (1 to subDim)
+      .map(i => s"($x[$i] - $c[$i]) * ($x[$i] - $c[$i])").mkString(" + ")
+    def dotChain(x: String, c: String) = (1 to subDim)
+      .map(i => s"$x[$i] * $c[$i]").mkString(" + ")
+    val meanList = (1 to subDim)
+      .map(i => s"list_reduce(list(x[$i] ORDER BY vec_id), (acc, v) -> acc + v) / count(*)")
+      .mkString("[", ", ", "]")
+    val rounds = (1 to iters).map { kk =>
+      val p = kk - 1
+      s"""a$kk AS (SELECT vec_id, s, code, x FROM (SELECT t.vec_id, t.s, c.code, t.x, """ +
+        s"""row_number() OVER (PARTITION BY t.s, t.vec_id ORDER BY ${sqChain("t.x", "c.c")}, c.code) AS rn """ +
+        s"""FROM tr t JOIN cb$p c ON t.s = c.s) z$kk WHERE rn = 1), """ +
+        s"""u$kk AS (SELECT s, code, $meanList AS c FROM a$kk GROUP BY s, code), """ +
+        s"""cb$kk AS (SELECT c0.s, c0.code, coalesce(u.c, c0.c) AS c """ +
+        s"""FROM cb$p c0 LEFT JOIN u$kk u ON c0.s = u.s AND c0.code = u.code)"""
+    }.mkString(", ")
+    val subList = (1 to subDim)
+      .map(i => s"emb[s * $subDim + $i]").mkString("[", ", ", "]")
+    val qsubList = (1 to subDim)
+      .map(i => s"q_emb[s * $subDim + $i]").mkString("[", ", ", "]")
+    val floatCast = (1 to subDim)
+      .map(i => s"CAST(CAST(c[$i] AS REAL) AS DOUBLE)").mkString("[", ", ", "]")
+    val n2Chain = (1 to subDim).map(i => s"b[$i] * b[$i]").mkString(" + ")
+    s"""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+      s"""subv AS (SELECT vec_id, s, $subList AS x FROM e0 CROSS JOIN generate_series(0, ${m - 1}) ss(s)), """ +
+      s"""tr AS (SELECT vec_id, s, x FROM subv WHERE vec_id < $trainN), """ +
+      s"""cb0 AS (SELECT s, rn - 1 AS code, x AS c FROM (SELECT s, x, """ +
+      s"""row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM tr) z0 WHERE rn <= $nCodes), """ +
+      rounds + ", " +
+      s"""bookf AS (SELECT s, code, $floatCast AS b FROM cb$iters), """ +
+      s"""book AS (SELECT s, code, b, $n2Chain AS n2 FROM bookf), """ +
+      s"""encd AS (SELECT vec_id, s, code FROM (SELECT v.vec_id, v.s, b.code, """ +
+      s"""row_number() OVER (PARTITION BY v.s, v.vec_id ORDER BY """ +
+      s"""b.n2 - 2.0 * (${dotChain("v.x", "b.b")}), b.code) AS rn """ +
+      s"""FROM subv v JOIN book b ON v.s = b.s) ze WHERE rn = 1), """ +
+      s"""recon AS (SELECT e.vec_id, sqrt(list_reduce(list(b.n2 ORDER BY e.s), (acc, v) -> acc + v)) AS recon_nrm """ +
+      s"""FROM encd e JOIN book b ON e.s = b.s AND e.code = b.code GROUP BY e.vec_id), """ +
+      s"""q AS (SELECT vec_id AS q_id, emb AS q_emb, sqrt(list_dot_product(emb, emb)) AS q_nrm FROM e0 WHERE vec_id < 10), """ +
+      s"""qsub AS (SELECT q_id, s, $qsubList AS qx FROM q CROSS JOIN generate_series(0, ${m - 1}) ss(s)), """ +
+      s"""term AS (SELECT qs.q_id, e.vec_id, e.s, (${dotChain("qs.qx", "b.b")}) AS tv """ +
+      s"""FROM encd e JOIN book b ON e.s = b.s AND e.code = b.code """ +
+      s"""JOIN qsub qs ON qs.s = e.s WHERE e.vec_id <> qs.q_id), """ +
+      s"""adc AS (SELECT q_id, vec_id, list_reduce(list(tv ORDER BY s), (acc, v) -> acc + v) AS adcsum """ +
+      s"""FROM term GROUP BY q_id, vec_id), """ +
+      s"""sl AS (SELECT q_id, vec_id FROM (SELECT a.q_id, a.vec_id, """ +
+      s"""row_number() OVER (PARTITION BY a.q_id ORDER BY a.adcsum / (q.q_nrm * r.recon_nrm) DESC, a.vec_id) AS srank """ +
+      s"""FROM adc a JOIN q ON a.q_id = q.q_id JOIN recon r ON a.vec_id = r.vec_id) zs """ +
+      s"""WHERE srank <= $shortlist), """ +
+      s"""nn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e0), """ +
+      s"""resc AS (SELECT sl.q_id, sl.vec_id, list_dot_product(q.q_emb, nn.emb) / (q.q_nrm * nn.nrm) AS c """ +
+      s"""FROM sl JOIN q ON sl.q_id = q.q_id JOIN nn ON sl.vec_id = nn.vec_id), """ +
+      s"""ranked AS (SELECT q_id, vec_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM resc) """ +
+      s"""SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $k"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s2_parse" ->
       s"SELECT event_id, $kExpr AS k FROM events WHERE props IS NOT NULL",
@@ -953,6 +1023,7 @@ object SparkEntry {
         """count(*) AS n_vecs, round(avg(u.v), 6) AS centroid_r6 """ +
         """FROM x GROUP BY 1, 2"""),
     "sim_kmeans_train" -> kmeansTrainSql(),
+    "sim_knn_pq" -> pqKnnSql(),
     "sim_knn" ->
       ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), """ +

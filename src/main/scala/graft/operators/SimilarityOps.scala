@@ -384,9 +384,12 @@ object SimilarityOps {
     * standard practice of training PQ codebooks on a sample rather than
     * the corpus) — then inlined as literals, so encoding is a map-only,
     * zero-shuffle expression exactly like [[knnIvf]]'s cell assignment.
-    * Approximate, so no SQL oracle — spec-verified for recall against
-    * [[knnBruteForce]]. Assumes the embedding dim is divisible by `m`
-    * (64 = 16×4 here). */
+    * Approximate vs the exact kNN (spec-verified for recall against
+    * [[knnBruteForce]]) but fully deterministic: every fold — the Lloyd
+    * sums, distances, ADC terms — runs left-associatively in a fixed
+    * order, so the DuckDB oracle replays training, encoding, shortlist,
+    * and re-rank bit-identically (SparkEntry.pqKnnSql). Assumes the
+    * embedding dim is divisible by `m` (64 = 16×4 here). */
   def knnPq(spark: SparkSession, dir: String, k: Int = 5,
       m: Int = 16, nCodes: Int = 16, trainN: Int = 256,
       lloydIters: Int = 8, shortlist: Int = 50): DataFrame = {
