@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
@@ -799,6 +800,35 @@ object SparkEntry {
         """CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS BIGINT) AS hamming """ +
         """FROM sa JOIN sb ON sa.doc_id < sb.doc_id """ +
         """WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3"""),
+    "dedup_incremental" ->
+      // fresh (doc_id >= 250) against frozen seen (doc_id < 250): exact
+      // md5 match OR band collision + exact-Jaccard verify, dup_of = min
+      // seen id across both; the CASE mirrors the Spark when-chain
+      // (DuckDB least() NULL semantics are never relied on)
+      (s"""WITH sig AS ($minhashSql), """ +
+        """d0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), """ +
+        s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d0 WHERE len(w) >= 3), """ +
+        """f AS (SELECT doc_id, text FROM d0 WHERE doc_id >= 250), """ +
+        """sn AS (SELECT doc_id, text FROM d0 WHERE doc_id < 250), """ +
+        """ex AS (SELECT f.doc_id, min(sn.doc_id) AS dup_exact FROM f """ +
+        """JOIN sn ON md5(f.text) = md5(sn.text) GROUP BY f.doc_id), """ +
+        """cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS seen_id """ +
+        """FROM sig a JOIN sig b ON a.doc_id >= 250 AND b.doc_id < 250 """ +
+        """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))), """ +
+        """nr AS (SELECT c.doc_id, min(c.seen_id) AS dup_near """ +
+        """FROM cand c JOIN s sa ON c.doc_id = sa.doc_id JOIN s sb ON c.seen_id = sb.doc_id """ +
+        """WHERE 2 * len(list_intersect(sa.sh, sb.sh)) >= """ +
+        """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) """ +
+        """GROUP BY c.doc_id) """ +
+        """SELECT f.doc_id, """ +
+        """CASE WHEN e.dup_exact IS NULL THEN n.dup_near """ +
+        """WHEN n.dup_near IS NULL THEN e.dup_exact """ +
+        """WHEN e.dup_exact < n.dup_near THEN e.dup_exact ELSE n.dup_near END AS dup_of, """ +
+        """(CASE WHEN e.dup_exact IS NULL THEN n.dup_near """ +
+        """WHEN n.dup_near IS NULL THEN e.dup_exact """ +
+        """WHEN e.dup_exact < n.dup_near THEN e.dup_exact ELSE n.dup_near END) IS NULL AS kept """ +
+        """FROM f LEFT JOIN ex e ON f.doc_id = e.doc_id """ +
+        """LEFT JOIN nr n ON f.doc_id = n.doc_id"""),
     "dedup_lsh_pairs" ->
       // exact replay of the MinHash banding: candidates collide on band 0
       // (mh0, mh1) or band 1 (mh2, mh3) — pairwise equality is the string

@@ -385,8 +385,12 @@ object TextOps {
 
   /** Per-document MinHash signature (4 hashes) — oracle-verifiable since
     * H is the explicit weakHash. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = tbl(spark, dir, "documents")
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(tbl(spark, dir, "documents"))
+
+  /** [[minhashSignatures]] over any (doc_id, text) relation. */
+  def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .withColumn("hv", weakHash(col("s")))
     val mhCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -588,6 +592,72 @@ object TextOps {
     docs.unpersist(true)
     buckets.unpersist(true)
     out
+  }
+
+  /** INCREMENTAL dedup — the production shape at 100 TB: a NEW batch (the
+    * fresh crawl) is deduplicated AGAINST a frozen seen-corpus, never the
+    * corpus against itself. A fresh doc is dropped when (a) its exact
+    * text hash matches any seen doc, or (b) a MinHash band collision
+    * against the seen index verifies at shingle Jaccard ≥ `threshold`
+    * (the same 2-band layout and exact-verify predicate as
+    * [[lshNearDupPairs]]). Emits ONE row per fresh doc:
+    * (doc_id, dup_of, kept) — `dup_of` is the smallest seen doc_id among
+    * verified matches (exact beats near only by being smaller; the min is
+    * taken across both), NULL when novel.
+    *
+    * Scale shape: the seen side's band index and shingle arrays are
+    * ingest-time artifacts in production (computed once, stored); the
+    * joins here are bucket- and candidate-bounded exactly like the batch
+    * op — never all-pairs — and the FRESH side (a crawl increment, orders
+    * of magnitude smaller than the corpus) is the natural broadcast/AQE
+    * small side of every join. Shingle-less fresh docs can only match
+    * exactly (nothing to verify on); hot-bucket capping belongs on the
+    * stored index (see lshNearDupPairs) and is omitted here.
+    *
+    * `splitId` partitions the one `documents` table into seen
+    * (doc_id < splitId) and fresh — the testdata stand-in for two real
+    * relations. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      splitId: Long = 250, threshold: Double = 0.5): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    dedupIncrementalOf(
+      docs.filter(col("doc_id") >= splitId),
+      docs.filter(col("doc_id") < splitId), threshold)
+  }
+
+  /** [[dedupIncremental]] over explicit (fresh, seen) relations. */
+  def dedupIncrementalOf(fresh: DataFrame, seen: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    def hashed(df: DataFrame) =
+      df.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exact = hashed(fresh)
+      .join(hashed(seen).select(col("h"), col("doc_id").as("seen_id")), "h")
+      .groupBy("doc_id").agg(min(col("seen_id")).as("dup_exact"))
+    def banded(df: DataFrame) = minhashSignaturesOf(df)
+      .select(col("doc_id"), explode(array(
+        concat(lit("0|"), concat_ws("_", col("mh0"), col("mh1"))),
+        concat(lit("1|"), concat_ws("_", col("mh2"), col("mh3"))))).as("bucket"))
+    val near = banded(fresh)
+      .join(banded(seen).select(col("bucket"), col("doc_id").as("seen_id")),
+        "bucket")
+      .select("doc_id", "seen_id").distinct()
+      .join(fresh.select(col("doc_id"), shingles(col("text")).as("sh_f")),
+        "doc_id")
+      .join(seen.select(col("doc_id").as("seen_id"),
+        shingles(col("text")).as("sh_s")), "seen_id")
+      .withColumn("common",
+        size(array_intersect(col("sh_f"), col("sh_s"))).cast("long"))
+      .withColumn("union_sz",
+        size(array_union(col("sh_f"), col("sh_s"))).cast("long"))
+      .filter(col("common").cast("double") / col("union_sz") >= threshold)
+      .groupBy("doc_id").agg(min(col("seen_id")).as("dup_near"))
+    val dupOf = when(col("dup_exact").isNull, col("dup_near"))
+      .when(col("dup_near").isNull, col("dup_exact"))
+      .otherwise(least(col("dup_exact"), col("dup_near")))
+    fresh.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), dupOf.as("dup_of"), dupOf.isNull.as("kept"))
   }
 
   // -------------------------------------------------------------------------

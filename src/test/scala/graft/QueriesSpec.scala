@@ -168,6 +168,36 @@ class QueriesSpec extends SparkSpec {
     assert(viaIsin.toSeq === got.toSeq)
   }
 
+  test("incremental dedup: fresh batch judged against frozen corpus only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val seen = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // frozen corpus
+      (2L, "one two three four five six"),
+      (3L, "x")) // shingle-less seen doc: only exact-hash can match it
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (300L, "alpha beta gamma delta epsilon"), // exact copy of 1 → dropped
+      (301L, "one two three four five seven"),  // near-dup of 2 → dropped
+      (302L, "totally novel content here now"), // novel → kept
+      (303L, "x"),                              // exact copy of shingle-less 3 → dropped
+      (304L, "y"))                              // shingle-less novel → kept
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupIncrementalOf(fresh, seen).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (300L, 1L, false), (301L, 2L, false), (302L, -1L, true),
+      (303L, 3L, false), (304L, -1L, true)), got.mkString(","))
+    // fresh docs are never judged against EACH OTHER: two identical
+    // fresh docs both survive when neither matches the corpus
+    val twins = Seq((400L, "twin text never seen before ok"),
+      (401L, "twin text never seen before ok")).toDF("doc_id", "text")
+    val kept = TextOps.dedupIncrementalOf(twins, seen).collect()
+    assert(kept.forall(_.getBoolean(2)), kept.mkString(","))
+  }
+
   test("LSH knn ranks are consistent with brute force where buckets agree") {
     val bf = SimilarityOps.knnBruteForce(spark, dir)
       .select("q_id", "vec_id", "rank").collect()
