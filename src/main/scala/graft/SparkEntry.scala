@@ -269,6 +269,9 @@ object SparkEntry {
     * table on the Spark side. */
   private def kmeansTrainSql(nCentroids: Int = 16, iters: Int = 3): String = {
     val q = SimilarityOps.QUANT.toLong
+    // MATERIALIZED: c${p}d is referenced twice per round (centroid list +
+    // empty-cell fallback) — DuckDB's default CTE inlining would copy the
+    // training prefix 2^iters times (see pqKnnSql, where this OOMed)
     val rounds = (1 to iters).map { k =>
       val p = k - 1
       s"""c$p AS (SELECT cell, list(val ORDER BY dim) AS cemb FROM c${p}d GROUP BY cell), """ +
@@ -278,7 +281,7 @@ object SparkEntry {
         s"""FROM n CROSS JOIN c${p}n c) t WHERE rn = 1), """ +
         s"""u$k AS (SELECT a.cell, x.dim, CAST(CAST(CAST(SUM(x.q) AS DOUBLE) / (count(*) * ${q}.0) AS REAL) AS DOUBLE) AS mval """ +
         s"""FROM a$k a JOIN qx x USING (vec_id) GROUP BY a.cell, x.dim), """ +
-        s"""c${k}d AS (SELECT c.cell, c.dim, coalesce(u.mval, c.val) AS val """ +
+        s"""c${k}d AS MATERIALIZED (SELECT c.cell, c.dim, coalesce(u.mval, c.val) AS val """ +
         s"""FROM c${p}d c LEFT JOIN u$k u ON c.cell = u.cell AND c.dim = u.dim)"""
     }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
@@ -314,13 +317,18 @@ object SparkEntry {
     val meanList = (1 to subDim)
       .map(i => s"list_reduce(list(x[$i] ORDER BY vec_id), (acc, v) -> acc + v) / count(*)")
       .mkString("[", ", ", "]")
+    // MATERIALIZED is load-bearing: cb$p is referenced twice per round
+    // (assignment + empty-cluster fallback), so DuckDB's default CTE
+    // INLINING would duplicate the whole training prefix 2^iters times —
+    // measured as an OOM at iters=8 under concurrent load. Materializing
+    // each round pins the tree to linear size.
     val rounds = (1 to iters).map { kk =>
       val p = kk - 1
-      s"""a$kk AS (SELECT vec_id, s, code, x FROM (SELECT t.vec_id, t.s, c.code, t.x, """ +
+      s"""a$kk AS MATERIALIZED (SELECT vec_id, s, code, x FROM (SELECT t.vec_id, t.s, c.code, t.x, """ +
         s"""row_number() OVER (PARTITION BY t.s, t.vec_id ORDER BY ${sqChain("t.x", "c.c")}, c.code) AS rn """ +
         s"""FROM tr t JOIN cb$p c ON t.s = c.s) z$kk WHERE rn = 1), """ +
         s"""u$kk AS (SELECT s, code, $meanList AS c FROM a$kk GROUP BY s, code), """ +
-        s"""cb$kk AS (SELECT c0.s, c0.code, coalesce(u.c, c0.c) AS c """ +
+        s"""cb$kk AS MATERIALIZED (SELECT c0.s, c0.code, coalesce(u.c, c0.c) AS c """ +
         s"""FROM cb$p c0 LEFT JOIN u$kk u ON c0.s = u.s AND c0.code = u.code)"""
     }.mkString(", ")
     val subList = (1 to subDim)
@@ -332,8 +340,8 @@ object SparkEntry {
     val n2Chain = (1 to subDim).map(i => s"b[$i] * b[$i]").mkString(" + ")
     s"""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
       s"""subv AS (SELECT vec_id, s, $subList AS x FROM e0 CROSS JOIN generate_series(0, ${m - 1}) ss(s)), """ +
-      s"""tr AS (SELECT vec_id, s, x FROM subv WHERE vec_id < $trainN), """ +
-      s"""cb0 AS (SELECT s, rn - 1 AS code, x AS c FROM (SELECT s, x, """ +
+      s"""tr AS MATERIALIZED (SELECT vec_id, s, x FROM subv WHERE vec_id < $trainN), """ +
+      s"""cb0 AS MATERIALIZED (SELECT s, rn - 1 AS code, x AS c FROM (SELECT s, x, """ +
       s"""row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM tr) z0 WHERE rn <= $nCodes), """ +
       rounds + ", " +
       s"""bookf AS (SELECT s, code, $floatCast AS b FROM cb$iters), """ +
