@@ -387,6 +387,14 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("incremental dedup: bucket/hash equi-joins only — fresh never crosses the corpus") {
+    val s = planString(graft.operators.TextOps.dedupIncremental(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    // both match paths are equi-joins (md5 hash; band bucket); the
+    // verify join keys on candidate ids, never expands all-pairs
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("pq knn: ADC scores via the per-query lookup table, not per-pair dots") {
     val s = planString(SimilarityOps.knnPq(spark, dir))
     // the lut (m×nCodes dot products) is projected on the broadcast side,
