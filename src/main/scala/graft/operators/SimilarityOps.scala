@@ -193,8 +193,12 @@ object SimilarityOps {
     * sums are order-independent, and the single closing division is
     * correctly rounded — so the whole training run replays bit-identically
     * across runs AND engines (the DuckDB oracle re-derives all `iters`
-    * rounds). The grid error (≤ 2^-21 per member) is below the float cast
-    * the centroid table applies anyway. The update is the raw Euclidean
+    * rounds). The quantization (≤ 2^-21 per contribution, so ≤ 2^-21 on
+    * the mean) is a DOCUMENTED semantic, not noise-level: it is coarser
+    * than the float ulp at unit scale (~2^-24), i.e. these are the exact
+    * means of grid-rounded inputs rather than a bit-perturbed exact mean
+    * — negligible against the data scale, but don't cite it as "below
+    * the float cast". The update is the raw Euclidean
     * Lloyd mean while assignment maximizes cosine — the classic spherical
     * relaxation; objective monotonicity is empirical, not guaranteed
     * (cosine is scale-invariant in the centroid, so the direction of the

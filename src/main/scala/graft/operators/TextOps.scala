@@ -524,18 +524,21 @@ object TextOps {
     * realistic handful); above it — a degenerate corpus with thousands of
     * hot buckets — they ship as a broadcast anti-join instead, keeping the
     * plan constant-size at any hot count. */
+  /** MinHash signatures exploded onto their 2 band buckets — THE band-key
+    * encoding (`"<band>|<mh>_<mh>"`), one definition shared by the batch
+    * pair miner, the incremental op, and the census in QueriesSpec so the
+    * key layout can never silently drift between them. */
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      concat(lit("0|"), concat_ws("_", col("mh0"), col("mh1"))),
+      concat(lit("1|"), concat_ws("_", col("mh2"), col("mh3"))))).as("bucket"))
+
   def lshNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxBucketSize: Int = 4096,
       isinLimit: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-      .withColumn("band0", concat_ws("_", col("mh0"), col("mh1")))
-      .withColumn("band1", concat_ws("_", col("mh2"), col("mh3")))
     // persisted: bucket memberships feed the hot-bucket census, the stats
     // action, and both sides of the candidate self-join
-    val buckets = sigs.select(col("doc_id"),
-      explode(array(
-        concat(lit("0|"), col("band0")),
-        concat(lit("1|"), col("band1")))).as("bucket"))
+    val buckets = bandBuckets(minhashSignatures(spark, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // hot-bucket census — tiny by definition (only buckets over the cap),
     // so it is collected ONCE and excluded via a literal filter: an
@@ -619,13 +622,26 @@ object TextOps {
     * relations. */
   def dedupIncremental(spark: SparkSession, dir: String,
       splitId: Long = 250, threshold: Double = 0.5): DataFrame = {
+    // eager-job idiom (dedupNgramJaccard): each side feeds THREE plan
+    // subtrees (md5 pass, band index, shingle verify) and Catalyst shares
+    // no common subplans — persist both projections, materialize the
+    // (tiny) verdict list, release deterministically. The lazy
+    // two-relation twin below is the library entry (and PlanSpec's
+    // audit target); in production the seen side's signatures/shingles
+    // are ingest-time artifacts read back, not recomputed.
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    dedupIncrementalOf(
-      docs.filter(col("doc_id") >= splitId),
-      docs.filter(col("doc_id") < splitId), threshold)
+    val fresh = docs.filter(col("doc_id") >= splitId)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seen = docs.filter(col("doc_id") < splitId)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = dedupIncrementalOf(fresh, seen, threshold).localCheckpoint(true)
+    fresh.unpersist(true)
+    seen.unpersist(true)
+    out
   }
 
-  /** [[dedupIncremental]] over explicit (fresh, seen) relations. */
+  /** [[dedupIncremental]] over explicit (fresh, seen) relations — lazy:
+    * callers owning the relations decide persistence. */
   def dedupIncrementalOf(fresh: DataFrame, seen: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     def hashed(df: DataFrame) =
@@ -633,10 +649,7 @@ object TextOps {
     val exact = hashed(fresh)
       .join(hashed(seen).select(col("h"), col("doc_id").as("seen_id")), "h")
       .groupBy("doc_id").agg(min(col("seen_id")).as("dup_exact"))
-    def banded(df: DataFrame) = minhashSignaturesOf(df)
-      .select(col("doc_id"), explode(array(
-        concat(lit("0|"), concat_ws("_", col("mh0"), col("mh1"))),
-        concat(lit("1|"), concat_ws("_", col("mh2"), col("mh3"))))).as("bucket"))
+    def banded(df: DataFrame) = bandBuckets(minhashSignaturesOf(df))
     val near = banded(fresh)
       .join(banded(seen).select(col("bucket"), col("doc_id").as("seen_id")),
         "bucket")

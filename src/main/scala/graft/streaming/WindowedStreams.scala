@@ -202,18 +202,28 @@ object WindowedStreams {
     * starts from fresh state (one-TTL warm-up) instead of dying inside
     * the state store; the version marker stamped into the directory
     * makes any direct mismatch (a copied/renamed checkpoint, a version
-    * edit without a migration) fail loudly at START with instructions,
-    * not mid-batch with a deserialization error. */
+    * edit without a migration, a pre-versioning checkpoint dropped into
+    * the versioned path) fail loudly at START with instructions, not
+    * mid-batch with a deserialization error. Paths go through the
+    * Hadoop FileSystem API, so `root` may be any checkpoint-capable URI
+    * (local, hdfs://, s3a://), exactly like `checkpointLocation`
+    * itself. */
   def versionedCheckpoint(root: String, op: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
     val version = stateSchemaVersions.getOrElse(op,
       throw new IllegalArgumentException(s"unknown stateful operator '$op' " +
         s"(known: ${stateSchemaVersions.keys.toSeq.sorted.mkString(", ")})"))
-    val dir = new java.io.File(root, s"$op-v$version")
-    dir.mkdirs()
-    val marker = new java.io.File(dir, "_graft_state_version")
-    if (marker.exists()) {
-      val found = new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+    val dir = new Path(root, s"$op-v$version")
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs: FileSystem = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val marker = new Path(dir, "_graft_state_version")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
       if (found != version.toString)
         throw new IllegalStateException(
           s"checkpoint at $dir was written under $op state-schema v$found " +
@@ -223,10 +233,24 @@ object WindowedStreams {
             "automatically when the version constant is bumped) and " +
             "accept the one-TTL state warm-up.")
     } else {
-      java.nio.file.Files.write(marker.toPath,
-        version.toString.getBytes("UTF-8"))
+      // a marker-less directory that already CONTAINS checkpoint
+      // structure is a checkpoint of unknown schema (pre-versioning
+      // build, or a copy that dropped the marker) — stamping it would
+      // just defer the failure to state-store deserialization
+      val hasCheckpoint = Seq("offsets", "state", "commits")
+        .exists(d => fs.exists(new Path(dir, d)))
+      if (hasCheckpoint)
+        throw new IllegalStateException(
+          s"checkpoint at $dir has streaming-checkpoint structure but no " +
+            s"$op state-schema marker — it predates state versioning or " +
+            "lost its marker in a copy, so its schema is unknown. Point " +
+            "the restarted query at a fresh checkpointLocation (and " +
+            "accept the one-TTL state warm-up), or restore the original " +
+            "_graft_state_version file if this is a faithful copy.")
+      val out = fs.create(marker, false)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
     }
-    dir.getAbsolutePath
+    dir.toString
   }
 
   /** One incoming document exploded onto a MinHash band bucket. `sh` is

@@ -388,7 +388,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup: bucket/hash equi-joins only — fresh never crosses the corpus") {
-    val s = planString(graft.operators.TextOps.dedupIncremental(spark, dir))
+    // audit the LAZY twin: the dir-based entry localCheckpoints its
+    // result, which would truncate the lineage this test inspects
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val s = planString(graft.operators.TextOps.dedupIncrementalOf(
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250")))
     assert(!s.contains("CartesianProduct"), s)
     // both match paths are equi-joins (md5 hash; band bucket); the
     // verify join keys on candidate ids, never expands all-pairs

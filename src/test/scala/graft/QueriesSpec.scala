@@ -146,12 +146,10 @@ class QueriesSpec extends SparkSpec {
     (families ++ cold)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    // construction check: the census really exceeds the isinLimit used below
-    val hotCount = TextOps.minhashSignatures(spark, tmp)
-      .select(col("doc_id"),
-        explode(array(
-          concat_ws("_", lit("0|"), col("mh0"), col("mh1")),
-          concat_ws("_", lit("1|"), col("mh2"), col("mh3")))).as("bucket"))
+    // construction check: the census really exceeds the isinLimit used
+    // below — derived through the SAME bandBuckets encoding the operator
+    // uses, so the check cannot drift from production keys
+    val hotCount = TextOps.bandBuckets(TextOps.minhashSignatures(spark, tmp))
       .groupBy("bucket").count().filter(col("count") > 2).count()
     assert(hotCount > 100, s"stub corpus produced only $hotCount hot buckets")
     val got = TextOps.lshNearDupPairs(spark, tmp, maxBucketSize = 2,

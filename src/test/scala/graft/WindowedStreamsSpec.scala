@@ -524,10 +524,15 @@ class WindowedStreamsSpec extends SparkSpec {
     // simulate a checkpoint written under a DIFFERENT schema version
     // (an old build's directory copied/renamed into the current path):
     // the restart must die at resolution time with instructions, never
-    // reach state deserialization
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(cp, "_graft_state_version"),
-      "1".getBytes("UTF-8"))
+    // reach state deserialization. Rewrite THROUGH the Hadoop FS (as the
+    // old build would have) so the local-FS checksum sidecar stays valid.
+    locally {
+      import org.apache.hadoop.fs.Path
+      val mk = new Path(cp, "_graft_state_version")
+      val fs = mk.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(mk, true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+    }
     val e = intercept[IllegalStateException] {
       WindowedStreams.versionedCheckpoint(root, "suppressNearDups")
     }
@@ -537,6 +542,19 @@ class WindowedStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WindowedStreams.versionedCheckpoint(root, "nope")
     }
+    // a MARKER-LESS directory that already contains checkpoint structure
+    // (pre-versioning build, or a copy that lost the marker) is of
+    // unknown schema: stamping it would defer the failure into the state
+    // store — it must be rejected loudly instead
+    val legacy = java.nio.file.Files.createTempDirectory("graft-cplegacy")
+    val legacyDir = java.nio.file.Paths.get(
+      legacy.toString, "suppressNearDups-v2")
+    java.nio.file.Files.createDirectories(legacyDir.resolve("offsets"))
+    val e2 = intercept[IllegalStateException] {
+      WindowedStreams.versionedCheckpoint(legacy.toString, "suppressNearDups")
+    }
+    assert(e2.getMessage.contains("no suppressNearDups state-schema marker"),
+      e2.getMessage)
     // a version BUMP lands in a fresh directory (never a mismatch):
     // distinct ops resolve to distinct dirs as a proxy for distinct
     // versions of one op
