@@ -220,7 +220,7 @@ object WindowedStreams {
     val fs: FileSystem = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val marker = new Path(dir, "_graft_state_version")
-    if (fs.exists(marker)) {
+    def readAndValidateMarker(): Unit = {
       val in = fs.open(marker)
       val found = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim finally in.close()
@@ -232,6 +232,9 @@ object WindowedStreams {
             "checkpointLocation (versionedCheckpoint does this " +
             "automatically when the version constant is bumped) and " +
             "accept the one-TTL state warm-up.")
+    }
+    if (fs.exists(marker)) {
+      readAndValidateMarker()
     } else {
       // a marker-less directory that already CONTAINS checkpoint
       // structure is a checkpoint of unknown schema (pre-versioning
@@ -247,8 +250,27 @@ object WindowedStreams {
             "the restarted query at a fresh checkpointLocation (and " +
             "accept the one-TTL state warm-up), or restore the original " +
             "_graft_state_version file if this is a faithful copy.")
-      val out = fs.create(marker, false)
+      // Two queries may resolve the same fresh dir concurrently (e.g. a
+      // supervisor relaunching both halves of a topology). A direct
+      // create is doubly racy: the loser gets a raw
+      // FileAlreadyExistsException, and — worse — a reader can observe
+      // the marker EXISTING but still EMPTY between the winner's create
+      // and write (caught by the hammer spec as "state-schema v'' ").
+      // So the marker is stamped via write-to-temp + atomic rename: it
+      // only ever becomes visible complete. The rename loser deletes its
+      // temp and validates the winner's marker — the same path a
+      // pre-existing marker takes.
+      val tmp = new Path(dir,
+        s"._graft_state_version.tmp.${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      val renamed = try fs.rename(tmp, marker) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        readAndValidateMarker()
+      }
     }
     dir.toString
   }

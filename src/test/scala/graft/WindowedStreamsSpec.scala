@@ -561,4 +561,32 @@ class WindowedStreamsSpec extends SparkSpec {
     val other = WindowedStreams.versionedCheckpoint(root, "suppressEmbedNearDups")
     assert(other !== cp)
   }
+
+  test("versioned checkpoint: concurrent resolution of the same fresh dir never surfaces a raw FS error") {
+    // two queries of the same build may resolve the same fresh root at
+    // once (e.g. a restart supervisor relaunching both halves of a
+    // topology): exactly one thread wins the non-overwriting marker
+    // create; every loser must fall through to validating the winner's
+    // marker — same-version, so everyone returns the same path and
+    // nobody sees FileAlreadyExistsException. Hammer across fresh roots
+    // so the exists→create window is actually contended.
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      (1 to 20).foreach { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-cprace").toString
+        val barrier = new CyclicBarrier(8)
+        val futs = (1 to 8).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = {
+              barrier.await(30, TimeUnit.SECONDS)
+              WindowedStreams.versionedCheckpoint(root, "suppressNearDups")
+            }
+          })
+        }
+        val paths = futs.map(_.get(60, TimeUnit.SECONDS)).toSet
+        assert(paths.size === 1, paths)
+      }
+    } finally pool.shutdownNow()
+  }
 }
