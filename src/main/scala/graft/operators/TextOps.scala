@@ -1098,9 +1098,31 @@ object TextOps {
     * byte this relation carries is multiplied by the join fanout — norms
     * are re-derived from the index in one tiny keyed agg and attached to
     * the (post-threshold, tiny) pair list instead. */
+  /** Parallelism for fan-out stages (tokenize-explode, pair expansion):
+    * 16 tasks per core, so the heavy stage's partial-aggregation hash
+    * maps stay small enough to be cache/memory-resident and stragglers
+    * smooth out across many short tasks. Scales with the cluster
+    * (defaultParallelism = total executor cores), never a constant. */
+  private def expandParallelism(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism * 16
+
   private def cosineIndex(spark: SparkSession, dir: String,
       dfCapFrac: Int): DataFrame = {
+    // The tokenize→explode→tf stage is a FAN-OUT (each doc becomes ~|tokens|
+    // index rows), so its parallelism must come from an explicit exchange,
+    // not the scan: a small corpus is one parquet split, and round 7
+    // measured the whole tokenize+tf running as a SINGLE task (~4 s of the
+    // query's 8.9 s at sf0.1). Partitioning the docs BY doc_id does double
+    // duty: hashpartitioning(doc_id) satisfies the (doc_id, term) tf-agg
+    // clustering (no second exchange), and it IS the final index
+    // partitioning the pair expansion below needs — the trailing
+    // repartition collapses. 16× cores (not 1×) keeps every core busy
+    // through the skewed expansion and was the measured sweet spot
+    // (64 parts ≈ 1.6× faster than 32 on this box even at 4 cores:
+    // smaller partial-agg hash maps stay cache/memory-resident).
+    val parts = expandParallelism(spark)
     val docs = tbl(spark, dir, "documents")
+      .repartition(parts, col("doc_id"))
     val tf = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1114,12 +1136,14 @@ object TextOps {
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
       // the self-join below broadcasts one side when the index is small,
       // which makes the OTHER side's partitioning the parallelism of the
-      // Σ df² pair expansion — without this exchange that is the parquet
-      // scan's partitioning (ONE task for a single small file, measured
-      // 2× slower than the whole query). Spreading by doc_id keeps every
-      // core expanding pairs; each pair still arises exactly once (from
-      // its a-side row)
-      .repartition(col("doc_id"))
+      // Σ df² pair expansion. The index is already hash-partitioned by
+      // doc_id from the docs exchange above, so this REPARTITION_BY_NUM
+      // only re-asserts the count through the narrow tf→weight pipeline
+      // (256k rows at sf0.1 — cheap) and keeps the expansion parallelism
+      // pinned at `parts` rather than spark.sql.shuffle.partitions.
+      // Spreading by doc_id keeps every core expanding pairs; each pair
+      // still arises exactly once (from its a-side row)
+      .repartition(parts, col("doc_id"))
   }
 
   /** Per-doc L2 norms of the surviving tf·idf vectors — 1 row per doc,
