@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Canonical session factory for the engine — the configuration the
   * pipeline's semantics and scale posture depend on.
@@ -35,5 +35,32 @@ object Engine {
     val s = builder(master, shufflePartitions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Deploy-mode switch for eager materialization of mined pair graphs
+    * (dedup/cosine/simhash results, connected-components rounds): `false`
+    * (default) = `localCheckpoint(eager)` — blocks live on executors, the
+    * fastest cut for single-tenant batch and local mode, but an executor
+    * loss kills the job because the truncated lineage cannot recompute;
+    * `true` = reliable `checkpoint()` to the context's checkpoint dir
+    * (HDFS/object store on a cluster) — survives executor loss at the
+    * cost of one write+read of the materialized relation. Long-running
+    * cluster jobs where executor churn is expected (spot instances,
+    * >1000 executors at 100 TB) should set this plus
+    * `sparkContext.setCheckpointDir`. */
+  val ReliableCheckpointKey = "spark.graft.checkpoint.reliable"
+
+  /** THE eager-materialization point for every pair-mining operator —
+    * one policy, one place (round-7 VERDICT item 4). Semantics are
+    * identical either way: lineage is truncated and the relation is
+    * computed exactly once, here. */
+  def eagerCheckpoint(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    if (ss.conf.get(ReliableCheckpointKey, "false").toBoolean) {
+      require(ss.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointKey=true requires " +
+          "sparkContext.setCheckpointDir(<fault-tolerant URI>)")
+      df.checkpoint() // eager, reliable, cleaned by ContextCleaner refs
+    } else df.localCheckpoint(eager = true)
   }
 }

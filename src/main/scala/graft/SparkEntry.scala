@@ -218,9 +218,20 @@ object SparkEntry {
   private val ngramPairCtes =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
       s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d WHERE len(w) >= 3)"""
-  private val ngramPairCond =
-    """2 * len(list_intersect(a.sh, b.sh)) >= """ +
-      """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""
+  /** `common >= t*union` rendered from the library default
+    * (TextOps.DefaultNearDupThreshold): the dyadic default renders as
+    * exact integer math, any other value as the generic float form — the
+    * oracle can never silently desync from the Scala operators'
+    * default (round-7 ADVICE). */
+  private def jaccardCondSql(common: String, union: String): String = {
+    val t = TextOps.DefaultNearDupThreshold
+    if (t == 0.5) s"2 * $common >= $union"
+    else s"$common >= $t * ($union)"
+  }
+  private val incSplit = TextOps.DefaultIncrementalSplitId
+  private val ngramPairCond = jaccardCondSql(
+    "len(list_intersect(a.sh, b.sh))",
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))")
 
   private def simhashSql: String = {
     val bitSums = (0 until 16).map(j =>
@@ -816,17 +827,17 @@ object SparkEntry {
       (s"""WITH sig AS ($minhashSql), """ +
         """d0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), """ +
         s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d0 WHERE len(w) >= 3), """ +
-        """f AS (SELECT doc_id, text FROM d0 WHERE doc_id >= 250), """ +
-        """sn AS (SELECT doc_id, text FROM d0 WHERE doc_id < 250), """ +
+        s"""f AS (SELECT doc_id, text FROM d0 WHERE doc_id >= $incSplit), """ +
+        s"""sn AS (SELECT doc_id, text FROM d0 WHERE doc_id < $incSplit), """ +
         """ex AS (SELECT f.doc_id, min(sn.doc_id) AS dup_exact FROM f """ +
         """JOIN sn ON md5(f.text) = md5(sn.text) GROUP BY f.doc_id), """ +
         """cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS seen_id """ +
-        """FROM sig a JOIN sig b ON a.doc_id >= 250 AND b.doc_id < 250 """ +
+        s"""FROM sig a JOIN sig b ON a.doc_id >= $incSplit AND b.doc_id < $incSplit """ +
         """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))), """ +
         """nr AS (SELECT c.doc_id, min(c.seen_id) AS dup_near """ +
         """FROM cand c JOIN s sa ON c.doc_id = sa.doc_id JOIN s sb ON c.seen_id = sb.doc_id """ +
-        """WHERE 2 * len(list_intersect(sa.sh, sb.sh)) >= """ +
-        """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) """ +
+        s"""WHERE ${jaccardCondSql("len(list_intersect(sa.sh, sb.sh))",
+          "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")} """ +
         """GROUP BY c.doc_id) """ +
         """SELECT f.doc_id, """ +
         """CASE WHEN e.dup_exact IS NULL THEN n.dup_near """ +
@@ -854,8 +865,8 @@ object SparkEntry {
         """CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh)) / """ +
         """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_bp """ +
         """FROM cand JOIN s sa ON cand.doc_a = sa.doc_id JOIN s sb ON cand.doc_b = sb.doc_id """ +
-        """WHERE 2 * len(list_intersect(sa.sh, sb.sh)) >= """ +
-        """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"""),
+        s"""WHERE ${jaccardCondSql("len(list_intersect(sa.sh, sb.sh))",
+          "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")}"""),
     "dedup_keep_best" ->
       (s"""WITH RECURSIVE $ngramPairCtes, """ +
         """pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +

@@ -519,11 +519,18 @@ object ExtraOps {
       .agg(max(when(
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
           1L).otherwise(0L)).as("late"))
-    val perOrder = perSupp.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("nsupp"), sum(col("late")).as("nlate"))
-    perSupp.filter(col("late") === 1L)
-      .join(perOrder.filter(col("nsupp") >= 2 && col("nlate") === 1),
-        Seq("l_orderkey"))
+    // Per-order totals as WINDOW functions over perSupp, not a separate
+    // aggregate + self-join: the self-join shape computes the expensive
+    // lineitem⋈orders + partial-agg subtree TWICE (AQE reuses only the
+    // orders broadcast, not the shuffle — the round-7 executed plan showed
+    // two lineitem scans), while the window shape scans lineitem ONCE and
+    // pays one extra l_orderkey shuffle over the already-aggregated (and
+    // far smaller) perSupp relation. Both windows ride a single exchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nlate", sum(col("late")).over(w))
+      .filter(col("late") === 1L && col("nsupp") >= 2 && col("nlate") === 1)
       // no forced broadcast: supplier scales with SF — AQE picks the
       // strategy from runtime sizes (the credit side is tiny anyway)
       .join(tbl(spark, dir, "supplier"),

@@ -8,13 +8,52 @@ import org.apache.spark.sql.functions._
   * batches (the Scala analogue of mapInPandas batch UDFs).
   *
   * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): `fakeDecode` derives deterministic metadata from the raw
-  * bytes. The Spark-side plumbing — binary schema, batch iteration,
-  * partition parallelism, typed output — is real and tested; swap
-  * `fakeDecode` for a real codec (e.g. javax.imageio / ffmpeg bindings) in
-  * production.
+  * environment): [[Multimodal.FakeCodec]] derives deterministic metadata
+  * from the raw bytes. The Spark-side plumbing — binary schema, batch
+  * iteration, partition parallelism, typed output — is real and tested,
+  * and the codec is INJECTED: every batch operator takes a [[MediaCodec]]
+  * (default = the stub), so a production deployment swaps in a real
+  * javax.imageio / ffmpeg-binding codec at the call site without editing
+  * this file. `MediaCodec.open()` runs once per partition — that is where
+  * a real codec allocates its native decoder context (once per batch of
+  * thousands of payloads, never per record).
   */
 object Multimodal {
+
+  /** Per-partition decoder handle — the production decode contract. All
+    * methods are record-level; allocation-heavy setup belongs in
+    * [[MediaCodec.open]]. */
+  trait MediaDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta
+    def features(docId: Long, bytes: Array[Byte]): MediaFeatures
+    def resize(docId: Long, bytes: Array[Byte], w: Int, h: Int): ResizedMedia
+    def frames(docId: Long, bytes: Array[Byte], nFrames: Int): Iterator[MediaFrame]
+  }
+
+  /** Injected codec factory: shipped to executors (Serializable), opened
+    * ONCE per partition. Swap [[FakeCodec]] for a real implementation in
+    * production — the operators below never change. */
+  trait MediaCodec extends Serializable {
+    def open(): MediaDecoder
+  }
+
+  /** Default stub codec — deterministic fakes over raw bytes (no media
+    * libraries in this environment); see the per-method docs on the
+    * `fake*` functions it delegates to. */
+  object FakeCodec extends MediaCodec {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(id: Long, b: Array[Byte]): MediaMeta = fakeDecode(id, b)
+      def features(id: Long, b: Array[Byte]): MediaFeatures = fakeFeatures(id, b)
+      def resize(id: Long, b: Array[Byte], w: Int, h: Int): ResizedMedia =
+        fakeResize(id, b, w, h)
+      def frames(id: Long, b: Array[Byte], n: Int): Iterator[MediaFrame] = {
+        val len = math.max(1, b.length / math.max(1, n))
+        (0 until math.min(n, math.max(1, b.length / len))).iterator.map { f =>
+          MediaFrame(id, f, b.slice(f * len, math.min(b.length, (f + 1) * len)))
+        }
+      }
+    }
+  }
 
   /** Typed metadata a decoder would produce. */
   case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
@@ -39,15 +78,15 @@ object Multimodal {
   /** Batch decode over a binary column: partition-local, no shuffle, no
     * driver involvement — the shape a 100 TB media pipeline needs. Input
     * must have (doc_id long, payload binary). */
-  def decodeBatch(df: DataFrame): Dataset[MediaMeta] = {
+  def decodeBatch(df: DataFrame,
+      codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init is where a real codec would allocate its
-        // decoder context once per batch rather than per record
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        val dec = codec.open() // decoder context: once per partition
+        it.map { case (id, bytes) => dec.decode(id, bytes) }
       }
   }
 
@@ -65,11 +104,15 @@ object Multimodal {
     MediaFeatures(docId, hist.map(_ / n))
   }
 
-  def featureExtractBatch(df: DataFrame): Dataset[MediaFeatures] = {
+  def featureExtractBatch(df: DataFrame,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) => fakeFeatures(id, b) })
+      .mapPartitions { it =>
+        val dec = codec.open()
+        it.map { case (id, b) => dec.features(id, b) }
+      }
   }
 
   /** Resize: a real decoder would decode→scale→re-encode; the STUB keeps
@@ -83,26 +126,29 @@ object Multimodal {
     ResizedMedia(docId, w, h, bytes.indices.by(stride).map(bytes).toArray)
   }
 
-  def resizeBatch(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+  def resizeBatch(df: DataFrame, w: Int, h: Int,
+      codec: MediaCodec = FakeCodec): Dataset[ResizedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) => fakeResize(id, b, w, h) })
+      .mapPartitions { it =>
+        val dec = codec.open()
+        it.map { case (id, b) => dec.resize(id, b, w, h) }
+      }
   }
 
   /** Frame sampling: a video payload yields N frames (1 row → N rows, the
     * generator shape). STUB frames are deterministic byte slices. */
   case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
 
-  def frameSampleBatch(df: DataFrame, nFrames: Int): Dataset[MediaFrame] = {
+  def frameSampleBatch(df: DataFrame, nFrames: Int,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .flatMap { case (id, b) =>
-        val len = math.max(1, b.length / math.max(1, nFrames))
-        (0 until math.min(nFrames, math.max(1, b.length / len))).map { f =>
-          MediaFrame(id, f, b.slice(f * len, math.min(b.length, (f + 1) * len)))
-        }
+      .mapPartitions { it =>
+        val dec = codec.open()
+        it.flatMap { case (id, b) => dec.frames(id, b, nFrames) }
       }
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -575,7 +576,7 @@ object SimilarityOps {
     // re-derive the corpus three times
     val emb = semanticDedupIndex(spark, dir, nBits, nCentroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = semanticDedupFrom(emb, threshold).localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(semanticDedupFrom(emb, threshold))
     emb.unpersist(true)
     out
   }

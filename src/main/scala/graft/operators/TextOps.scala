@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -67,6 +68,20 @@ object TextOps {
   // Dedup family
   // -------------------------------------------------------------------------
 
+  /** Library-wide default near-dup Jaccard threshold. 0.5 is deliberate:
+    * `common >= 0.5·union` is binary-exact integer math (`2·common >=
+    * union`), so Spark and the DuckDB oracle agree with no float boundary.
+    * The oracle SQL is RENDERED from this constant (SparkEntry) — changing
+    * the default here re-renders the oracle in lockstep rather than
+    * silently desynchronizing (round-7 ADVICE). */
+  val DefaultNearDupThreshold: Double = 0.5
+
+  /** Default seen/fresh boundary for [[dedupIncremental]]'s single-table
+    * demo split (doc_id < splitId = frozen corpus); referenced by the
+    * oracle SQL for the same lockstep reason as
+    * [[DefaultNearDupThreshold]]. */
+  val DefaultIncrementalSplitId: Long = 250L
+
   /** Exact dedup: canonical representative (min doc_id) + multiplicity per
     * distinct text; md5 matches DuckDB's for cross-engine verification.
     * Scale: single hash-shuffle on the text digest, map-side combinable. */
@@ -85,7 +100,7 @@ object TextOps {
     * A size window (min ≥ t·max) prunes further; survivors are verified
     * EXACTLY via full-array intersection. Exact output, no recall loss. */
   def dedupNgramJaccard(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the shingle arrays are reused by three plan subtrees
     // (inverted index build + both sides of the verify join) — without the
@@ -156,15 +171,16 @@ object TextOps {
     // not a view. localCheckpoint (vs persist) truncates lineage and its
     // blocks are reclaimed by the ContextCleaner once the returned frame is
     // unreferenced, so nothing stays pinned for the session lifetime.
-    // Trade-off: checkpoint blocks are NOT fault-tolerant — an executor
-    // loss between materialization and consumption fails the job instead
-    // of recomputing; on a long-lived cluster with dynamic allocation,
-    // write the result to durable storage instead.
+    // Fault-tolerance is a deploy-mode POLICY, not a per-site choice:
+    // Engine.eagerCheckpoint picks localCheckpoint (fast, executor-
+    // resident) or reliable checkpoint (survives executor loss) from
+    // spark.graft.checkpoint.reliable — one switch for every pair-mining
+    // operator in the library.
     // blocking unpersist: the released blocks are small, and a synchronous
     // release never competes with the NEXT job for memory the way async
     // ContextCleaner reclamation does (measured as cross-query bench
     // pollution in rounds 1 and 2)
-    val out = result.localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(result)
     docs.unpersist(true)
     prefixes.unpersist(true)
     out
@@ -188,7 +204,7 @@ object TextOps {
     * and read it back). Callers that rewrite inputs in-place, or need
     * per-sample isolation (Bench repeats), call [[clearMinedPairs]]. */
   def nearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // evict entries from other (stopped) contexts: a long-lived JVM that
     // cycles SparkContexts (test suites, notebook servers) must not pin
@@ -209,7 +225,7 @@ object TextOps {
     * doc_id of its component (the canonical survivor). Consumes the
     * MATERIALIZED pair graph ([[nearDupPairs]]) instead of re-mining it. */
   def dedupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
     dedupClustersFromPairs(nearDupPairs(spark, dir, threshold))
 
   /** Edge-count threshold below which cluster resolution runs as a single
@@ -340,7 +356,7 @@ object TextOps {
       // round-2 per-round scheme whose async reclamation polluted
       // subsequent queries.
       val next =
-        if (round % 3 == 0) hop(half).localCheckpoint(true)
+        if (round % 3 == 0) Engine.eagerCheckpoint(hop(half))
         else hop(half).persist(StorageLevel.MEMORY_AND_DISK)
       prevSum = sum0
       sum0 = repSum(next) // materializes `next` while labels is still cached
@@ -348,8 +364,8 @@ object TextOps {
       labels.unpersist(true)
       labels = next
     }
-    val out = labels.select(col("doc_id"), col("rep").as("cluster_rep"))
-      .localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(
+      labels.select(col("doc_id"), col("rep").as("cluster_rep")))
     labels.unpersist(true)
     edges.unpersist(true)
     out
@@ -364,7 +380,7 @@ object TextOps {
     * combiner-friendly (partial agg ships one candidate per group per
     * partition), where a rank window would sort every cluster. */
   def dedupKeepBest(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold): DataFrame = {
     val quality = tbl(spark, dir, "documents")
       .select(col("doc_id"), qualityBpOf(col("text")).as("quality_bp"))
     dedupClusters(spark, dir, threshold)
@@ -463,7 +479,7 @@ object TextOps {
     // tokenize→hash→aggregate signature pipeline once per join side
     val banded = bandedSimhash(spark, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = simhashPairsFrom(banded, maxHamming).localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(simhashPairsFrom(banded, maxHamming))
     banded.unpersist(true)
     out
   }
@@ -534,7 +550,7 @@ object TextOps {
       concat(lit("1|"), concat_ws("_", col("mh2"), col("mh3"))))).as("bucket"))
 
   def lshNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxBucketSize: Int = 4096,
+      threshold: Double = DefaultNearDupThreshold, maxBucketSize: Int = 4096,
       isinLimit: Int = 1000): DataFrame = {
     // persisted: bucket memberships feed the hot-bucket census, the stats
     // action, and both sides of the candidate self-join
@@ -591,7 +607,7 @@ object TextOps {
           .as("jaccard_bp"))
     // same eager-job materialization + deterministic cleanup as
     // dedupNgramJaccard (see comment there)
-    val out = result.localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(result)
     docs.unpersist(true)
     buckets.unpersist(true)
     out
@@ -621,7 +637,7 @@ object TextOps {
     * (doc_id < splitId) and fresh — the testdata stand-in for two real
     * relations. */
   def dedupIncremental(spark: SparkSession, dir: String,
-      splitId: Long = 250, threshold: Double = 0.5): DataFrame = {
+      splitId: Long = DefaultIncrementalSplitId, threshold: Double = DefaultNearDupThreshold): DataFrame = {
     // eager-job idiom (dedupNgramJaccard): each side feeds THREE plan
     // subtrees (md5 pass, band index, shingle verify) and Catalyst shares
     // no common subplans — persist both projections, materialize the
@@ -634,7 +650,7 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seen = docs.filter(col("doc_id") < splitId)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = dedupIncrementalOf(fresh, seen, threshold).localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(dedupIncrementalOf(fresh, seen, threshold))
     fresh.unpersist(true)
     seen.unpersist(true)
     out
@@ -643,7 +659,7 @@ object TextOps {
   /** [[dedupIncremental]] over explicit (fresh, seen) relations — lazy:
     * callers owning the relations decide persistence. */
   def dedupIncrementalOf(fresh: DataFrame, seen: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold): DataFrame = {
     def hashed(df: DataFrame) =
       df.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val exact = hashed(fresh)
@@ -975,9 +991,9 @@ object TextOps {
     // is eagerly materialized (dedup-job idiom) — which also materializes
     // occ's cache before the probe reads it
     val occ = lmOccurrences(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val big = occ.groupBy("term").agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true)
-    val out = lmScoreFrom(spark, dir, occ, big).localCheckpoint(true)
+    val big = Engine.eagerCheckpoint(
+      occ.groupBy("term").agg(count(lit(1)).as("cb")))
+    val out = Engine.eagerCheckpoint(lmScoreFrom(spark, dir, occ, big))
     occ.unpersist(true)
     out
   }
@@ -1186,7 +1202,7 @@ object TextOps {
     // read the SAME cached index materialization instead of executing the
     // tokenize→tf→df pipeline three times; blocking unpersist as in
     // dedupNgramJaccard
-    val out = cosinePairsFrom(w, minShared).localCheckpoint(true)
+    val out = Engine.eagerCheckpoint(cosinePairsFrom(w, minShared))
     w.unpersist(true)
     out
   }

@@ -90,4 +90,21 @@ object ObservationSource {
   /** Convenience: read newline-delimited JSON files as observations. */
   def readJsonLines(spark: SparkSession, path: String): Dataset[ObservationRow] =
     parse(spark.read.text(path))
+
+  /** The PRODUCTION connector wiring, as library code: a Kafka/Kinesis
+    * connector stream yields `key binary, value binary, topic string,
+    * partition int, offset long, timestamp, timestampType` — this is the
+    * `spark.readStream.format("kafka")` output contract. The payload
+    * contract is `CAST(value AS STRING)` (UTF-8 decode of the record
+    * bytes; the reference decodes base64 Kinesis payloads to the same JSON
+    * text at app/consumer/kcl_app.js:36-50) and every other connector
+    * column is dropped — offsets/partitions are the TRANSPORT's replay
+    * bookkeeping, handled by checkpointing (X1), never by the dataflow.
+    * Works identically on batch and streaming relations; the real
+    * connector swap is `spark.readStream.format("kafka").option(...)
+    * .load()` piped here, a call-site change only (no connector jars in
+    * this sandbox — the contract is pinned by a Kafka-shaped in-memory
+    * stream in StreamingSpec). */
+  def fromConnector(connectorDf: DataFrame): Dataset[ObservationRow] =
+    parse(connectorDf.selectExpr("CAST(value AS STRING) AS value"))
 }

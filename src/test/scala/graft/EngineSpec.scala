@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Pins the ONE eager-materialization policy every pair-mining operator
+  * routes through (`Engine.eagerCheckpoint`): local blocks by default,
+  * reliable checkpoint under `spark.graft.checkpoint.reliable` — same
+  * values either way, and the reliable path actually writes to the
+  * context's checkpoint dir (executor-loss survivability is the point).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def withReliable[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(Engine.ReliableCheckpointKey, on.toString)
+    try body finally spark.conf.unset(Engine.ReliableCheckpointKey)
+  }
+
+  test("default mode: localCheckpoint — lineage truncated, values intact") {
+    val df = spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+    val out = Engine.eagerCheckpoint(df)
+    assert(out.collect().map(_.getLong(1)).sum === 9900L)
+    // truncated lineage: the optimized plan is a scan of materialized
+    // blocks, not the original Range
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Range"), plan)
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly at the policy point") {
+    withReliable(true) {
+      val e = intercept[IllegalArgumentException] {
+        Engine.eagerCheckpoint(spark.range(10).toDF())
+      }
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    }
+  }
+
+  test("reliable mode: identical values, files land in the checkpoint dir") {
+    val dir = Files.createTempDirectory("graft-reliable-ckpt").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val df = spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+      val out = withReliable(true)(Engine.eagerCheckpoint(df))
+      assert(out.collect().map(_.getLong(1)).sum === 9900L)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Range"), plan)
+      // the materialization is ON DISK under the configured dir — this is
+      // what survives an executor loss (local blocks would not)
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filterNot(_.isDirectory) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir).nonEmpty, s"no checkpoint files under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      ()
+    }
+  }
+}

@@ -342,6 +342,20 @@ class PlanSpec extends SparkSpec {
     assert(s.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*")) <= 1, s)
   }
 
+  test("q21: per-order totals ride windows — lineitem scanned ONCE, both windows one exchange") {
+    // the self-join formulation computed the lineitem⋈orders partial-agg
+    // subtree twice (AQE reused only the orders broadcast, never the
+    // shuffle); the window rewrite makes the single scan a structural
+    // property of the plan, not an optimizer favor
+    val s = planString(graft.operators.ExtraOps.q21WaitingSupplier(spark, dir))
+    val lineitemScans = s.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans === 1, s"expected 1 lineitem scan, got $lineitemScans:\n$s")
+    // count(*) and sum(late) share ONE Window node (one sort, one shuffle)
+    assert(s.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("simhash pairs: banded bucket equi-join — no cartesian, no all-pairs") {
     // the lazy twin: the shipped op localCheckpoints (plan truncated)
     val s = planString(graft.operators.TextOps.simhashPairsLazy(spark, dir))

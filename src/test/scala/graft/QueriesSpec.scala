@@ -364,6 +364,38 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("testdata invariant: no zero-norm embeddings (cosine oracle NaN guard)") {
+    // kmeans/knn oracles ORDER BY cosine DESC: DuckDB sorts NaN first
+    // while the Spark strict-greater argmax leaves cent_id = -1 — a
+    // zero-norm vector would diverge the engines. Pin the invariant that
+    // keeps both sides NaN-free instead of guarding every oracle.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val minNorm = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+        .agg(min(col("n2"))).head.getDouble(0)
+      assert(minNorm > 0.0, s"zero-norm embedding in $d would NaN the oracles")
+    }
+  }
+
+  test("multimodal: injected codec replaces the stub, opened once per partition") {
+    QueriesSpec.CodecOpens.set(0)
+    val payloads = Multimodal.withPayload(spark, dir).repartition(3)
+    val meta = Multimodal.decodeBatch(payloads, QueriesSpec.ProbeCodec).collect()
+    assert(meta.length === 500)
+    assert(meta.forall(m => m.format === "img/probe" && m.channels === 7))
+    // the decoder context is allocated per PARTITION, never per record —
+    // the contract a real (ffmpeg/imageio) codec's native state relies on
+    assert(QueriesSpec.CodecOpens.get === 3,
+      s"expected 3 opens (one per partition), got ${QueriesSpec.CodecOpens.get}")
+    val feats = Multimodal.featureExtractBatch(payloads, QueriesSpec.ProbeCodec)
+      .collect()
+    assert(feats.forall(f => f.features.sameElements(Array(42f))))
+    val frames = Multimodal.frameSampleBatch(payloads, 4, QueriesSpec.ProbeCodec)
+      .collect()
+    assert(frames.length === 500 && frames.forall(_.frame_no === 99))
+  }
+
   test("simhash near-dup docs have close hamming distance") {
     val sh = TextOps.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -374,5 +406,28 @@ class QueriesSpec extends SparkSpec {
       java.lang.Long.bitCount(sh(a) ^ sh(b))
     }.sum.toDouble / pairs.length
     assert(avgHam < 6.0, s"near-dup avg hamming $avgHam too high for 16 bits")
+  }
+}
+
+/** File-scope codec probe: top-level objects serialize as singletons (no
+  * spec-class capture), and the static counter is visible because local-mode
+  * executors share the JVM. */
+object QueriesSpec {
+  val CodecOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  object ProbeCodec extends Multimodal.MediaCodec {
+    def open(): Multimodal.MediaDecoder = {
+      CodecOpens.incrementAndGet()
+      new Multimodal.MediaDecoder {
+        def decode(id: Long, b: Array[Byte]): Multimodal.MediaMeta =
+          Multimodal.MediaMeta(id, b.length, "img/probe", 1, 2, 7)
+        def features(id: Long, b: Array[Byte]): Multimodal.MediaFeatures =
+          Multimodal.MediaFeatures(id, Array(42f))
+        def resize(id: Long, b: Array[Byte], w: Int, h: Int): Multimodal.ResizedMedia =
+          Multimodal.ResizedMedia(id, w, h, b.take(1))
+        def frames(id: Long, b: Array[Byte], n: Int): Iterator[Multimodal.MediaFrame] =
+          Iterator(Multimodal.MediaFrame(id, 99, b.take(1)))
+      }
+    }
   }
 }

@@ -117,6 +117,53 @@ class StreamingSpec extends SparkSpec {
     assert(wub.messages.head.contains("not found in sensor metadata"))
   }
 
+  test("connector contract: Kafka-shaped stream drives the full pipeline") {
+    // The exact relation a real `readStream.format("kafka").load()` yields:
+    // binary key/value plus transport bookkeeping columns. No connector
+    // jars in this sandbox, so the SHAPE is pinned with an in-memory
+    // stream — the production swap is the load() call only
+    // (reference transport parity: app/consumer/kcl_app.js:36-50).
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def rec(key: String, value: String, off: Long) =
+      (key.getBytes("UTF-8"), value.getBytes("UTF-8"),
+        "plenario-observations", (off % 3).toInt, off)
+
+    // batch leg: fromConnector is the contract — UTF-8 value decode,
+    // transport columns dropped, malformed payloads silently filtered (S2)
+    val batch = (Seq(rec("k0", obsJson(0), 0L), rec("k1", obsJson(1), 1L),
+        rec("k2", "{not json", 2L)) :+
+        (Array[Byte](-1, -2), Array[Byte](-1, 0, -56), "t", 0, 3L))
+      .toDF("key", "value", "topic", "partition", "offset")
+    val parsed = graft.sources.ObservationSource.fromConnector(batch).collect()
+    assert(parsed.length === 2, "2 well-formed of 4; transport columns ignored")
+    assert(parsed.map(_.node_id).toSet === Set("001", "002"))
+
+    // streaming leg: the same cast wiring feeds StreamPipeline.start; all
+    // 8 fixtures + 1 malformed record in ONE AvailableNow drain — the
+    // stateless sink truths (events, dead letters, wide rows) must match
+    // the per-batch drive above exactly; the malformed record vanishes
+    val source = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long)]
+    (0 until 8).foreach(i => source.addData(rec(s"k$i", obsJson(i), i.toLong)))
+    source.addData((null, "…garbage…".getBytes("UTF-8"), "t", 0, 8L))
+    val kafkaShaped = source.toDF()
+      .toDF("key", "value", "topic", "partition", "offset")
+    val sinks = new CollectingSinks
+    val ckpt = Files.createTempDirectory("graft-kafka-ckpt").toString
+    val queries = StreamPipeline.start(
+      kafkaShaped.selectExpr("CAST(value AS STRING) AS value"),
+      () => Fixtures.catalog, sinks, ckpt)
+    queries.foreach(_.awaitTermination(60000))
+
+    assert(sinks.events.size === 7)
+    assert(sinks.deadLetters.size === 4)
+    assert(sinks.wide(("array_of_things_chicago", "magnetic_field")).size === 2)
+    assert(sinks.wide(("array_of_things_chicago", "computer_vision")).size === 2)
+    assert(sinks.wide(("internet_of_stuff_seattle", "temperature")).size === 1)
+  }
+
   test("catalog fix mid-stream emits resolve in the next batch — no restart") {
     val spark2 = spark
     import spark2.implicits._
