@@ -137,6 +137,7 @@ object SparkEntry {
     "sim_knn" -> ((s, d) => SimilarityOps.knnBruteForce(s, d)),
     "sim_knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(s, d)),
     "sim_knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(s, d)),
+    "sim_knn_rerank" -> ((s, d) => SimilarityOps.knnRerank(s, d)),
     "sim_knn_pq" -> ((s, d) => SimilarityOps.knnPq(s, d)),
     "sim_cluster_assign" -> ((s, d) => SimilarityOps.cellAssignments(s, d)),
     "sim_kmeans_step" -> ((s, d) => SimilarityOps.kmeansStep(s, d)),
@@ -161,6 +162,26 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   private val kExpr = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  /** Shared IVF replay CTEs (cell assignment, nProbe=2 probe set, in-cell
+    * exact-cosine ranking) — one definition for `sim_knn_ivf` and the
+    * `sim_knn_rerank` composition so the shortlist can never diverge. */
+  private val ivfRankedCtes: String =
+    """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
+      """n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), """ +
+      """c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cn FROM n WHERE vec_id < 16), """ +
+      """s AS (SELECT n.vec_id, c.cid, list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) AS sim """ +
+      """FROM n CROSS JOIN c), """ +
+      """r AS (SELECT vec_id, cid, row_number() OVER """ +
+      """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s), """ +
+      """a AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1), """ +
+      """probe AS (SELECT vec_id AS q_id, cid AS cell FROM r WHERE rn <= 2 AND vec_id < 10), """ +
+      """scored AS (SELECT p.q_id, x.vec_id, """ +
+      """list_dot_product(qn.emb, xn.emb) / (qn.nrm * xn.nrm) AS c """ +
+      """FROM probe p JOIN a x ON p.cell = x.cell AND x.vec_id <> p.q_id """ +
+      """JOIN n qn ON qn.vec_id = p.q_id JOIN n xn ON xn.vec_id = x.vec_id), """ +
+      """ranked AS (SELECT q_id, vec_id, c, row_number() OVER """ +
+      """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored)"""
 
   /** Per-lang quality deciles (the `text_quality_bins` oracle) — shared
     * verbatim by `text_stratified_sample`, which samples the same strata. */
@@ -1104,23 +1125,24 @@ object SparkEntry {
       // tie-break); candidates = corpus rows in probed cells, exact
       // cosine re-rank — a corpus row lives in exactly one cell, so no
       // pair can duplicate across probes
-      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
-        """n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e), """ +
-        """c AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cn FROM n WHERE vec_id < 16), """ +
-        """s AS (SELECT n.vec_id, c.cid, list_dot_product(n.emb, c.cemb) / (n.nrm * c.cn) AS sim """ +
-        """FROM n CROSS JOIN c), """ +
-        """r AS (SELECT vec_id, cid, row_number() OVER """ +
-        """(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s), """ +
-        """a AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1), """ +
-        """probe AS (SELECT vec_id AS q_id, cid AS cell FROM r WHERE rn <= 2 AND vec_id < 10), """ +
-        """scored AS (SELECT p.q_id, x.vec_id, """ +
-        """list_dot_product(qn.emb, xn.emb) / (qn.nrm * xn.nrm) AS c """ +
-        """FROM probe p JOIN a x ON p.cell = x.cell AND x.vec_id <> p.q_id """ +
-        """JOIN n qn ON qn.vec_id = p.q_id JOIN n xn ON xn.vec_id = x.vec_id), """ +
-        """ranked AS (SELECT q_id, vec_id, c, row_number() OVER """ +
-        """(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored) """ +
+      (s"""$ivfRankedCtes """ +
         """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
         """FROM ranked WHERE rank <= 5"""),
+    "sim_knn_rerank" ->
+      // the IVF shortlist (rank <= 10) re-scored on the JOINED pair's
+      // features: 0.8*cosine + 0.2*[labels equal] (the cross-encoder
+      // stand-in), re-ranked with the same desc/vec_id tie-break
+      (s"""$ivfRankedCtes, """ +
+        """short AS (SELECT q_id, vec_id, round(c, 6) AS cos_sim """ +
+        """FROM ranked WHERE rank <= 10), """ +
+        """l AS (SELECT vec_id, label FROM embeddings), """ +
+        """j AS (SELECT s.q_id, s.vec_id, round(0.8 * s.cos_sim + """ +
+        """0.2 * (CASE WHEN lc.label = lq.label THEN 1.0 ELSE 0.0 END), 6) AS rescore """ +
+        """FROM short s JOIN l lq ON lq.vec_id = s.q_id JOIN l lc ON lc.vec_id = s.vec_id), """ +
+        """rr AS (SELECT q_id, vec_id, rescore, row_number() OVER """ +
+        """(PARTITION BY q_id ORDER BY rescore DESC, vec_id) AS rank FROM j) """ +
+        """SELECT q_id, vec_id, rescore, CAST(rank AS BIGINT) AS rank """ +
+        """FROM rr WHERE rank <= 5"""),
     "sim_embed_neardup" ->
       ("""WITH e0 AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         s"""e AS (SELECT vec_id, label, emb, $srpBucketSql AS bucket FROM e0) """ +

@@ -363,6 +363,41 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** Cross-encoder-style re-rank COMPOSITION over the ANN shortlist — the
+    * production retrieval shape: a cheap geometric stage proposes
+    * candidates ([[knnIvf]], kShortlist per query), then each surviving
+    * (query, candidate) PAIR is re-scored with features that only exist
+    * on the joined pair (here: the label-match interaction, the stand-in
+    * for a cross-encoder forward pass) and the final top-k is taken on
+    * the re-score. rescore = 0.8·cosine + 0.2·[labels equal], rounded to
+    * the library's 6-dp continuum contract.
+    *
+    * 100 TB shape: the shortlist is tiny (nQueries×kShortlist) and the
+    * feature table is the 100 TB side — so the feature fetch BROADCASTS
+    * the shortlist against the big table (both the query-side and the
+    * candidate-side fetch), never shuffles it; the re-score and final
+    * window then run on nQueries×kShortlist rows. Swapping the stand-in
+    * scorer for a real cross-encoder is a change to one column
+    * expression (or a mapPartitions model call) on that tiny relation. */
+  def knnRerank(spark: SparkSession, dir: String, kShortlist: Int = 10,
+      k: Int = 5): DataFrame = {
+    val shortlist = knnIvf(spark, dir, k = kShortlist)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+    val feats = tbl(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val withQ = feats.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      .join(broadcast(shortlist), "q_id")
+    val paired = feats.join(broadcast(withQ), "vec_id")
+    val rescored = paired.withColumn("rescore",
+      round(lit(0.8) * col("cos_sim") +
+        lit(0.2) * when(col("label") === col("q_label"), 1.0).otherwise(0.0), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rescore").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rescore"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Product-quantization ANN (IVF's storage-side sibling), two-stage:
     * each vector is encoded as `m` small codes — per subspace, the id of
     * its nearest sub-centroid — plus one reconstruction norm, and queries

@@ -342,6 +342,13 @@ class PlanSpec extends SparkSpec {
     assert(s.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*")) <= 1, s)
   }
 
+  test("knn rerank: feature fetch broadcasts the shortlist — corpus never shuffles") {
+    val s = planString(SimilarityOps.knnRerank(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q21: per-order totals ride windows — lineitem scanned ONCE, both windows one exchange") {
     // the self-join formulation computed the lineitem⋈orders partial-agg
     // subtree twice (AQE reused only the orders broadcast, never the
