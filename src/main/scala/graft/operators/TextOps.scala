@@ -1115,12 +1115,18 @@ object TextOps {
     * are re-derived from the index in one tiny keyed agg and attached to
     * the (post-threshold, tiny) pair list instead. */
   /** Parallelism for fan-out stages (tokenize-explode, pair expansion):
-    * 16 tasks per core, so the heavy stage's partial-aggregation hash
-    * maps stay small enough to be cache/memory-resident and stragglers
-    * smooth out across many short tasks. Scales with the cluster
-    * (defaultParallelism = total executor cores), never a constant. */
+    * 4 tasks per core with a floor of 64, so the heavy stage's
+    * partial-aggregation hash maps stay small enough to be cache/
+    * memory-resident, stragglers smooth out across several waves, and
+    * the per-task overhead never dominates. Measured both ends at sf0.1:
+    * at 4 cores, 64 partitions ran the expansion ~1.6× faster than 32
+    * (the floor matters more than the multiplier); at 32 cores, 64–256
+    * partitions were within 1.3–1.8 s while 512 (a 16× multiplier)
+    * degraded to 8 s — too-many-tiny-tasks overhead is real. Scales with
+    * the cluster (defaultParallelism = total executor cores), never a
+    * constant. */
   private def expandParallelism(spark: SparkSession): Int =
-    spark.sparkContext.defaultParallelism * 16
+    math.max(spark.sparkContext.defaultParallelism * 4, 64)
 
   private def cosineIndex(spark: SparkSession, dir: String,
       dfCapFrac: Int): DataFrame = {
@@ -1132,10 +1138,9 @@ object TextOps {
     // duty: hashpartitioning(doc_id) satisfies the (doc_id, term) tf-agg
     // clustering (no second exchange), and it IS the final index
     // partitioning the pair expansion below needs — the trailing
-    // repartition collapses. 16× cores (not 1×) keeps every core busy
-    // through the skewed expansion and was the measured sweet spot
-    // (64 parts ≈ 1.6× faster than 32 on this box even at 4 cores:
-    // smaller partial-agg hash maps stay cache/memory-resident).
+    // repartition collapses. The count comes from expandParallelism
+    // (4× cores, floor 64 — see its doc for the measured sweep at both
+    // 4 and 32 cores).
     val parts = expandParallelism(spark)
     val docs = tbl(spark, dir, "documents")
       .repartition(parts, col("doc_id"))
