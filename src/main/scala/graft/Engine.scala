@@ -28,6 +28,11 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // static conf consumed by ContextCleaner at context creation: lets
+      // reliable-mode eagerCheckpoint dirs be deleted when their RDD is
+      // GC'd (default false would leak one dir per checkpoint — see
+      // eagerCheckpoint); harmless when reliable mode is off
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   def session(master: String = "local[32]",
@@ -53,14 +58,28 @@ object Engine {
   /** THE eager-materialization point for every pair-mining operator —
     * one policy, one place (round-7 VERDICT item 4). Semantics are
     * identical either way: lineage is truncated and the relation is
-    * computed exactly once, here. */
+    * computed exactly once, here.
+    *
+    * Reliable mode additionally requires
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a STATIC
+    * conf, set at session build — [[builder]] sets it): without it the
+    * ContextCleaner never deletes checkpointed RDD directories, so a
+    * long-running job would leak one directory per eagerCheckpoint call
+    * to the checkpoint store. Required loudly here rather than silently
+    * leaking. */
   def eagerCheckpoint(df: DataFrame): DataFrame = {
     val ss = df.sparkSession
     if (ss.conf.get(ReliableCheckpointKey, "false").toBoolean) {
       require(ss.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableCheckpointKey=true requires " +
           "sparkContext.setCheckpointDir(<fault-tolerant URI>)")
-      df.checkpoint() // eager, reliable, cleaned by ContextCleaner refs
+      require(ss.sparkContext.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints", false),
+        s"$ReliableCheckpointKey=true requires " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints=true at " +
+          "session build (static conf) — otherwise every eager " +
+          "checkpoint leaks a directory in the checkpoint store")
+      df.checkpoint() // eager, reliable; cleaner deletes on RDD GC
     } else df.localCheckpoint(eager = true)
   }
 }

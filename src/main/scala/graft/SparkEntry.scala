@@ -1133,16 +1133,16 @@ object SparkEntry {
       // features: 0.8*cosine + 0.2*[labels equal] (the cross-encoder
       // stand-in), re-ranked with the same desc/vec_id tie-break
       (s"""$ivfRankedCtes, """ +
-        """short AS (SELECT q_id, vec_id, round(c, 6) AS cos_sim """ +
-        """FROM ranked WHERE rank <= 10), """ +
+        s"""short AS (SELECT q_id, vec_id, round(c, 6) AS cos_sim """ +
+        s"""FROM ranked WHERE rank <= ${SimilarityOps.RerankShortlist}), """ +
         """l AS (SELECT vec_id, label FROM embeddings), """ +
-        """j AS (SELECT s.q_id, s.vec_id, round(0.8 * s.cos_sim + """ +
-        """0.2 * (CASE WHEN lc.label = lq.label THEN 1.0 ELSE 0.0 END), 6) AS rescore """ +
+        s"""j AS (SELECT s.q_id, s.vec_id, round(${SimilarityOps.RerankCosWeight} * s.cos_sim + """ +
+        s"""${SimilarityOps.RerankMatchWeight} * (CASE WHEN lc.label = lq.label THEN 1.0 ELSE 0.0 END), 6) AS rescore """ +
         """FROM short s JOIN l lq ON lq.vec_id = s.q_id JOIN l lc ON lc.vec_id = s.vec_id), """ +
         """rr AS (SELECT q_id, vec_id, rescore, row_number() OVER """ +
         """(PARTITION BY q_id ORDER BY rescore DESC, vec_id) AS rank FROM j) """ +
         """SELECT q_id, vec_id, rescore, CAST(rank AS BIGINT) AS rank """ +
-        """FROM rr WHERE rank <= 5"""),
+        s"""FROM rr WHERE rank <= ${SimilarityOps.RerankK}"""),
     "sim_embed_neardup" ->
       ("""WITH e0 AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings), """ +
         s"""e AS (SELECT vec_id, label, emb, $srpBucketSql AS bucket FROM e0) """ +

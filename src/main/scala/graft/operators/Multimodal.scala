@@ -46,12 +46,8 @@ object Multimodal {
       def features(id: Long, b: Array[Byte]): MediaFeatures = fakeFeatures(id, b)
       def resize(id: Long, b: Array[Byte], w: Int, h: Int): ResizedMedia =
         fakeResize(id, b, w, h)
-      def frames(id: Long, b: Array[Byte], n: Int): Iterator[MediaFrame] = {
-        val len = math.max(1, b.length / math.max(1, n))
-        (0 until math.min(n, math.max(1, b.length / len))).iterator.map { f =>
-          MediaFrame(id, f, b.slice(f * len, math.min(b.length, (f + 1) * len)))
-        }
-      }
+      def frames(id: Long, b: Array[Byte], n: Int): Iterator[MediaFrame] =
+        fakeFrames(id, b, n)
     }
   }
 
@@ -140,6 +136,19 @@ object Multimodal {
   /** Frame sampling: a video payload yields N frames (1 row → N rows, the
     * generator shape). STUB frames are deterministic byte slices. */
   case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** STUB frame sampler — deterministic contiguous byte slices: frame
+    * length is len/n floored (min 1), frame count clamped so the last
+    * slice never starts past the payload. The standalone definition (like
+    * the other `fake*` stubs) is what [[FakeCodec]] delegates to and what
+    * specs call directly. */
+  def fakeFrames(docId: Long, bytes: Array[Byte], nFrames: Int): Iterator[MediaFrame] = {
+    val len = math.max(1, bytes.length / math.max(1, nFrames))
+    (0 until math.min(nFrames, math.max(1, bytes.length / len))).iterator.map { f =>
+      MediaFrame(docId, f,
+        bytes.slice(f * len, math.min(bytes.length, (f + 1) * len)))
+    }
+  }
 
   def frameSampleBatch(df: DataFrame, nFrames: Int,
       codec: MediaCodec = FakeCodec): Dataset[MediaFrame] = {

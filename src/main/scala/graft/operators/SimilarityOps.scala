@@ -379,8 +379,17 @@ object SimilarityOps {
     * window then run on nQueries×kShortlist rows. Swapping the stand-in
     * scorer for a real cross-encoder is a change to one column
     * expression (or a mapPartitions model call) on that tiny relation. */
-  def knnRerank(spark: SparkSession, dir: String, kShortlist: Int = 10,
-      k: Int = 5): DataFrame = {
+  /** Shared constants for [[knnRerank]] — the DuckDB oracle
+    * (SparkEntry) renders its SQL from these so the defaults cannot
+    * silently desynchronize (same lockstep pattern as
+    * TextOps.DefaultNearDupThreshold). */
+  val RerankShortlist: Int = 10
+  val RerankK: Int = 5
+  val RerankCosWeight: Double = 0.8
+  val RerankMatchWeight: Double = 0.2
+
+  def knnRerank(spark: SparkSession, dir: String,
+      kShortlist: Int = RerankShortlist, k: Int = RerankK): DataFrame = {
     val shortlist = knnIvf(spark, dir, k = kShortlist)
       .select(col("q_id"), col("vec_id"), col("cos_sim"))
     val feats = tbl(spark, dir, "embeddings").select(col("vec_id"), col("label"))
@@ -388,8 +397,9 @@ object SimilarityOps {
       .join(broadcast(shortlist), "q_id")
     val paired = feats.join(broadcast(withQ), "vec_id")
     val rescored = paired.withColumn("rescore",
-      round(lit(0.8) * col("cos_sim") +
-        lit(0.2) * when(col("label") === col("q_label"), 1.0).otherwise(0.0), 6))
+      round(lit(RerankCosWeight) * col("cos_sim") +
+        lit(RerankMatchWeight) *
+          when(col("label") === col("q_label"), 1.0).otherwise(0.0), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("rescore").desc, col("vec_id"))
     rescored.withColumn("rank", row_number().over(w))

@@ -1108,12 +1108,6 @@ object TextOps {
     * reduced vocabulary. The pair list is a dedup-style JOB output —
     * eagerly materialized, intermediates released (same rationale as
     * [[dedupNgramJaccard]]). */
-  /** The weighted inverted index — one NARROW row per surviving
-    * (doc, term) with its tf·idf weight. Deliberately norm-free: the pair
-    * aggregation below streams Σ df² joined rows (36M at sf0.1), so every
-    * byte this relation carries is multiplied by the join fanout — norms
-    * are re-derived from the index in one tiny keyed agg and attached to
-    * the (post-threshold, tiny) pair list instead. */
   /** Parallelism for fan-out stages (tokenize-explode, pair expansion):
     * 4 tasks per core with a floor of 64, so the heavy stage's
     * partial-aggregation hash maps stay small enough to be cache/
@@ -1128,6 +1122,12 @@ object TextOps {
   private def expandParallelism(spark: SparkSession): Int =
     math.max(spark.sparkContext.defaultParallelism * 4, 64)
 
+  /** The weighted inverted index — one NARROW row per surviving
+    * (doc, term) with its tf·idf weight. Deliberately norm-free: the pair
+    * aggregation below streams Σ df² joined rows (36M at sf0.1), so every
+    * byte this relation carries is multiplied by the join fanout — norms
+    * are re-derived from the index in one tiny keyed agg and attached to
+    * the (post-threshold, tiny) pair list instead. */
   private def cosineIndex(spark: SparkSession, dir: String,
       dfCapFrac: Int): DataFrame = {
     // The tokenize→explode→tf stage is a FAN-OUT (each doc becomes ~|tokens|

@@ -27,16 +27,16 @@ class EngineSpec extends SparkSpec {
     assert(!plan.contains("Range"), plan)
   }
 
-  test("reliable mode without a checkpoint dir fails loudly at the policy point") {
+  test("reliable mode: missing-dir guard, then identical values in the checkpoint dir") {
+    // ONE ordered test, not two: SparkContext has no unsetCheckpointDir,
+    // so once the happy path sets a dir the missing-dir guard can never
+    // trip again in this shared-session JVM — phase 1 must run first.
     withReliable(true) {
       val e = intercept[IllegalArgumentException] {
         Engine.eagerCheckpoint(spark.range(10).toDF())
       }
       assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
     }
-  }
-
-  test("reliable mode: identical values, files land in the checkpoint dir") {
     val dir = Files.createTempDirectory("graft-reliable-ckpt").toFile
     try {
       spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)

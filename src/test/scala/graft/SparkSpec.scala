@@ -17,6 +17,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // static conf (ContextCleaner reads it at context creation): required
+      // by Engine.eagerCheckpoint's reliable mode (EngineSpec) so
+      // checkpoint dirs are deleted on RDD GC instead of leaking
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
