@@ -364,6 +364,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("knn rerank: pairs come FROM the IVF shortlist — re-scoring reorders, never injects") {
+    val short = SimilarityOps.knnIvf(spark, dir, k = SimilarityOps.RerankShortlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = SimilarityOps.knnRerank(spark, dir).collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      assert(short((r.getLong(0), r.getLong(1))),
+        s"(${r.getLong(0)}, ${r.getLong(1)}) not in the ANN shortlist")
+      val score = r.getDouble(2)
+      // 0.8·cos ∈ [-0.8, 0.8], match bonus ∈ {0, 0.2}
+      assert(score <= 1.0 + 1e-9 && score >= -0.8 - 1e-9, s"score $score")
+    }
+    info(s"rerank rows: ${rr.length}")
+  }
+
   test("testdata invariant: no zero-norm embeddings (cosine oracle NaN guard)") {
     // kmeans/knn oracles ORDER BY cosine DESC: DuckDB sorts NaN first
     // while the Spark strict-greater argmax leaves cent_id = -1 — a
