@@ -69,7 +69,7 @@ object Pipeline {
     enriched
       .withColumn("coerced",
         Coerce.coerce(col("lex"), col("jstype"), col("ptype")))
-      .select(enriched.columns.map(col) ++
+      .select(enriched.columns.toIndexedSeq.map(col) ++
         Seq(col("coerced.value").as("value"), col("coerced.error").as("error")): _*)
 
   /** R1 — router: a pair is a misfit iff its key has no catalog mapping OR

@@ -161,7 +161,7 @@ object SimilarityOps {
   /** Quantizer over an arbitrary (driver-resident, constant-size)
     * centroid set, rendered as a literal array column. */
   private def quantizerOf(cents: Centroids): CoarseQuantizer =
-    CoarseQuantizer(array(cents.map { case (id, e, cn) =>
+    CoarseQuantizer(array(cents.toIndexedSeq.map { case (id, e, cn) =>
       struct(lit(id).as("cent_id"), typedlit(e).as("c_emb"), lit(cn).as("c_nrm"))
     }: _*))
 

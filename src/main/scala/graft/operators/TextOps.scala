@@ -337,7 +337,7 @@ object TextOps {
     // coalesce: an empty pair graph sums to NULL, which must read as
     // converged-at-zero, not an unboxing NPE
     def repSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("rep")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
     var prevSum = Long.MaxValue
     var sum0 = repSum(labels)
     var round = 0

@@ -143,7 +143,7 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
     val leftOut = left.output
     val payloadAttrs = rightPayload
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val payloadProj = UnsafeProjection.create(payloadExprs.toArray)
+      val payloadProj = UnsafeProjection.create(payloadExprs)
       // bind against WIDENED payload nullability: BoundReference takes its
       // null-check from the INPUT schema, and in outer mode the all-null
       // fill row must pass through even when the right column itself is

@@ -61,7 +61,7 @@ object WindowedStreams {
     * should window the compaction instead. */
   def latestPerKeyStream(events: DataFrame, keyCol: String,
       tsCol: String, idCol: String): DataFrame = {
-    val payload = struct(events.columns.map(col): _*)
+    val payload = struct(events.columns.toIndexedSeq.map(col): _*)
     events
       .groupBy(col(keyCol))
       .agg(max_by(payload, struct(col(tsCol), col(idCol))).as("latest"))

@@ -85,7 +85,7 @@ class JdbcSinkSpec extends SparkSpec {
     val df = Seq((aot, "00a", 23L, dt, "htu21d",
         """{"temp":37.91,"humidity":27.48}"""))
       .toDF("network", "node_id", "meta_id", "datetime", "sensor", "data")
-    val sql = SqlText.misfitInsertText(df).select("sql").head.getString(0)
+    val sql = SqlText.misfitInsertText(df).select("sql").head().getString(0)
     assert(sql === "INSERT INTO array_of_things_chicago__unknown_feature " +
       "VALUES ('00a', '2016-08-05T00:00:08.246000', 23, 'htu21d', " +
       "'{\"temp\":37.91,\"humidity\":27.48}');")
@@ -120,7 +120,7 @@ class JdbcSinkSpec extends SparkSpec {
     val df = Seq((Option.empty[String], "n1", 23L,
         Option.empty[java.sql.Timestamp], "htu21d", """{"a":1}"""))
       .toDF("network", "node_id", "meta_id", "datetime", "sensor", "data")
-    val sql = SqlText.misfitInsertText(df).select("sql").head.getString(0)
+    val sql = SqlText.misfitInsertText(df).select("sql").head().getString(0)
     assert(sql === "INSERT INTO null__unknown_feature VALUES " +
       "('n1', 'null', 23, 'htu21d', '{\"a\":1}');")
   }

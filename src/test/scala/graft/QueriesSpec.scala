@@ -388,7 +388,7 @@ class QueriesSpec extends SparkSpec {
       val minNorm = spark.read.parquet(s"$d/embeddings.parquet")
         .select(aggregate(col("embedding"), lit(0.0d),
           (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
-        .agg(min(col("n2"))).head.getDouble(0)
+        .agg(min(col("n2"))).head().getDouble(0)
       assert(minNorm > 0.0, s"zero-norm embedding in $d would NaN the oracles")
     }
   }

@@ -170,7 +170,7 @@ class WindowedStreamsSpec extends SparkSpec {
           array_min(transform(sh,
             s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
         }
-        spark.range(1).select(concat_ws("_", mins: _*)).head.getString(0)
+        spark.range(1).select(concat_ws("_", mins: _*)).head().getString(0)
       }
       assert(bucket(base) === bucket(collider),
         "spec precondition: the pair must share the band-0 bucket")
@@ -246,7 +246,7 @@ class WindowedStreamsSpec extends SparkSpec {
           array_min(transform(sh,
             s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
         }
-        spark.range(1).select(concat_ws("_", mins: _*)).head.getString(0)
+        spark.range(1).select(concat_ws("_", mins: _*)).head().getString(0)
       }
       assert(bucket(base) === bucket(collider) &&
         bucket(base) === bucket(collider2),
@@ -299,7 +299,7 @@ class WindowedStreamsSpec extends SparkSpec {
           array_min(transform(sh,
             s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
         }
-        spark.range(1).select(concat_ws("_", mins: _*)).head.getString(0)
+        spark.range(1).select(concat_ws("_", mins: _*)).head().getString(0)
       }
       assert(bucket(goodA) === bucket(nearDupA),
         "spec precondition: near-dup must share goodA's band-0 bucket")
