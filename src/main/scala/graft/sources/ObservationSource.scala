@@ -61,11 +61,18 @@ object ObservationSource {
       if (root == null || !root.isObject) return None
       val data: Map[String, TaggedScalar] = Option(root.get("data")) match {
         case Some(d) if d.isObject =>
-          // fields() iterates in document order; VectorMap preserves it so
-          // `pos` from posexplode matches JS object-key insertion order
-          // (semantic for dead-letter JSON and event results ordering).
+          // properties() is the ObjectNode's ordered entrySet — DOCUMENT
+          // order (same `_children.entrySet()` the deprecated fields()
+          // wrapped; verified in the shipped jackson-databind 2.21
+          // bytecode). Iterate it AS AN ITERATOR: Scala's `.map` over the
+          // java Set wrapper would rebuild a HashSet and scramble the
+          // order (caught by the dead-letter key-order golden). VectorMap
+          // then preserves it so `pos` from posexplode matches JS
+          // object-key insertion order (semantic for dead-letter JSON and
+          // event results ordering).
           scala.collection.immutable.VectorMap.from(
-            d.fields().asScala.map(e => e.getKey -> tag(e.getValue)))
+            d.properties().iterator().asScala
+              .map(e => e.getKey -> tag(e.getValue)))
         case _ => Map.empty[String, TaggedScalar]
       }
       val dt = Option(root.get("datetime")).map(_.asText).flatMap(parseDatetime)
