@@ -73,11 +73,16 @@ object Engine {
       require(ss.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableCheckpointKey=true requires " +
           "sparkContext.setCheckpointDir(<fault-tolerant URI>)")
+      // BOTH confs gate cleanup: referenceTracking=false means no
+      // ContextCleaner exists at all, so cleanCheckpoints is never read
       require(ss.sparkContext.getConf.getBoolean(
-          "spark.cleaner.referenceTracking.cleanCheckpoints", false),
+            "spark.cleaner.referenceTracking", defaultValue = true) &&
+          ss.sparkContext.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false),
         s"$ReliableCheckpointKey=true requires " +
+          "spark.cleaner.referenceTracking=true AND " +
           "spark.cleaner.referenceTracking.cleanCheckpoints=true at " +
-          "session build (static conf) — otherwise every eager " +
+          "session build (static confs) — otherwise every eager " +
           "checkpoint leaks a directory in the checkpoint store")
       df.checkpoint() // eager, reliable; cleaner deletes on RDD GC
     } else df.localCheckpoint(eager = true)

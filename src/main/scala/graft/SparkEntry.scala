@@ -1129,9 +1129,11 @@ object SparkEntry {
         """SELECT q_id, vec_id, round(c, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank """ +
         """FROM ranked WHERE rank <= 5"""),
     "sim_knn_rerank" ->
-      // the IVF shortlist (rank <= 10) re-scored on the JOINED pair's
-      // features: 0.8*cosine + 0.2*[labels equal] (the cross-encoder
-      // stand-in), re-ranked with the same desc/vec_id tie-break
+      // the IVF shortlist (rank <= RerankShortlist) re-scored on the
+      // JOINED pair's features: RerankCosWeight*cosine +
+      // RerankMatchWeight*[labels equal] (the cross-encoder stand-in),
+      // re-ranked with the same desc/vec_id tie-break — all four
+      // constants rendered from SimilarityOps below
       (s"""$ivfRankedCtes, """ +
         s"""short AS (SELECT q_id, vec_id, round(c, 6) AS cos_sim """ +
         s"""FROM ranked WHERE rank <= ${SimilarityOps.RerankShortlist}), """ +

@@ -140,8 +140,8 @@ object Multimodal {
   /** STUB frame sampler — deterministic contiguous byte slices: frame
     * length is len/n floored (min 1), frame count clamped so the last
     * slice never starts past the payload. The standalone definition (like
-    * the other `fake*` stubs) is what [[FakeCodec]] delegates to and what
-    * specs call directly. */
+    * the other `fake*` stubs) is the single place the stub contract
+    * lives; [[FakeCodec]] delegates to it. */
   def fakeFrames(docId: Long, bytes: Array[Byte], nFrames: Int): Iterator[MediaFrame] = {
     val len = math.max(1, bytes.length / math.max(1, nFrames))
     (0 until math.min(nFrames, math.max(1, bytes.length / len))).iterator.map { f =>

@@ -363,22 +363,6 @@ object SimilarityOps {
     topK(scored, k)
   }
 
-  /** Cross-encoder-style re-rank COMPOSITION over the ANN shortlist — the
-    * production retrieval shape: a cheap geometric stage proposes
-    * candidates ([[knnIvf]], kShortlist per query), then each surviving
-    * (query, candidate) PAIR is re-scored with features that only exist
-    * on the joined pair (here: the label-match interaction, the stand-in
-    * for a cross-encoder forward pass) and the final top-k is taken on
-    * the re-score. rescore = 0.8·cosine + 0.2·[labels equal], rounded to
-    * the library's 6-dp continuum contract.
-    *
-    * 100 TB shape: the shortlist is tiny (nQueries×kShortlist) and the
-    * feature table is the 100 TB side — so the feature fetch BROADCASTS
-    * the shortlist against the big table (both the query-side and the
-    * candidate-side fetch), never shuffles it; the re-score and final
-    * window then run on nQueries×kShortlist rows. Swapping the stand-in
-    * scorer for a real cross-encoder is a change to one column
-    * expression (or a mapPartitions model call) on that tiny relation. */
   /** Shared constants for [[knnRerank]] — the DuckDB oracle
     * (SparkEntry) renders its SQL from these so the defaults cannot
     * silently desynchronize (same lockstep pattern as
@@ -388,6 +372,23 @@ object SimilarityOps {
   val RerankCosWeight: Double = 0.8
   val RerankMatchWeight: Double = 0.2
 
+  /** Cross-encoder-style re-rank COMPOSITION over the ANN shortlist — the
+    * production retrieval shape: a cheap geometric stage proposes
+    * candidates ([[knnIvf]], kShortlist per query), then each surviving
+    * (query, candidate) PAIR is re-scored with features that only exist
+    * on the joined pair (here: the label-match interaction, the stand-in
+    * for a cross-encoder forward pass) and the final top-k is taken on
+    * the re-score. rescore = [[RerankCosWeight]]·cosine +
+    * [[RerankMatchWeight]]·[labels equal], rounded to the library's 6-dp
+    * continuum contract.
+    *
+    * 100 TB shape: the shortlist is tiny (nQueries×kShortlist) and the
+    * feature table is the 100 TB side — so the feature fetch BROADCASTS
+    * the shortlist against the big table (both the query-side and the
+    * candidate-side fetch), never shuffles it; the re-score and final
+    * window then run on nQueries×kShortlist rows. Swapping the stand-in
+    * scorer for a real cross-encoder is a change to one column
+    * expression (or a mapPartitions model call) on that tiny relation. */
   def knnRerank(spark: SparkSession, dir: String,
       kShortlist: Int = RerankShortlist, k: Int = RerankK): DataFrame = {
     val shortlist = knnIvf(spark, dir, k = kShortlist)
