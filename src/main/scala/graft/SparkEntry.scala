@@ -155,7 +155,8 @@ object SparkEntry {
           .as("qvec_csv"),
         col("scale"))),
     // --- multimodal metadata ---
-    "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)))
+    "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)),
+    "mm_near_dup" -> ((s, d) => Multimodal.perceptualNearDup(s, d)))
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL (same parquet tables, bare table names)
@@ -1180,5 +1181,49 @@ object SparkEntry {
       ("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, """ +
         """CAST(ascii(text) AS BIGINT) AS first_byte, """ +
         """CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels """ +
-        """FROM documents"""))
+        """FROM documents"""),
+    "mm_near_dup" -> mmNearDupSql)
+
+  /** Full replay of the perceptual near-dup dataflow: the stub codec's
+    * segment-sum grid (the documents payload is ASCII text, so DuckDB's
+    * character loop sees exactly the payload bytes — pinned by the
+    * QueriesSpec ASCII invariant), the cell-vs-mean pHash signature, the
+    * banded candidate join, and the cross-multiplied integer-L1 verify.
+    * Every constant renders from the [[graft.operators.Multimodal]]
+    * definitions so the two sides cannot desynchronize. */
+  private lazy val mmNearDupSql: String = {
+    val dims = Multimodal.PerceptualDims
+    val bands = Multimodal.PerceptualBands
+    val bits = Multimodal.PerceptualBandBits
+    val mask = (1L << bits) - 1
+    val denom = Multimodal.NearDupL1Denom
+    s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), """ +
+      """ch AS (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS j FROM d0), """ +
+      s"""cl AS (SELECT doc_id, ((j-1)*$dims)//n AS k, sum(ascii(text[j:j])) AS cell """ +
+      """FROM ch GROUP BY 1, 2), """ +
+      s"""kk AS (SELECT unnest(range(0, $dims)) AS k), """ +
+      // densified grid: a payload shorter than the cell count leaves empty
+      // segments, which the Spark-side dense array carries as zeros
+      """grid AS (SELECT d0.doc_id, kk.k, CAST(coalesce(cl.cell, 0) AS BIGINT) AS cell """ +
+      """FROM d0 CROSS JOIN kk LEFT JOIN cl ON cl.doc_id = d0.doc_id AND cl.k = kk.k), """ +
+      """tot AS (SELECT doc_id, CAST(sum(cell) AS BIGINT) AS total FROM grid GROUP BY doc_id), """ +
+      // DuckDB rejects 1<<63 (signed overflow); the top bit is the
+      // Long.MinValue literal — same 64-bit pattern Spark's 1L<<63 yields
+      s"""sg AS (SELECT g.doc_id, CAST(sum(CASE WHEN g.cell * $dims >= t.total """ +
+      s"""THEN CASE WHEN g.k = ${dims - 1} THEN CAST(${Long.MinValue} AS BIGINT) """ +
+      """ELSE CAST(1 AS BIGINT) << CAST(g.k AS INTEGER) END ELSE 0 END) AS BIGINT) AS sig """ +
+      """FROM grid g JOIN tot t ON g.doc_id = t.doc_id GROUP BY g.doc_id), """ +
+      s"""bk AS (SELECT doc_id, band, (sig >> CAST(band * $bits AS INTEGER)) & $mask AS bkey """ +
+      s"""FROM (SELECT doc_id, sig, unnest(range(0, $bands)) AS band FROM sg)), """ +
+      """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
+      """FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), """ +
+      """l1 AS (SELECT c.doc_a, c.doc_b, ta.total AS total_a, tb.total AS total_b, """ +
+      """CAST(sum(abs(ga.cell * tb.total - gb.cell * ta.total)) AS BIGINT) AS l1x """ +
+      """FROM cand c JOIN grid ga ON ga.doc_id = c.doc_a """ +
+      """JOIN grid gb ON gb.doc_id = c.doc_b AND gb.k = ga.k """ +
+      """JOIN tot ta ON ta.doc_id = c.doc_a JOIN tot tb ON tb.doc_id = c.doc_b """ +
+      """GROUP BY 1, 2, 3, 4) """ +
+      s"""SELECT doc_a, doc_b, CAST((10000 * l1x) // (total_a * total_b) AS BIGINT) AS l1_bp """ +
+      s"""FROM l1 WHERE $denom * l1x <= total_a * total_b"""
+  }
 }

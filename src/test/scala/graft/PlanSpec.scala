@@ -370,6 +370,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("mm perceptual near-dup: banded bucket equi-join — no cartesian, no all-pairs") {
+    val s = planString(graft.operators.Multimodal.perceptualNearDupLazy(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("runtime bloom filter prunes the fact side of a non-broadcast join") {
     // The 100 TB fact⋈fact shape: when the selective side is too big to
     // broadcast, Spark 4's runtime bloom filter (default-on) builds a

@@ -411,6 +411,45 @@ class QueriesSpec extends SparkSpec {
     assert(frames.length === 500 && frames.forall(_.frame_no === 99))
   }
 
+  test("mm perceptual near-dup: identical payloads pair at distance 0, dissimilar profiles verify out") {
+    import spark.implicits._
+    val body = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    // doc 3 band-collides with 1/2 (its uniform first half sets the same
+    // low signature bits) but its segment profile is far beyond the L1
+    // gate — candidate generation alone must not produce a pair
+    val skew = "z" * 400 + " " * 400
+    val payloads = Seq(
+      1L -> body.getBytes("UTF-8"),
+      2L -> body.getBytes("UTF-8"),
+      3L -> skew.getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.perceptualNearDupOf(payloads).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"identical payloads not paired: $pairs")
+    assert(pairs((1L, 2L)) === 0L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"dissimilar profile survived the verify: $pairs")
+  }
+
+  test("mm perceptual near-dup: injected codec drives the descriptor") {
+    val payloads = Multimodal.withPayload(spark, dir).limit(10)
+    val descs = Multimodal.perceptualDescriptors(payloads, QueriesSpec.ProbeCodec)
+      .collect()
+    // probe descriptor = [7, 0, 0, …]: exact integer recovery and the
+    // cell-vs-mean signature (only cell 0 is ≥ the mean) pin the contract
+    assert(descs.forall(d => d.total === 7L && d.sig === 1L))
+  }
+
+  test("testdata invariant: documents text is ASCII (mm_near_dup oracle byte=char guard)") {
+    // the mm_near_dup oracle walks DuckDB CHARACTERS while the stub codec
+    // walks payload BYTES — identical only while the text is pure ASCII
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = spark.read.parquet(s"$d/documents.parquet")
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii === 0L, s"$d has $nonAscii non-ASCII documents")
+    }
+  }
+
   test("simhash near-dup docs have close hamming distance") {
     val sh = TextOps.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -442,6 +481,8 @@ object QueriesSpec {
           Multimodal.ResizedMedia(id, w, h, b.take(1))
         def frames(id: Long, b: Array[Byte], n: Int): Iterator[Multimodal.MediaFrame] =
           Iterator(Multimodal.MediaFrame(id, 99, b.take(1)))
+        def perceptual(id: Long, b: Array[Byte]): Array[Float] =
+          Array.tabulate(Multimodal.PerceptualDims)(k => if (k == 0) 7f else 0f)
       }
     }
   }
