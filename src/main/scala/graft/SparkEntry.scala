@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
+    "dedup_substring_spans" -> ((s, d) => TextOps.dedupSubstringSpans(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
@@ -813,6 +814,7 @@ object SparkEntry {
     "dedup_exact" ->
       ("""SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, """ +
         """count(*) AS n_copies FROM documents GROUP BY md5(text)"""),
+    "dedup_substring_spans" -> dedupSubstringSpansSql,
     "dedup_ngram_jaccard" ->
       (s"""WITH $ngramPairCtes """ +
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
@@ -1183,6 +1185,29 @@ object SparkEntry {
         """CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels """ +
         """FROM documents"""),
     "mm_near_dup" -> mmNearDupSql)
+
+  /** Full replay of the duplicated-span dataflow: seed windows keyed by
+    * the md5 of their joined tokens, the df-cap, the diagonal
+    * gaps-and-islands run recovery, and the maximal-span threshold — all
+    * constants render from the [[graft.operators.TextOps]] definitions. */
+  private lazy val dedupSubstringSpansSql: String = {
+    val k = TextOps.SpanSeedTokens
+    val minSpan = TextOps.MinSpanTokens
+    val cap = TextOps.SpanDfCap
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+      s"""sh AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${k - 1}], ' ')) AS h """ +
+      s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i FROM d WHERE len(w) >= $k)), """ +
+      s"""elig AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h) WHERE ndocs <= $cap), """ +
+      """m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb """ +
+      """FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id """ +
+      """WHERE a.h IN (SELECT h FROM elig)), """ +
+      """isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag, """ +
+      """pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl_id FROM m), """ +
+      s"""sp AS (SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a, """ +
+      s"""CAST(min(pb) AS BIGINT) AS start_b, CAST(count(*) + ${k - 1} AS BIGINT) AS span_tokens """ +
+      """FROM isl GROUP BY doc_a, doc_b, diag, isl_id) """ +
+      s"""SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM sp WHERE span_tokens >= $minSpan"""
+  }
 
   /** Full replay of the perceptual near-dup dataflow: the stub codec's
     * segment-sum grid (the documents payload is ASCII text, so DuckDB's

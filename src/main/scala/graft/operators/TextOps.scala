@@ -90,6 +90,92 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Substring-span dedup parameters (lockstep-rendered into the oracle
+    * SQL): seed window width in tokens, minimum reported maximal-span
+    * length, and the inverted-index document-frequency cap that keeps a
+    * corpus-wide hub window (boilerplate headers, license blurbs) from
+    * turning the index join quadratic. */
+  val SpanSeedTokens: Int = 8
+  val MinSpanTokens: Long = 16L
+  val SpanDfCap: Long = 64L
+
+  /** EXACT duplicated-span detection — the training-data dedup modality
+    * n-gram Jaccard does not cover: two documents can share a long
+    * verbatim passage (quoted boilerplate, copied paragraph) at a Jaccard
+    * far below any near-dup threshold. Reports every MAXIMAL shared token
+    * span ≥ [[MinSpanTokens]] per document pair, with both start
+    * positions (1-based token index) — the spans a pipeline would cut
+    * (ExactSubstr dedup, Lee et al. '21, re-expressed relationally: the
+    * suffix-array pass becomes a position-keyed window inverted index).
+    *
+    * Dataflow: every [[SpanSeedTokens]]-token window is keyed by the md5
+    * of its joined text (position-keyed shingle inverted index; digest
+    * join keys keep the shuffle narrow, and the equality is exact up to
+    * md5 collision — the same digest-equality contract as [[dedupExact]]).
+    * Windows whose key occurs in more than [[SpanDfCap]] documents are
+    * dropped on BOTH sides (bounded candidates, the df-cap idiom of
+    * [[textCosinePairs]]); matching (pos_a, pos_b) seeds lying on one
+    * diagonal (pos_a − pos_b constant) with consecutive positions are one
+    * shared span, recovered with a gaps-and-islands window keyed per
+    * (pair, diagonal) — partitions are single spans' seed runs, so the
+    * sort is local and skew-free. A run of R consecutive seeds covers
+    * R + seed − 1 tokens. */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringSpansOf(tbl(spark, dir, "documents"))
+
+  /** [[dedupSubstringSpans]] over any (doc_id, text) relation. */
+  def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
+    // eager-job idiom: the pair join reads ONE materialization of the
+    // windowed index (both join sides), not two full re-tokenizations
+    val idx = spanIndexOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = Engine.eagerCheckpoint(spansFromIndex(idx))
+    idx.unpersist(true)
+    out
+  }
+
+  /** Un-materialized twin for plan inspection (PlanSpec). */
+  private[graft] def dedupSubstringSpansLazy(spark: SparkSession,
+      dir: String): DataFrame =
+    spansFromIndex(spanIndexOf(tbl(spark, dir, "documents")))
+
+  /** Position-keyed seed-window inverted index, df-capped. */
+  private def spanIndexOf(docs: DataFrame): DataFrame = {
+    val k = SpanSeedTokens
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k), i =>
+          struct((i + 1).cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))).as("h")))).as("ph"))
+      .select(col("doc_id"), col("ph.pos").as("pos"), col("ph.h").as("h"))
+    // df-cap: the aggregate and the join probe share the hash-by-h
+    // exchange (AQE exchange reuse); eligible keys join back as a filter
+    val eligible = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") <= SpanDfCap).select("h")
+    sh.join(eligible, "h")
+  }
+
+  /** Diagonal runs → maximal spans ≥ [[MinSpanTokens]]. */
+  private def spansFromIndex(idx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanSeedTokens
+    val m = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + k - 1).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= MinSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via PPJoin-style
     * prefix filtering (Xiao et al., WWW '08): rank each document's shingles
     * in a global rare-first canonical order; a pair with jaccard ≥ t MUST

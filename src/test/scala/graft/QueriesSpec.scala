@@ -411,6 +411,26 @@ class QueriesSpec extends SparkSpec {
     assert(frames.length === 500 && frames.forall(_.frame_no === 99))
   }
 
+  test("substring spans: maximal shared runs with exact positions; short overlaps suppressed") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val shared30 = toks("s", 30)
+    val shared10 = toks("u", 10) // below MinSpanTokens — must not report
+    val docs = Seq(
+      1L -> s"${toks("a", 20)} $shared30 ${toks("t", 10)}",
+      2L -> s"$shared30 $shared10 ${toks("q", 12)}",
+      3L -> s"${toks("c", 5)} $shared10 ${toks("z", 30)}")
+      .toDF("doc_id", "text")
+    val spans = TextOps.dedupSubstringSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the 30-token passage sits at token 21 of doc 1 and token 1 of doc 2,
+    // and the island recovery must report it ONCE, maximal, not as the 23
+    // overlapping 8-token seeds it is made of
+    assert(spans === Map((1L, 2L) -> ((21L, 1L, 30L))),
+      s"unexpected span set: $spans")
+  }
+
   test("mm perceptual near-dup: identical payloads pair at distance 0, dissimilar profiles verify out") {
     import spark.implicits._
     val body = ("the quick brown fox jumps over the lazy dog " * 20).trim
