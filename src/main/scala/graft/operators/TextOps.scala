@@ -745,21 +745,52 @@ object TextOps {
   /** [[dedupIncremental]] over explicit (fresh, seen) relations — lazy:
     * callers owning the relations decide persistence. */
   def dedupIncrementalOf(fresh: DataFrame, seen: DataFrame,
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    dedupIncrementalAgainst(fresh, seenIndexOf(seen), threshold)
+
+  /** The frozen seen-corpus's three ingest-time artifacts — exact-hash
+    * list, MinHash band index, shingle sets — as explicit relations. In
+    * production these are computed ONCE when a document enters the corpus
+    * and stored; every later increment (batch or micro-batch) joins
+    * against the stored artifacts instead of re-deriving them from text.
+    * `persist()`/`unpersist()` make that reuse real in-process: the
+    * streaming twin pins all three across micro-batches. Lifecycle is
+    * caller-owned (same contract as [[dedupIncrementalOf]]'s relations). */
+  final case class SeenIndex(hashes: DataFrame, buckets: DataFrame,
+      shingleSets: DataFrame) {
+    private def all = Seq(hashes, buckets, shingleSets)
+    def persist(): SeenIndex = {
+      all.foreach(_.persist(StorageLevel.MEMORY_AND_DISK)); this
+    }
+    def unpersist(): Unit = all.foreach(_.unpersist(true))
+  }
+
+  /** Build a [[SeenIndex]] from a (doc_id, text) corpus relation. */
+  def seenIndexOf(seen: DataFrame): SeenIndex = SeenIndex(
+    hashes = seen.select(md5(col("text").cast("binary")).as("h"),
+      col("doc_id").as("seen_id")),
+    buckets = bandBuckets(minhashSignaturesOf(seen))
+      .select(col("bucket"), col("doc_id").as("seen_id")),
+    shingleSets = seen.select(col("doc_id").as("seen_id"),
+      shingles(col("text")).as("sh_s")))
+
+  /** [[dedupIncrementalOf]] against a prebuilt [[SeenIndex]] — the shape
+    * every increment actually runs: fresh side derived from text, seen
+    * side read back as stored artifacts. Fresh docs are the small side of
+    * every join (broadcast/AQE-friendly); the index is only touched
+    * bucket- and candidate-wise, never scanned per pair. */
+  def dedupIncrementalAgainst(fresh: DataFrame, idx: SeenIndex,
       threshold: Double = DefaultNearDupThreshold): DataFrame = {
-    def hashed(df: DataFrame) =
-      df.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val exact = hashed(fresh)
-      .join(hashed(seen).select(col("h"), col("doc_id").as("seen_id")), "h")
+    val exact = fresh
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(idx.hashes, "h")
       .groupBy("doc_id").agg(min(col("seen_id")).as("dup_exact"))
-    def banded(df: DataFrame) = bandBuckets(minhashSignaturesOf(df))
-    val near = banded(fresh)
-      .join(banded(seen).select(col("bucket"), col("doc_id").as("seen_id")),
-        "bucket")
+    val near = bandBuckets(minhashSignaturesOf(fresh))
+      .join(idx.buckets, "bucket")
       .select("doc_id", "seen_id").distinct()
       .join(fresh.select(col("doc_id"), shingles(col("text")).as("sh_f")),
         "doc_id")
-      .join(seen.select(col("doc_id").as("seen_id"),
-        shingles(col("text")).as("sh_s")), "seen_id")
+      .join(idx.shingleSets, "seen_id")
       .withColumn("common",
         size(array_intersect(col("sh_f"), col("sh_s"))).cast("long"))
       .withColumn("union_sz",

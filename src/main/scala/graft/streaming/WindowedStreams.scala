@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Event-time streaming operators the reference lacks entirely (its
   * `datetime` is carried as payload, never compared — SURVEY.md §2) but a
@@ -667,4 +667,55 @@ object WindowedStreams {
       threshold: Double = 0.9, nBits: Int = 8,
       maxOwners: Int = 8): Dataset[NovelVec] =
     suppressEmbedNearDups(vecs, tsCol, threshold, nBits, maxOwners, ttlMs = 0L)
+
+  /** Streaming incremental dedup — the production crawl-ingest topology:
+    * each micro-batch is a fresh crawl INCREMENT, deduplicated against a
+    * FROZEN seen-corpus via the batch op's exact dataflow
+    * ([[graft.operators.TextOps.dedupIncrementalAgainst]]: md5 exact
+    * match, MinHash stream–static band join, shingle-Jaccard verify).
+    * The frozen side participates as its three ingest-time artifacts
+    * ([[graft.operators.TextOps.SeenIndex]]), pinned in memory ONCE for
+    * the life of the query — no per-batch recomputation of corpus
+    * signatures; the increment is the small side of every join.
+    *
+    * Because a verdict depends only on (fresh doc, frozen corpus), the
+    * result is batching-invariant: the union of all micro-batch outputs
+    * equals one batch `dedupIncrementalOf(allFresh, seen)` run — the
+    * parity StreamingSpec pins, including across a checkpoint restart
+    * (offset tracking in `checkpointDir` means a restarted query resumes
+    * at the first unprocessed increment; delivery to `sink` is
+    * at-least-once, same note as StreamPipeline.ParquetSinks).
+    *
+    * Intra-increment and increment-vs-earlier-increment duplicates are
+    * DELIBERATELY out of scope here (frozen means frozen); compose
+    * [[suppressNearDups]] upstream for stream-internal dedup, and fold
+    * accepted docs into the corpus at the next index rebuild.
+    *
+    * `sink(verdicts, batchId)` must run its own action (write/collect) —
+    * the verdict relation is lazy and only valid inside the callback
+    * (the fresh-side cache is dropped when it returns). */
+  def dedupIncrementalStream(
+      freshDocs: DataFrame, // streaming (doc_id, text)
+      seenIndex: graft.operators.TextOps.SeenIndex,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      threshold: Double = graft.operators.TextOps.DefaultNearDupThreshold,
+      availableNow: Boolean = true): StreamingQuery = {
+    val w = freshDocs.writeStream
+      .queryName("graft-incremental-dedup")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the increment feeds four subtrees (hash, band, shingle verify,
+        // final left joins) with no common-subplan sharing — same
+        // persistence rationale as the batch op
+        val fresh = batch.toDF().select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try sink(
+          graft.operators.TextOps.dedupIncrementalAgainst(
+            fresh, seenIndex, threshold),
+          batchId)
+        finally fresh.unpersist(true)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

@@ -8,6 +8,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, k: String, v: Double)
 case class DocEv(ts: Timestamp, doc_id: Long, text: String)
+case class FreshDoc(doc_id: Long, text: String)
 
 /** Event-time semantics under a real streaming execution: watermark
   * finalization, late-data dropping, session merging, dedup state. */
@@ -588,5 +589,60 @@ class WindowedStreamsSpec extends SparkSpec {
         assert(paths.size === 1, paths)
       }
     } finally pool.shutdownNow()
+  }
+
+  test("incremental dedup stream: frozen-corpus verdicts match the batch op, restart resumes at the next increment") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextOps
+
+    val seen = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val idx = TextOps.seenIndexOf(seen).persist()
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Option[Long], Boolean)])]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      val rows = df.collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+      results.synchronized { results += ((id, rows)) }
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+
+    val inc1 = Seq(
+      FreshDoc(101L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      FreshDoc(102L, "one two three four five six eight"),   // near-dup of 2
+      FreshDoc(103L, "completely novel text with unique distinct words"))
+    val src1 = MemoryStream[FreshDoc]
+    src1.addData(inc1: _*)
+    val q1 = WindowedStreams.dedupIncrementalStream(src1.toDF(), idx, cp, sink)
+    q1.awaitTermination() // AvailableNow: drains increment 1, stops
+
+    // restart: NEW source replays increment 1 at the same offsets, adds
+    // increment 2 — the committed batch must NOT re-reach the sink
+    val inc2 = Seq(
+      FreshDoc(104L, "red orange yellow green blue indigo"), // exact dup of 3
+      FreshDoc(105L, "alpha beta gamma delta epsilon eta"))  // near-dup of 1
+    val src2 = MemoryStream[FreshDoc]
+    src2.addData(inc1: _*)
+    src2.addData(inc2: _*)
+    val q2 = WindowedStreams.dedupIncrementalStream(src2.toDF(), idx, cp, sink)
+    q2.awaitTermination()
+
+    assert(results.map(_._1).toSeq === Seq(0L, 1L), results)
+    // exact-path verdicts are deterministic outright
+    val byDoc = results.flatMap(_._2).map(r => r._1 -> r).toMap
+    assert(byDoc(101L) === ((101L, Some(1L), false)))
+    assert(byDoc(104L) === ((104L, Some(3L), false)))
+    assert(byDoc(103L) === ((103L, None, true)))
+    // THE pin: batching-invariance — the union of micro-batch outputs
+    // equals one batch dedupIncrementalOf run over all fresh docs
+    val batchTwin = TextOps.dedupIncrementalOf((inc1 ++ inc2).toDF(), seen)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+    assert(results.flatMap(_._2).toSet === batchTwin)
+    idx.unpersist()
   }
 }
