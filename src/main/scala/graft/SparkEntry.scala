@@ -246,10 +246,28 @@ object SparkEntry {
     * exact integer math, any other value as the generic float form — the
     * oracle can never silently desync from the Scala operators'
     * default (round-7 ADVICE). */
-  private def jaccardCondSql(common: String, union: String): String = {
-    val t = TextOps.DefaultNearDupThreshold
-    if (t == 0.5) s"2 * $common >= $union"
-    else s"$common >= $t * ($union)"
+  private[graft] def jaccardCondSql(common: String, union: String,
+      t: Double = TextOps.DefaultNearDupThreshold): String = {
+    // Exactness contract (round-7 ADVICE): the Spark operators compare
+    // common/union via DOUBLE division against t, so the oracle must land
+    // on the same boundary. For a dyadic t = m/2^k (k ≤ 10) the integer
+    // cross-multiplication below is exact, and the double division cannot
+    // disagree with it: distinct integer ratios c/u differ from m/d by
+    // ≥ 1/(u·d), orders of magnitude above double rounding error at any
+    // realistic corpus size. A NON-dyadic default would reintroduce the
+    // float-boundary divergence with no exact rendering on either side —
+    // fail at first use so the change is made deliberately (re-derive the
+    // Spark-side predicate AND this rendering in exact rational form).
+    val scaled = t * 1024.0
+    require(scaled == math.floor(scaled) && t > 0 && t <= 1,
+      s"near-dup threshold $t is not dyadic (m/1024): re-derive the " +
+        "Spark predicate and jaccardCondSql together in exact integer form")
+    val m = scaled.toLong
+    val g = java.math.BigInteger.valueOf(m)
+      .gcd(java.math.BigInteger.valueOf(1024L)).longValueExact()
+    val (n, d) = (m / g, 1024L / g)
+    if (n == 1L && d == 2L) s"2 * $common >= $union"
+    else s"$d * ($common) >= $n * ($union)"
   }
   private val incSplit = TextOps.DefaultIncrementalSplitId
   private val ngramPairCond = jaccardCondSql(

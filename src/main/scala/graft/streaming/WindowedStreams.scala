@@ -257,9 +257,14 @@ object WindowedStreams {
       // the marker EXISTING but still EMPTY between the winner's create
       // and write (caught by the hammer spec as "state-schema v'' ").
       // So the marker is stamped via write-to-temp + atomic rename: it
-      // only ever becomes visible complete. The rename loser deletes its
-      // temp and validates the winner's marker — the same path a
-      // pre-existing marker takes.
+      // only ever becomes visible complete. Loser handling is per-FS
+      // (round-7 ADVICE): on HDFS-like stores rename-onto-existing fails,
+      // and the loser deletes its temp and validates the winner's marker;
+      // on LocalFileSystem/POSIX rename REPLACES the existing marker and
+      // returns true, so both racers "win" — benign, because the marker
+      // content is fully determined by (op, version) and the version is
+      // baked into the directory name, so any winner writes identical
+      // bytes. The hammer spec drives this race on the local FS.
       val tmp = new Path(dir,
         s"._graft_state_version.tmp.${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)

@@ -37,24 +37,25 @@ class EngineSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
     }
-    val dir = Files.createTempDirectory("graft-reliable-ckpt").toFile
-    try {
-      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
-      val df = spark.range(100).select(col("id"), (col("id") * 2).as("v"))
-      val out = withReliable(true)(Engine.eagerCheckpoint(df))
-      assert(out.collect().map(_.getLong(1)).sum === 9900L)
-      val plan = out.queryExecution.optimizedPlan.toString
-      assert(!plan.contains("Range"), plan)
-      // the materialization is ON DISK under the configured dir — this is
-      // what survives an executor loss (local blocks would not)
-      def files(f: java.io.File): Seq[java.io.File] = {
-        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        kids.filterNot(_.isDirectory) ++ kids.filter(_.isDirectory).flatMap(files)
-      }
-      assert(files(dir).nonEmpty, s"no checkpoint files under $dir")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir)
-      ()
+    // JVM-lifetime dir (round-7 ADVICE): the context's checkpoint dir
+    // outlives this suite — deleting it here would leave the shared
+    // SparkContext pointing at a dead path for every later suite, and
+    // ContextCleaner's cleanCheckpoints deletions would log failures.
+    // The shutdown hook in SparkSpec removes it at JVM exit instead.
+    val dir = SparkSpec.checkpointRoot.resolve("reliable-ckpt").toFile
+    dir.mkdirs()
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    val df = spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+    val out = withReliable(true)(Engine.eagerCheckpoint(df))
+    assert(out.collect().map(_.getLong(1)).sum === 9900L)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Range"), plan)
+    // the materialization is ON DISK under the configured dir — this is
+    // what survives an executor loss (local blocks would not)
+    def files(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filterNot(_.isDirectory) ++ kids.filter(_.isDirectory).flatMap(files)
     }
+    assert(files(dir).nonEmpty, s"no checkpoint files under $dir")
   }
 }

@@ -481,6 +481,23 @@ class QueriesSpec extends SparkSpec {
     }.sum.toDouble / pairs.length
     assert(avgHam < 6.0, s"near-dup avg hamming $avgHam too high for 16 bits")
   }
+
+  test("jaccardCondSql: exact integer rendering for dyadic thresholds, loud failure otherwise") {
+    // the library default must stay on the canonical 0.5 fast path — the
+    // oracle SQL text is pinned by the driver's hash-match history
+    assert(SparkEntry.jaccardCondSql("c", "u") === "2 * c >= u")
+    assert(SparkEntry.jaccardCondSql("c", "u", 0.5) === "2 * c >= u")
+    // any other dyadic default renders as reduced integer
+    // cross-multiplication — no float literal on either engine
+    assert(SparkEntry.jaccardCondSql("c", "u", 0.75) === "4 * (c) >= 3 * (u)")
+    assert(SparkEntry.jaccardCondSql("c", "u", 0.625) === "8 * (c) >= 5 * (u)")
+    assert(SparkEntry.jaccardCondSql("c", "u", 1.0) === "1 * (c) >= 1 * (u)")
+    // a non-dyadic threshold has no exact rendering: refuse, don't desync
+    intercept[IllegalArgumentException] {
+      SparkEntry.jaccardCondSql("c", "u", 0.3)
+    }
+    ()
+  }
 }
 
 /** File-scope codec probe: top-level objects serialize as singletons (no

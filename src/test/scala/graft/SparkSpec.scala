@@ -9,6 +9,17 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  /** Per-JVM root for anything the shared SparkContext must be able to
+    * reach for the REST of the run (e.g. its checkpoint dir, which has no
+    * unset and which ContextCleaner deletes from on RDD GC) — suites must
+    * not delete it mid-session; the hook removes it at JVM exit. */
+  lazy val checkpointRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-test-ckpt-root")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
