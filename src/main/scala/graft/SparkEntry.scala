@@ -286,19 +286,21 @@ object SparkEntry {
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash16 FROM b""".stripMargin
   }
 
-  /** The 32-bit sign-projection simhash (TextOps.simhash32) in DuckDB
+  /** The 60-bit sign-projection simhash (TextOps.simhashSig) in DuckDB
     * SQL — same universal-hash params, same 2·h > p sign test. */
-  private def simhash32Sql: String = {
-    val bitSums = TextOps.simhash32Params.zipWithIndex.map { case ((a, b), j) =>
-      s"CAST(SUM(CASE WHEN (($a*hv + $b) % ${TextOps.MOD}) * 2 > ${TextOps.MOD} " +
-        s"THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
-    }.mkString(", ")
-    val combine = (0 until 32).map(j =>
+  private def simhashSigSql: String = {
+    val nBits = TextOps.SimhashBits
+    val bitSums = TextOps.simhashParams(nBits).zipWithIndex
+      .map { case ((a, b), j) =>
+        s"CAST(SUM(CASE WHEN (($a*hv + $b) % ${TextOps.MOD}) * 2 > ${TextOps.MOD} " +
+          s"THEN 1 ELSE -1 END) AS BIGINT) AS b$j"
+      }.mkString(", ")
+    val combine = (0 until nBits).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
        |h AS (SELECT doc_id, ${weakHashSql("s")} AS hv FROM t),
        |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash32 FROM b""".stripMargin
+       |SELECT doc_id, CAST($combine AS BIGINT) AS sig FROM b""".stripMargin
   }
 
   private def minhashSql: String = {
@@ -856,11 +858,11 @@ object SparkEntry {
       // all-pairs popcount over the shared signature definition: the
       // banded Spark plan is EXACT at radius 3 (pigeonhole over 4 bands),
       // so the brute-force oracle replays it row-for-row
-      (s"""WITH sa AS ($simhash32Sql), sb AS ($simhash32Sql) """ +
+      (s"""WITH sa AS ($simhashSigSql), sb AS ($simhashSigSql) """ +
         """SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, """ +
-        """CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS BIGINT) AS hamming """ +
+        """CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming """ +
         """FROM sa JOIN sb ON sa.doc_id < sb.doc_id """ +
-        """WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 3"""),
+        """WHERE bit_count(xor(sa.sig, sb.sig)) <= 3"""),
     "dedup_incremental" ->
       // fresh (doc_id >= 250) against frozen seen (doc_id < 250): exact
       // md5 match OR band collision + exact-Jaccard verify, dup_of = min

@@ -517,46 +517,64 @@ object TextOps {
           .reduce(_ + _).as("simhash16"))
   }
 
-  /** Sign-projection parameters for the 32-bit simhash: 32 universal
+  /** Sign-projection parameters for the banded simhash: `n` universal
     * hashes (a·x + b mod p) over the token's [[weakHash]], each bit set
     * by the SIGN of the per-doc ±1 vote sum. [[simhash]]'s direct
     * bit-slicing of weakHash is fine for a compact signature column, but
     * weakHash's range is only a few thousand, so its high bits are
     * near-constant — useless for BANDING. The projections re-randomize
     * every bit uniformly over p (integer math both engines replay
-    * exactly; products stay ≤ 2^40, far under the ANSI overflow line). */
-  private[graft] val simhash32Params: IndexedSeq[(Long, Long)] =
-    (0 until 32).map(j => (104729L * (j + 1) % MOD, 15485863L * (j + 7) % MOD))
+    * exactly; products stay ≤ 2^40, far under the ANSI overflow line;
+    * p prime and 104729 ∤ p keep all `n` parameter pairs distinct). */
+  private[graft] def simhashParams(n: Int): IndexedSeq[(Long, Long)] =
+    (0 until n).map(j => (104729L * (j + 1) % MOD, 15485863L * (j + 7) % MOD))
 
-  /** 32-bit sign-projection simhash per doc (see [[simhash32Params]]). */
-  def simhash32(spark: SparkSession, dir: String): DataFrame = {
+  /** `nBits`-bit sign-projection simhash per doc (see [[simhashParams]]).
+    * `nBits` ≤ 60 keeps the signature strictly positive in an int64 on
+    * BOTH engines (bit 63 would flip the sign and DuckDB has no uint64
+    * parquet lane the driver compare reads), with headroom. */
+  def simhashSig(spark: SparkSession, dir: String,
+      nBits: Int = SimhashBits): DataFrame = {
+    require(nBits <= 60, s"signature must stay positive in int64 (got $nBits)")
     val tok = tbl(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("hv", weakHash(col("t")))
-    val bitSums = simhash32Params.zipWithIndex.map { case ((a, b), j) =>
+    val bitSums = simhashParams(nBits).zipWithIndex.map { case ((a, b), j) =>
       // 2·h > p avoids a halved threshold's rounding question entirely
       sum(when(((lit(a) * col("hv") + lit(b)) % MOD) * 2 > MOD, 1L)
         .otherwise(-1L)).as(s"b$j")
     }
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(j =>
+        (0 until nBits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash32"))
+          .reduce(_ + _).as("sig"))
   }
 
-  /** SimHash near-dup PAIRS — banded Hamming search over the 32-bit
-    * [[simhash32]] signatures, EXACT for the default radius: the
-    * signature splits into 4 disjoint 8-bit bands, and a pair within
+  /** Banded-simhash geometry: 60 signature bits in 4 bands of 15 → 32 768
+    * buckets per band. The round-7 32-bit/8-bit-band variant had only 256
+    * buckets per band, so intra-bucket candidate pairs grew ~n²/256 — the
+    * sf1 scale rehearsal measured it 17.8× super-linear at 10× docs. At
+    * 15-bit bands the same corpus spreads 128× thinner (n²/32 768 per
+    * band) while the pigeonhole recall proof (Hamming ≤ 3 cannot corrupt
+    * all 4 bands) is unchanged. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands
+
+  /** SimHash near-dup PAIRS — banded Hamming search over the 60-bit
+    * [[simhashSig]] signatures, EXACT for the default radius: the
+    * signature splits into 4 disjoint 15-bit bands, and a pair within
     * Hamming distance 3 cannot corrupt all 4 bands (pigeonhole), so
     * every qualifying pair shares at least one intact band and
     * bucket-joining per band has perfect recall — candidates are then
     * verified with a popcount on the XOR, so precision is exact too.
     * The banded join is the scale shape (bucket-local self-join, never
-    * all-pairs; 256 keys per band spread the corpus); a pair colliding
-    * in several bands is deduplicated by the distinct on the id pair.
-    * Requires maxHamming < 4 to keep the recall proof; the verify keeps
-    * arbitrary radii correct but recall drops above it. */
+    * all-pairs; 32 768 keys per band spread the corpus — see
+    * [[SimhashBits]] for why the bands widened in round 8); a pair
+    * colliding in several bands is deduplicated by the distinct on the
+    * id pair. Requires maxHamming < 4 to keep the recall proof; the
+    * verify keeps arbitrary radii correct but recall drops above it. */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     // eager-job idiom (dedupNgramJaccard): the self-join reads ONE cached
@@ -577,27 +595,31 @@ object TextOps {
       maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(bandedSimhash(spark, dir), maxHamming)
 
-  /** Signatures exploded onto their 4 band buckets. */
-  private def bandedSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhash32(spark, dir).select(col("doc_id"), col("simhash32"),
-      explode(array((0 until 4).map(b =>
+  /** Signatures exploded onto their [[SimhashBands]] band buckets. */
+  private def bandedSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << SimhashBandBits) - 1
+    simhashSig(spark, dir).select(col("doc_id"), col("sig"),
+      explode(array((0 until SimhashBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash32"), b * 8).bitwiseAND(255).as("key"))): _*))
+          shiftright(col("sig"), b * SimhashBandBits).bitwiseAND(mask)
+            .as("key"))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("simhash32"),
+      .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+  }
 
   /** The banded bucket self-join + popcount verify over a (possibly
     * cached) banded-signature relation. */
   private def simhashPairsFrom(banded: DataFrame,
       maxHamming: Int): DataFrame = {
-    require(maxHamming < 4,
-      s"banded recall is exact only below 4 corrupted bands (got $maxHamming)")
+    require(maxHamming < SimhashBands,
+      s"banded recall is exact only below $SimhashBands corrupted bands " +
+        s"(got $maxHamming)")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash32").as("sig_a"), col("b.simhash32").as("sig_b"))
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
