@@ -111,6 +111,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_substring_spans" -> ((s, d) => TextOps.dedupSubstringSpans(s, d)),
+    "dedup_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
@@ -835,6 +836,7 @@ object SparkEntry {
       ("""SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, """ +
         """count(*) AS n_copies FROM documents GROUP BY md5(text)"""),
     "dedup_substring_spans" -> dedupSubstringSpansSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_ngram_jaccard" ->
       (s"""WITH $ngramPairCtes """ +
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
@@ -1210,14 +1212,38 @@ object SparkEntry {
     * the md5 of their joined tokens, the df-cap, the diagonal
     * gaps-and-islands run recovery, and the maximal-span threshold — all
     * constants render from the [[graft.operators.TextOps]] definitions. */
+  /** The position-keyed seed-window inverted index CTEs (d → sh → elig),
+    * shared verbatim by the substring-span and containment oracles so the
+    * window/df-cap definitions can never drift between them. */
+  private lazy val spanIndexCtes: String = {
+    val k = TextOps.SpanSeedTokens
+    val cap = TextOps.SpanDfCap
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+      s"""sh AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${k - 1}], ' ')) AS h """ +
+      s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i FROM d WHERE len(w) >= $k)), """ +
+      s"""elig AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h) WHERE ndocs <= $cap)"""
+  }
+
+  /** Directed verbatim-containment replay over the shared window index:
+    * distinct surviving windows per doc, key self-join, exact-integer
+    * threshold (TextOps.ContainmentNum/Den multiplied through). */
+  private lazy val dedupContainmentSql: String = {
+    val num = TextOps.ContainmentNum
+    val den = TextOps.ContainmentDen
+    s"""WITH $spanIndexCtes, """ +
+      """sets AS (SELECT DISTINCT doc_id, h FROM sh WHERE h IN (SELECT h FROM elig)), """ +
+      """sz AS (SELECT doc_id, count(*) AS n_h FROM sets GROUP BY doc_id), """ +
+      """p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared """ +
+      """FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2) """ +
+      s"""SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared, """ +
+      s"""CAST(floor(10000.0 * shared / n_h) AS BIGINT) AS containment_bp """ +
+      s"""FROM p JOIN sz ON p.doc_a = sz.doc_id WHERE shared * $den >= n_h * $num"""
+  }
+
   private lazy val dedupSubstringSpansSql: String = {
     val k = TextOps.SpanSeedTokens
     val minSpan = TextOps.MinSpanTokens
-    val cap = TextOps.SpanDfCap
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
-      s"""sh AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+${k - 1}], ' ')) AS h """ +
-      s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i FROM d WHERE len(w) >= $k)), """ +
-      s"""elig AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h) WHERE ndocs <= $cap), """ +
+    s"""WITH $spanIndexCtes, """ +
       """m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb """ +
       """FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id """ +
       """WHERE a.h IN (SELECT h FROM elig)), """ +

@@ -176,6 +176,53 @@ object TextOps {
         col("span_tokens"))
   }
 
+  /** Verbatim-containment threshold as an exact rational (num/den): the
+    * pair predicate multiplies through (`den·shared ≥ num·n_h`), so the
+    * decision is pure integer arithmetic and the DuckDB oracle replays it
+    * bit-identically — the float-boundary discipline the round-7 advice
+    * pinned for the jaccard threshold, applied from birth here. */
+  val ContainmentNum: Int = 1
+  val ContainmentDen: Int = 2
+
+  /** EXACT verbatim-containment dedup — the ASYMMETRIC near-dup modality
+    * both Jaccard and cosine miss: a short document wholly quoted inside a
+    * long one has tiny symmetric similarity (its shingles are a sliver of
+    * the union) but containment ≈ 1. Containment(a→b) = |W(a) ∩ W(b)| /
+    * |W(a)| over each doc's DISTINCT [[SpanSeedTokens]]-token verbatim
+    * windows — the [[spanIndexOf]] index [[dedupSubstringSpans]] already
+    * builds (md5 window keys, df-capped at [[SpanDfCap]] on both sides, so
+    * a boilerplate window shared corpus-wide can never send the key join
+    * quadratic: candidates are ≤ cap² per key, linear in the index).
+    * Directed output — (a→b) and (b→a) are different facts and a mutual
+    * pair reports both. Thresholded at [[ContainmentNum]]/[[ContainmentDen]]
+    * by exact integer comparison; `containment_bp` (basis points, floored —
+    * the [[dedupNgramJaccard]] convention) is the only continuum column. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentOf(tbl(spark, dir, "documents"))
+
+  /** [[dedupContainment]] over any (doc_id, text) relation. */
+  def dedupContainmentOf(docs: DataFrame): DataFrame = {
+    // eager-job idiom: the sizes agg and both key-join sides read ONE
+    // materialization of the distinct window sets
+    val sets = spanIndexOf(docs).select(col("doc_id"), col("h")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_h"))
+    val out = Engine.eagerCheckpoint(
+      sets.as("a").join(sets.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        // sizes is O(docs) rows of two longs — broadcast side at any scale
+        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(col("shared") * ContainmentDen >= col("n_h") * ContainmentNum)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          floor(lit(10000.0) * col("shared") / col("n_h")).cast("long")
+            .as("containment_bp")))
+    sets.unpersist(true)
+    out
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via PPJoin-style
     * prefix filtering (Xiao et al., WWW '08): rank each document's shingles
     * in a global rare-first canonical order; a pair with jaccard ≥ t MUST
@@ -1338,15 +1385,48 @@ object TextOps {
         round(col("dotp") / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
   }
 
+  /** Join-output rows per reduce task the pair expansion aims for. The
+    * expansion's input (the index) is tiny but its OUTPUT is Σdf² rows, so
+    * static shuffle.partitions — and AQE, which right-sizes on MAP output
+    * bytes and cannot see a join's fan-out — both leave the heavy stage
+    * with far too few tasks once the corpus grows: the sf1 rehearsal ran
+    * 3.1 B joined rows through 32 tasks, each falling out of hash
+    * aggregation into giant spilling sorts (871 s; the executor OOMed
+    * outright under an instrumented rerun). 8 M rows ≈ a few hundred MB
+    * of agg state per task — comfortably hash-resident. Measured at sf1:
+    * 757.7 s and no OOM — the sizing removes the spill/OOM fragility;
+    * the remaining wall is the Σdf² expansion itself, which the prefix
+    * filter below attacks. */
+  private val CosineJoinRowsPerTask = 8L * 1000 * 1000
+
   def textCosinePairs(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
     val w = cosineIndex(spark, dir, dfCapFrac)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Σdf² — the EXACT pair-expansion row count — from one cheap agg over
+    // the index (this narrow job also fills the cache before the heavy
+    // join reads it). Sizing the expansion from it is the operator-side
+    // twin of AQE: runtime stats, but for join OUTPUT, which AQE's
+    // map-output-bytes heuristics structurally under-estimate.
+    val sumDf2 = w.groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).first.getLong(0)
+    val cores = spark.sparkContext.defaultParallelism
+    val joinParts = math.min(math.max(
+      (sumDf2 / CosineJoinRowsPerTask).toInt + 1, cores), 4096)
     // eager job semantics: the self-join sides AND the norm derivation all
     // read the SAME cached index materialization instead of executing the
     // tokenize→tf→df pipeline three times; blocking unpersist as in
-    // dedupNgramJaccard
-    val out = Engine.eagerCheckpoint(cosinePairsFrom(w, minShared))
+    // dedupNgramJaccard. The shuffle-partition raise is scoped to THIS
+    // query's execution (set → run → restore): a session-wide raise was
+    // measured in round 7 to inflate every small shuffle in the run
+    // (9.4 s vs 1.5 s on this very query at sf0.1), while per-query AQE
+    // coalescing still shrinks any small stage back to advisory size.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val out = try {
+      spark.conf.set(key, joinParts.toString)
+      Engine.eagerCheckpoint(cosinePairsFrom(w, minShared))
+    } finally spark.conf.set(key, prev)
     w.unpersist(true)
     out
   }

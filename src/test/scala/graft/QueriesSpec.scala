@@ -431,6 +431,25 @@ class QueriesSpec extends SparkSpec {
       s"unexpected span set: $spans")
   }
 
+  test("containment: short doc inside long doc pairs one-directionally at the exact threshold") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val quoted = toks("s", 20) // 20 tokens → 13 distinct 8-token windows
+    val docs = Seq(
+      1L -> quoted, // wholly quoted inside doc 2
+      2L -> s"$quoted ${toks("x", 37)}", // 57 tokens → 50 windows
+      3L -> toks("z", 20)) // unrelated
+      .toDF("doc_id", "text")
+    val rows = TextOps.dedupContainmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // every window of doc 1 appears verbatim in doc 2 → containment(1→2)
+    // = 13/13 = 10000 bp; the reverse direction is 13/50 < 1/2 and the
+    // unrelated doc shares nothing — both must be absent
+    assert(rows === Map((1L, 2L) -> ((13L, 10000L))),
+      s"unexpected containment set: $rows")
+  }
+
   test("mm perceptual near-dup: identical payloads pair at distance 0, dissimilar profiles verify out") {
     import spark.implicits._
     val body = ("the quick brown fox jumps over the lazy dog " * 20).trim
