@@ -1315,7 +1315,12 @@ object TextOps {
     * are re-derived from the index in one tiny keyed agg and attached to
     * the (post-threshold, tiny) pair list instead. */
   private def cosineIndex(spark: SparkSession, dir: String,
-      dfCapFrac: Int): DataFrame = {
+      dfCapFrac: Int): DataFrame =
+    cosineIndexOf(tbl(spark, dir, "documents"), dfCapFrac)
+
+  /** [[cosineIndex]] over any (doc_id, text) relation. */
+  private def cosineIndexOf(rawDocs: DataFrame, dfCapFrac: Int): DataFrame = {
+    val spark = rawDocs.sparkSession
     // The tokenize→explode→tf stage is a FAN-OUT (each doc becomes ~|tokens|
     // index rows), so its parallelism must come from an explicit exchange,
     // not the scan: a small corpus is one parquet split, and round 7
@@ -1328,8 +1333,7 @@ object TextOps {
     // (4× cores, floor 64 — see its doc for the measured sweep at both
     // 4 and 32 cores).
     val parts = expandParallelism(spark)
-    val docs = tbl(spark, dir, "documents")
-      .repartition(parts, col("doc_id"))
+    val docs = rawDocs.repartition(parts, col("doc_id"))
     val tf = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1361,17 +1365,77 @@ object TextOps {
     idx.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
 
+  /** Posting-list block size for the salted pair expansion. A term's df
+    * rows are cut into ⌈df/c⌉ contiguous (by doc_id) blocks and the
+    * self-join runs per BLOCK PAIR, so no task ever expands more than
+    * c² ≈ 1 M pairs — the hot-term fan-out that single-handedly stalled
+    * the sf1 rehearsal (the equi-join key is `term`; there are only
+    * ~931 surviving terms on this corpus, the hottest near the n/5 df
+    * cap, so its df²/2 ≈ 50 M-pair expansion landed in ONE task as a
+    * multi-GB spilling sort-agg straggler — a skew no partition COUNT
+    * can spread, because partitioning is by key). Replication cost of
+    * the salt is Σdf²/(2c) extra index rows (~1.5 M at sf1 — noise);
+    * when every df ≤ c (sf0.1 and below: cap = n/5 = 1000) no task can
+    * overflow, so [[textCosinePairs]] gates the salt on the MEASURED
+    * max df and small corpora keep the plain single-exchange term join
+    * — zero overhead exactly where skew cannot exist. AQE's skew-join
+    * splitter cannot do this:
+    * it splits by map-output size of the join INPUT, which is tiny here
+    * — the skew is in the join's OUTPUT fan-out. */
+  private val CosineBlockSize = 1024
+
   /** The pair dot-product over a (possibly cached) index relation: the
-    * self-join's groupBy keys are the two doc ids ALONE, and the norms
-    * join in after the `shared >= minShared` filter has cut 10M candidate
-    * pairs to the survivor list — unhinted joins, so AQE broadcasts
-    * whichever side is tiny at runtime (the pair list here; on a 100 TB
-    * corpus whose norm table outgrows broadcast the survivor side still
-    * is the small one). */
-  private def cosinePairsFrom(idx: DataFrame, minShared: Int): DataFrame = {
+    * blocked self-join's groupBy keys are the two doc ids ALONE, and the
+    * norms join in after the `shared >= minShared` filter has cut the
+    * candidate pairs to the survivor list — unhinted joins, so AQE
+    * broadcasts whichever side is tiny at runtime (the pair list here;
+    * on a 100 TB corpus whose norm table outgrows broadcast the survivor
+    * side still is the small one).
+    *
+    * Block-pair generation (exactly-once): blocks are contiguous doc_id
+    * ranges within a term, so a < b implies block(a) ≤ block(b); the
+    * a-side replicates each row FORWARD to (blk, j) for j in
+    * [blk, k−1], the b-side BACKWARD to (i, blk) for i in [0, blk], and
+    * the equi-join on (term, i, j) meets every pair in exactly one
+    * block pair, with `doc_a < doc_b` resolving the diagonal.
+    *
+    * `salted = false` (the caller measured max df ≤ [[CosineBlockSize]])
+    * keeps the plain single-exchange term join — the blocked variant is
+    * result-identical but pays a term-partitioned window + row
+    * replication that buys nothing when no posting list can overflow a
+    * task. The gate is operator-side adaptivity from the SAME one-row
+    * stats agg that sizes the shuffle: statistics that Catalyst/AQE do
+    * not collect (per-key join fan-out), applied where they decide the
+    * physical shape. */
+  private def cosinePairsFrom(idx: DataFrame, minShared: Int,
+      salted: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val norms = cosineNorms(idx)
-    idx.as("a").join(idx.as("b"),
-        col("a.term") === col("b.term") &&
+    val (aSide, bSide) =
+      if (!salted) (idx, idx)
+      else {
+        val c = CosineBlockSize
+        val byTerm = Window.partitionBy(col("term"))
+        val blocked = idx
+          .withColumn("blk",
+            ((row_number().over(byTerm.orderBy(col("doc_id"))) - 1) / c)
+              .cast("int"))
+          .withColumn("k",
+            ceil(count(lit(1)).over(byTerm) / lit(c.toDouble)).cast("int"))
+        (blocked
+          .withColumn("j", explode(sequence(col("blk"), col("k") - 1)))
+          .select(col("doc_id"), col("term"), col("w"), col("blk").as("i"),
+            col("j")),
+          blocked
+            .withColumn("i", explode(sequence(lit(0), col("blk"))))
+            .select(col("doc_id"), col("term"), col("w"), col("i"),
+              col("blk").as("j")))
+      }
+    val blockKeys =
+      if (!salted) lit(true)
+      else col("a.i") === col("b.i") && col("a.j") === col("b.j")
+    aSide.as("a").join(bSide.as("b"),
+        col("a.term") === col("b.term") && blockKeys &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"),
@@ -1392,24 +1456,31 @@ object TextOps {
     * with far too few tasks once the corpus grows: the sf1 rehearsal ran
     * 3.1 B joined rows through 32 tasks, each falling out of hash
     * aggregation into giant spilling sorts (871 s; the executor OOMed
-    * outright under an instrumented rerun). 8 M rows ≈ a few hundred MB
-    * of agg state per task — comfortably hash-resident. Measured at sf1:
-    * 757.7 s and no OOM — the sizing removes the spill/OOM fragility;
-    * the remaining wall is the Σdf² expansion itself, which the prefix
-    * filter below attacks. */
-  private val CosineJoinRowsPerTask = 8L * 1000 * 1000
+    * outright under an instrumented rerun). The rows-per-task target is
+    * set by the AGG STATE a task holds, not raw row throughput: this
+    * corpus pairs are near-unique in the expansion (sf1: ~2.5 expansion
+    * rows per distinct (doc_a, doc_b)), so 8 M rows/task ≈ 3 M agg keys
+    * ≈ 180 MB of hash-map state — measured to fall out of hash
+    * aggregation into sort+spill under 32 concurrent tasks on the 8 g
+    * harness (757.7 s at sf1). 2 M rows/task ≈ 45 MB keeps every task's
+    * map hash-resident; at sf0.1 the quotient stays ≈ cores, so small
+    * corpora are unaffected. */
+  private val CosineJoinRowsPerTask = 2L * 1000 * 1000
 
   def textCosinePairs(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
     val w = cosineIndex(spark, dir, dfCapFrac)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Σdf² — the EXACT pair-expansion row count — from one cheap agg over
-    // the index (this narrow job also fills the cache before the heavy
-    // join reads it). Sizing the expansion from it is the operator-side
-    // twin of AQE: runtime stats, but for join OUTPUT, which AQE's
-    // map-output-bytes heuristics structurally under-estimate.
-    val sumDf2 = w.groupBy("term").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df"))).first.getLong(0)
+    // Σdf² (the EXACT pair-expansion row count) and max(df) (the skew
+    // gate) from one cheap one-row agg over the index — this narrow job
+    // also fills the cache before the heavy join reads it. Sizing and
+    // shaping the expansion from them is the operator-side twin of AQE:
+    // runtime stats, but for join OUTPUT fan-out, which AQE's
+    // map-output-bytes heuristics structurally cannot see.
+    val stats = w.groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")), max(col("df"))).first()
+    val sumDf2 = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val maxDf = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val cores = spark.sparkContext.defaultParallelism
     val joinParts = math.min(math.max(
       (sumDf2 / CosineJoinRowsPerTask).toInt + 1, cores), 4096)
@@ -1425,7 +1496,8 @@ object TextOps {
     val prev = spark.conf.get(key)
     val out = try {
       spark.conf.set(key, joinParts.toString)
-      Engine.eagerCheckpoint(cosinePairsFrom(w, minShared))
+      Engine.eagerCheckpoint(
+        cosinePairsFrom(w, minShared, salted = maxDf > CosineBlockSize))
     } finally spark.conf.set(key, prev)
     w.unpersist(true)
     out
@@ -1433,10 +1505,19 @@ object TextOps {
 
   /** Un-materialized twin of [[textCosinePairs]] for plan inspection —
     * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
-    * (identical builder, no caching). */
+    * (identical builder, no caching). `salted` selects the join shape
+    * directly (the shipped op derives it from measured max df). */
   private[graft] def textCosinePairsLazy(spark: SparkSession, dir: String,
-      minShared: Int = 10, dfCapFrac: Int = 5): DataFrame =
-    cosinePairsFrom(cosineIndex(spark, dir, dfCapFrac), minShared)
+      minShared: Int = 10, dfCapFrac: Int = 5,
+      salted: Boolean = false): DataFrame =
+    cosinePairsFrom(cosineIndex(spark, dir, dfCapFrac), minShared, salted)
+
+  /** [[textCosinePairs]] over any (doc_id, text) relation with an
+    * explicit join shape — the spec surface for pinning that the salted
+    * block join is result-identical to the plain term join. */
+  private[graft] def textCosinePairsOf(docs: DataFrame, minShared: Int,
+      dfCapFrac: Int, salted: Boolean): DataFrame =
+    cosinePairsFrom(cosineIndexOf(docs, dfCapFrac), minShared, salted)
 
   /** Sequence packing — the concat-and-chunk assignment of documents to
     * fixed-length training sequences (GPT-style pretraining batches):

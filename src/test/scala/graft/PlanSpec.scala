@@ -281,6 +281,17 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 8, s)
   }
 
+  test("cosine pairs: the salted block join stays equi-keyed — no cartesian, blocks ride the join key") {
+    val s = planString(graft.operators.TextOps.textCosinePairsLazy(spark, dir,
+      salted = true))
+    // the salt must widen the JOIN KEY (term, i, j), never degrade the
+    // join to a cartesian with a block residual (a tiny corpus may
+    // legitimately broadcast one side — still equi-keyed)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
+
   test("q19: the brand/size disjunction pushes into the part scan") {
     val s = planString(StarOps.q19Disjunct(spark, dir))
     // the OR-of-conjunctions must reach PushedFilters as an Or — a

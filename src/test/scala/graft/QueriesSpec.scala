@@ -450,6 +450,44 @@ class QueriesSpec extends SparkSpec {
       s"unexpected containment set: $rows")
   }
 
+  test("cosine pairs: salted block join is result-identical to the plain term join across a multi-block posting list") {
+    import spark.implicits._
+    // 6000 docs; "a b" lands in 1200 of them — df = 1200 survives the
+    // n/5 = 1200 cap at the boundary AND exceeds CosineBlockSize (1024),
+    // so the salted path cuts its posting list into k = 2 blocks. The 50
+    // qualifying docs ("a b c d": shared = 3 ≥ 2) straddle the block
+    // boundary (25 in docs 1–25 → blk 0; 25 in 1150–1174 → blk 1), so
+    // qualifying pairs accumulate terms from MIXED block pairs: "a b"
+    // matches in (0,0)/(0,1)/(1,1), "b c"/"c d" (df = 50, k = 1) in
+    // their single block — pinning exactly-once cross-block generation.
+    val docs = (1 to 6000).map { i =>
+      val text =
+        if (i <= 25 || (i >= 1150 && i < 1175)) "a b c d"
+        else if (i <= 1200) "a b"
+        else s"u$i v$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def run(salted: Boolean) =
+      TextOps.textCosinePairsOf(docs, minShared = 2, dfCapFrac = 5,
+        salted = salted)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    val plain = run(salted = false)
+    val blocked = run(salted = true)
+    assert(plain.size === 1225, s"expected C(50,2) pairs, got ${plain.size}")
+    assert(blocked.keySet === plain.keySet)
+    plain.foreach { case (k, (sh, cos)) =>
+      assert(blocked(k)._1 === sh, s"shared diverged at $k")
+      // both sides round to 6 dp; the fold ORDER may differ between the
+      // join shapes, so allow the last ulp of the rounded grid
+      assert(math.abs(blocked(k)._2 - cos) <= 1e-6, s"cosine diverged at $k")
+    }
+    plain.values.foreach { case (sh, cos) =>
+      assert(sh === 3L); assert(math.abs(cos - 1.0) <= 1e-6)
+    }
+  }
+
   test("mm perceptual near-dup: identical payloads pair at distance 0, dissimilar profiles verify out") {
     import spark.implicits._
     val body = ("the quick brown fox jumps over the lazy dog " * 20).trim
