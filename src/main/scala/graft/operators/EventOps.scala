@@ -19,12 +19,24 @@ object EventOps {
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-      // rejects; read nanos as long and floor-divide to micros — exactly the
-      // truncation DuckDB applies reading the same file (ns → µs).
+      // events.parquet has shipped with two physical layouts for ts —
+      // INT64 TIMESTAMP(NANOS) (earlier drops; Spark reads it as long
+      // under the legacy conf, floor-divided to micros exactly like
+      // DuckDB's ns → µs truncation) and TIMESTAMP(MICROS, naive)
+      // (current drops; inferred TIMESTAMP_NTZ). Adapt on the MEASURED
+      // column type so both layouts surface the identical session-TZ
+      // (UTC) timestamp the oracle sees.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // naive wall time == UTC instant under the fixed UTC session TZ
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
