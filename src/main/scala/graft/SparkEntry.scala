@@ -110,6 +110,9 @@ object SparkEntry {
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
+    "dedup_incremental_contained" ->
+      ((s, d) => TextOps.dedupIncremental(s, d, containment = true)),
+    "dedup_report" -> ((s, d) => TextOps.dedupReport(s, d)),
     "dedup_substring_spans" -> ((s, d) => TextOps.dedupSubstringSpans(s, d)),
     "dedup_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
@@ -274,6 +277,27 @@ object SparkEntry {
   private val ngramPairCond = jaccardCondSql(
     "len(list_intersect(a.sh, b.sh))",
     "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))")
+
+  /** The incremental-dedup CTE chain (fresh/seen split, exact md5 match,
+    * band-collision candidates, exact-Jaccard verify), shared verbatim by
+    * the dedup_incremental and dedup_incremental_contained oracles so the
+    * two modalities' baseline verdicts can never drift. */
+  private lazy val incrementalCtes: String =
+    s"""sig AS ($minhashSql), """ +
+      """d0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), """ +
+      s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d0 WHERE len(w) >= 3), """ +
+      s"""f AS (SELECT doc_id, text FROM d0 WHERE doc_id >= $incSplit), """ +
+      s"""sn AS (SELECT doc_id, text FROM d0 WHERE doc_id < $incSplit), """ +
+      """ex AS (SELECT f.doc_id, min(sn.doc_id) AS dup_exact FROM f """ +
+      """JOIN sn ON md5(f.text) = md5(sn.text) GROUP BY f.doc_id), """ +
+      """cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS seen_id """ +
+      s"""FROM sig a JOIN sig b ON a.doc_id >= $incSplit AND b.doc_id < $incSplit """ +
+      """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))), """ +
+      """nr AS (SELECT c.doc_id, min(c.seen_id) AS dup_near """ +
+      """FROM cand c JOIN s sa ON c.doc_id = sa.doc_id JOIN s sb ON c.seen_id = sb.doc_id """ +
+      s"""WHERE ${jaccardCondSql("len(list_intersect(sa.sh, sb.sh))",
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")} """ +
+      """GROUP BY c.doc_id)"""
 
   private def simhashSql: String = {
     val bitSums = (0 until 16).map(j =>
@@ -854,6 +878,41 @@ object SparkEntry {
         """UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) """ +
         """SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_rep """ +
         """FROM reach GROUP BY src"""),
+    "dedup_report" ->
+      // cross-modality union: each modality CTE replays its own oracle
+      // (the containment subquery carries the dedup_containment WITH
+      // block — DuckDB scopes subquery CTEs locally), keys = union of
+      // flagged pairs, evidence NULL where a modality did not fire
+      (s"""WITH $ngramPairCtes, """ +
+        """exq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a """ +
+        """JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id), """ +
+        """jq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
+        """CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / """ +
+        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp """ +
+        s"""FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $ngramPairCond), """ +
+        s"""sq AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, """ +
+        """CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming """ +
+        s"""FROM ($simhashSigSql) sa JOIN ($simhashSigSql) sb ON sa.doc_id < sb.doc_id """ +
+        """WHERE bit_count(xor(sa.sig, sb.sig)) <= 3), """ +
+        s"""cq AS (SELECT * FROM ($dedupContainmentSql) c), """ +
+        """cab AS (SELECT doc_a, doc_b, containment_bp FROM cq WHERE doc_a < doc_b), """ +
+        """cba AS (SELECT doc_b AS doc_a, doc_a AS doc_b, containment_bp FROM cq WHERE doc_a > doc_b), """ +
+        """keys AS (SELECT doc_a, doc_b FROM exq UNION SELECT doc_a, doc_b FROM jq """ +
+        """UNION SELECT doc_a, doc_b FROM sq UNION SELECT doc_a, doc_b FROM cab """ +
+        """UNION SELECT doc_a, doc_b FROM cba) """ +
+        """SELECT k.doc_a, k.doc_b, (e.doc_a IS NOT NULL) AS is_exact, """ +
+        """j.jaccard_bp, q.hamming AS simhash_hamming, """ +
+        """ca.containment_bp AS contained_ab_bp, cb.containment_bp AS contained_ba_bp, """ +
+        """CAST(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END """ +
+        """+ CASE WHEN j.jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
+        """+ CASE WHEN q.hamming IS NOT NULL THEN 1 ELSE 0 END """ +
+        """+ CASE WHEN ca.containment_bp IS NOT NULL OR cb.containment_bp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_modalities """ +
+        """FROM keys k """ +
+        """LEFT JOIN exq e ON k.doc_a = e.doc_a AND k.doc_b = e.doc_b """ +
+        """LEFT JOIN jq j ON k.doc_a = j.doc_a AND k.doc_b = j.doc_b """ +
+        """LEFT JOIN sq q ON k.doc_a = q.doc_a AND k.doc_b = q.doc_b """ +
+        """LEFT JOIN cab ca ON k.doc_a = ca.doc_a AND k.doc_b = ca.doc_b """ +
+        """LEFT JOIN cba cb ON k.doc_a = cb.doc_a AND k.doc_b = cb.doc_b"""),
     "dedup_minhash_sig" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
@@ -870,21 +929,7 @@ object SparkEntry {
       // md5 match OR band collision + exact-Jaccard verify, dup_of = min
       // seen id across both; the CASE mirrors the Spark when-chain
       // (DuckDB least() NULL semantics are never relied on)
-      (s"""WITH sig AS ($minhashSql), """ +
-        """d0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), """ +
-        s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d0 WHERE len(w) >= 3), """ +
-        s"""f AS (SELECT doc_id, text FROM d0 WHERE doc_id >= $incSplit), """ +
-        s"""sn AS (SELECT doc_id, text FROM d0 WHERE doc_id < $incSplit), """ +
-        """ex AS (SELECT f.doc_id, min(sn.doc_id) AS dup_exact FROM f """ +
-        """JOIN sn ON md5(f.text) = md5(sn.text) GROUP BY f.doc_id), """ +
-        """cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS seen_id """ +
-        s"""FROM sig a JOIN sig b ON a.doc_id >= $incSplit AND b.doc_id < $incSplit """ +
-        """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))), """ +
-        """nr AS (SELECT c.doc_id, min(c.seen_id) AS dup_near """ +
-        """FROM cand c JOIN s sa ON c.doc_id = sa.doc_id JOIN s sb ON c.seen_id = sb.doc_id """ +
-        s"""WHERE ${jaccardCondSql("len(list_intersect(sa.sh, sb.sh))",
-          "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")} """ +
-        """GROUP BY c.doc_id) """ +
+      (s"""WITH $incrementalCtes """ +
         """SELECT f.doc_id, """ +
         """CASE WHEN e.dup_exact IS NULL THEN n.dup_near """ +
         """WHEN n.dup_near IS NULL THEN e.dup_exact """ +
@@ -894,6 +939,33 @@ object SparkEntry {
         """WHEN e.dup_exact < n.dup_near THEN e.dup_exact ELSE n.dup_near END) IS NULL AS kept """ +
         """FROM f LEFT JOIN ex e ON f.doc_id = e.doc_id """ +
         """LEFT JOIN nr n ON f.doc_id = n.doc_id"""),
+    "dedup_incremental_contained" ->
+      // the incremental verdicts plus the quoted-inside modality: fresh
+      // windows (per-doc, uncapped — batching-invariant) against the
+      // frozen side's df-capped distinct-window sets; threshold is the
+      // dedupContainment integer rational; dup_of = min seen id across
+      // all three modalities (min aggregate over a VALUES list ignores
+      // NULLs, replaying Spark's least())
+      (s"""WITH $incrementalCtes, """ +
+        s"""sw AS (SELECT doc_id, md5(array_to_string(w[i:i+${TextOps.SpanSeedTokens - 1}], ' ')) AS h """ +
+        s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${TextOps.SpanSeedTokens - 2})) AS i """ +
+        s"""FROM d0 WHERE len(w) >= ${TextOps.SpanSeedTokens})), """ +
+        s"""snw AS (SELECT DISTINCT doc_id AS seen_id, h FROM sw WHERE doc_id < $incSplit AND h IN (""" +
+        s"""SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sw WHERE doc_id < $incSplit GROUP BY h) """ +
+        s"""WHERE nd <= ${TextOps.SpanDfCap})), """ +
+        s"""fw AS (SELECT DISTINCT doc_id, h FROM sw WHERE doc_id >= $incSplit), """ +
+        """fsz AS (SELECT doc_id, count(*) AS n_h FROM fw GROUP BY doc_id), """ +
+        """ctp AS (SELECT fw.doc_id, snw.seen_id, count(*) AS shared FROM fw JOIN snw USING (h) GROUP BY 1, 2), """ +
+        s"""ct AS (SELECT p.doc_id, min(p.seen_id) AS dup_contained FROM ctp p """ +
+        s"""JOIN fsz z ON p.doc_id = z.doc_id """ +
+        s"""WHERE p.shared * ${TextOps.ContainmentDen} >= z.n_h * ${TextOps.ContainmentNum} """ +
+        """GROUP BY p.doc_id) """ +
+        """SELECT f.doc_id, """ +
+        """(SELECT min(v) FROM (VALUES (e.dup_exact), (n.dup_near), (c.dup_contained)) t(v)) AS dup_of, """ +
+        """(SELECT min(v) FROM (VALUES (e.dup_exact), (n.dup_near), (c.dup_contained)) t(v)) IS NULL AS kept """ +
+        """FROM f LEFT JOIN ex e ON f.doc_id = e.doc_id """ +
+        """LEFT JOIN nr n ON f.doc_id = n.doc_id """ +
+        """LEFT JOIN ct c ON f.doc_id = c.doc_id"""),
     "dedup_lsh_pairs" ->
       // exact replay of the MinHash banding: candidates collide on band 0
       // (mh0, mh1) or band 1 (mh2, mh3) — pairwise equality is the string
@@ -1294,7 +1366,12 @@ object SparkEntry {
       """JOIN grid gb ON gb.doc_id = c.doc_b AND gb.k = ga.k """ +
       """JOIN tot ta ON ta.doc_id = c.doc_a JOIN tot tb ON tb.doc_id = c.doc_b """ +
       """GROUP BY 1, 2, 3, 4) """ +
-      s"""SELECT doc_a, doc_b, CAST((10000 * l1x) // (total_a * total_b) AS BIGINT) AS l1_bp """ +
-      s"""FROM l1 WHERE $denom * l1x <= total_a * total_b"""
+      // HUGEINT twins of the Spark side's DECIMAL(38,0) products (both
+      // overflow BIGINT for near-threshold multi-megabyte profiles); the
+      // zero-total guard matches the Spark-side degenerate-payload filter
+      s"""SELECT doc_a, doc_b, CAST((10000 * CAST(l1x AS HUGEINT)) // """ +
+      s"""(CAST(total_a AS HUGEINT) * total_b) AS BIGINT) AS l1_bp """ +
+      s"""FROM l1 WHERE $denom * CAST(l1x AS HUGEINT) <= """ +
+      s"""CAST(total_a AS HUGEINT) * total_b AND total_a > 0 AND total_b > 0"""
   }
 }

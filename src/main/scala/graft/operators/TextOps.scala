@@ -138,16 +138,24 @@ object TextOps {
       dir: String): DataFrame =
     spansFromIndex(spanIndexOf(tbl(spark, dir, "documents")))
 
-  /** Position-keyed seed-window inverted index, df-capped. */
-  private def spanIndexOf(docs: DataFrame): DataFrame = {
+  /** Every [[SpanSeedTokens]]-token window of each doc, position-keyed by
+    * the md5 of its joined text — per-doc only (no cross-doc dependency),
+    * so downstream uses that need batching invariance (the incremental
+    * containment check) can consume it per increment. */
+  private[graft] def spanWindows(docs: DataFrame): DataFrame = {
     val k = SpanSeedTokens
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("w")) - k), i =>
           struct((i + 1).cast("long").as("pos"),
             md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))).as("h")))).as("ph"))
       .select(col("doc_id"), col("ph.pos").as("pos"), col("ph.h").as("h"))
+  }
+
+  /** Position-keyed seed-window inverted index, df-capped. */
+  private def spanIndexOf(docs: DataFrame): DataFrame = {
+    val sh = spanWindows(docs)
     // df-cap: the aggregate and the join probe share the hash-by-h
     // exchange (AQE exchange reuse); eligible keys join back as a filter
     val eligible = sh.groupBy("h")
@@ -206,21 +214,37 @@ object TextOps {
     // materialization of the distinct window sets
     val sets = spanIndexOf(docs).select(col("doc_id"), col("h")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sets.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_h"))
-    val out = Engine.eagerCheckpoint(
-      sets.as("a").join(sets.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        // sizes is O(docs) rows of two longs — broadcast side at any scale
-        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .filter(col("shared") * ContainmentDen >= col("n_h") * ContainmentNum)
-        .select(col("doc_a"), col("doc_b"), col("shared"),
-          floor(lit(10000.0) * col("shared") / col("n_h")).cast("long")
-            .as("containment_bp")))
+    val out = Engine.eagerCheckpoint(containmentFromSets(sets))
     sets.unpersist(true)
     out
+  }
+
+  /** Un-materialized twin for plan inspection (PlanSpec/GoldenPlanSpec) —
+    * the same dataflow as [[dedupContainmentOf]] without the cache or the
+    * lineage-truncating checkpoint. */
+  private[graft] def dedupContainmentLazy(spark: SparkSession,
+      dir: String): DataFrame =
+    containmentFromSets(
+      spanIndexOf(tbl(spark, dir, "documents"))
+        .select(col("doc_id"), col("h")).distinct())
+
+  /** The containment pair dataflow over a (doc_id, h) distinct-window
+    * relation (possibly cached by the caller). */
+  private def containmentFromSets(sets: DataFrame): DataFrame = {
+    val sizes = sets.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_h"))
+    sets.as("a").join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      // sizes is O(docs) rows of two longs — left unhinted: AQE
+      // broadcasts it while it fits and degrades to a shuffled join on
+      // a corpus whose doc census outgrows the driver
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(col("shared") * ContainmentDen >= col("n_h") * ContainmentNum)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        floor(lit(10000.0) * col("shared") / col("n_h")).cast("long")
+          .as("containment_bp"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via PPJoin-style
@@ -233,18 +257,31 @@ object TextOps {
     * A size window (min ≥ t·max) prunes further; survivors are verified
     * EXACTLY via full-array intersection. Exact output, no recall loss. */
   def dedupNgramJaccard(spark: SparkSession, dir: String,
-      threshold: Double = DefaultNearDupThreshold): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    ngramJaccardImpl(spark, dir, threshold, eager = true)
+
+  /** Un-materialized twin for plan inspection (PlanSpec/GoldenPlanSpec) —
+    * the IDENTICAL dataflow (one parameterized builder, so the twin can
+    * never drift from the shipped op) without the caches or the
+    * lineage-truncating checkpoint. */
+  private[graft] def dedupNgramJaccardLazy(spark: SparkSession, dir: String,
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    ngramJaccardImpl(spark, dir, threshold, eager = false)
+
+  private def ngramJaccardImpl(spark: SparkSession, dir: String,
+      threshold: Double, eager: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted: the shingle arrays are reused by three plan subtrees
-    // (inverted index build + both sides of the verify join) — without the
-    // cache the shingling is recomputed each time. MEMORY_AND_DISK (not
-    // cache(): on a cluster, shingle relations can exceed executor memory)
-    // and explicitly unpersisted below once the small result materializes —
-    // nothing pinned outlives the query.
-    val docs = tbl(spark, dir, "documents")
+    // persisted (eager mode): the shingle arrays are reused by three plan
+    // subtrees (inverted index build + both sides of the verify join) —
+    // without the cache the shingling is recomputed each time.
+    // MEMORY_AND_DISK (not cache(): on a cluster, shingle relations can
+    // exceed executor memory) and explicitly unpersisted below once the
+    // small result materializes — nothing pinned outlives the query.
+    val docs0 = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs =
+      if (eager) docs0.persist(StorageLevel.MEMORY_AND_DISK) else docs0
     val inv = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
@@ -255,12 +292,13 @@ object TextOps {
     // smaller side and would drop unequal-size pairs — e.g. a 3-shingle
     // doc fully contained in a 6-shingle doc at exactly j = t.)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
-    val prefixes = inv.join(freq, "s")
+    val prefixes0 = inv.join(freq, "s")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("n_sh"), col("rk"), col("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefixes =
+      if (eager) prefixes0.persist(StorageLevel.MEMORY_AND_DISK) else prefixes0
     // positional filter (PPJoin): the shared prefix element at ranks
     // (ra, rb) caps the achievable overlap at min(na−ra, nb−rb)+1
     val reqOverlap =
@@ -313,10 +351,13 @@ object TextOps {
     // release never competes with the NEXT job for memory the way async
     // ContextCleaner reclamation does (measured as cross-query bench
     // pollution in rounds 1 and 2)
-    val out = Engine.eagerCheckpoint(result)
-    docs.unpersist(true)
-    prefixes.unpersist(true)
-    out
+    if (!eager) result
+    else {
+      val out = Engine.eagerCheckpoint(result)
+      docs.unpersist(true)
+      prefixes.unpersist(true)
+      out
+    }
   }
 
   /** Per-JVM registry of materialized near-dup pair graphs, keyed by
@@ -360,6 +401,56 @@ object TextOps {
   def dedupClusters(spark: SparkSession, dir: String,
       threshold: Double = DefaultNearDupThreshold): DataFrame =
     dedupClustersFromPairs(nearDupPairs(spark, dir, threshold))
+
+  /** Cross-modality dedup report — corpus-triage view unioning every
+    * pair-level duplicate verdict the library mines: exact text hash,
+    * n-gram Jaccard (≥ the library default), SimHash (Hamming ≤ 3),
+    * and directed verbatim containment folded onto the unordered pair
+    * (a→b and b→a as separate columns). One row per flagged pair with
+    * each modality's evidence (NULL where that modality did not fire)
+    * and a modality count — the "why is this pair a dup, and does more
+    * than one detector agree" question a dedup pipeline audit asks.
+    *
+    * Scale shape: every input is a bounded mined PAIR LIST (the
+    * survivor residue, orders of magnitude smaller than the corpus —
+    * jaccard via the memoized [[nearDupPairs]] graph), and the exact
+    * modality is a hash-equality self-join bounded by duplicate-group
+    * sizes; the report itself is full-outer joins of those small
+    * relations on the pair key — no corpus-scale work beyond the
+    * mining jobs it composes. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val ex = docs.as("a").join(docs.as("b"),
+        md5(col("a.text").cast("binary")) ===
+          md5(col("b.text").cast("binary")) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(true).as("exact_hit"))
+    val jac = nearDupPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+    val sh = simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("hamming").as("simhash_hamming"))
+    val ct = dedupContainment(spark, dir)
+    val cab = ct.filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("containment_bp").as("contained_ab_bp"))
+    val cba = ct.filter(col("doc_a") > col("doc_b"))
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("containment_bp").as("contained_ba_bp"))
+    val keys = Seq("doc_a", "doc_b")
+    ex.join(jac, keys, "full").join(sh, keys, "full")
+      .join(cab, keys, "full").join(cba, keys, "full")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("exact_hit"), lit(false)).as("is_exact"),
+        col("jaccard_bp"), col("simhash_hamming"),
+        col("contained_ab_bp"), col("contained_ba_bp"),
+        (when(coalesce(col("exact_hit"), lit(false)), 1).otherwise(0) +
+          when(col("jaccard_bp").isNotNull, 1).otherwise(0) +
+          when(col("simhash_hamming").isNotNull, 1).otherwise(0) +
+          when(col("contained_ab_bp").isNotNull ||
+            col("contained_ba_bp").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_modalities"))
+  }
 
   /** Edge-count threshold below which cluster resolution runs as a single
     * driver-side union-find instead of the iterative distributed loop. The
@@ -792,7 +883,9 @@ object TextOps {
     * (doc_id < splitId) and fresh — the testdata stand-in for two real
     * relations. */
   def dedupIncremental(spark: SparkSession, dir: String,
-      splitId: Long = DefaultIncrementalSplitId, threshold: Double = DefaultNearDupThreshold): DataFrame = {
+      splitId: Long = DefaultIncrementalSplitId,
+      threshold: Double = DefaultNearDupThreshold,
+      containment: Boolean = false): DataFrame = {
     // eager-job idiom (dedupNgramJaccard): each side feeds THREE plan
     // subtrees (md5 pass, band index, shingle verify) and Catalyst shares
     // no common subplans — persist both projections, materialize the
@@ -805,7 +898,8 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seen = docs.filter(col("doc_id") < splitId)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = Engine.eagerCheckpoint(dedupIncrementalOf(fresh, seen, threshold))
+    val out = Engine.eagerCheckpoint(
+      dedupIncrementalOf(fresh, seen, threshold, containment))
     fresh.unpersist(true)
     seen.unpersist(true)
     out
@@ -814,8 +908,9 @@ object TextOps {
   /** [[dedupIncremental]] over explicit (fresh, seen) relations — lazy:
     * callers owning the relations decide persistence. */
   def dedupIncrementalOf(fresh: DataFrame, seen: DataFrame,
-      threshold: Double = DefaultNearDupThreshold): DataFrame =
-    dedupIncrementalAgainst(fresh, seenIndexOf(seen), threshold)
+      threshold: Double = DefaultNearDupThreshold,
+      containment: Boolean = false): DataFrame =
+    dedupIncrementalAgainst(fresh, seenIndexOf(seen), threshold, containment)
 
   /** The frozen seen-corpus's three ingest-time artifacts — exact-hash
     * list, MinHash band index, shingle sets — as explicit relations. In
@@ -826,22 +921,29 @@ object TextOps {
     * streaming twin pins all three across micro-batches. Lifecycle is
     * caller-owned (same contract as [[dedupIncrementalOf]]'s relations). */
   final case class SeenIndex(hashes: DataFrame, buckets: DataFrame,
-      shingleSets: DataFrame) {
-    private def all = Seq(hashes, buckets, shingleSets)
+      shingleSets: DataFrame, spanSets: DataFrame) {
+    private def all = Seq(hashes, buckets, shingleSets, spanSets)
     def persist(): SeenIndex = {
       all.foreach(_.persist(StorageLevel.MEMORY_AND_DISK)); this
     }
     def unpersist(): Unit = all.foreach(_.unpersist(true))
   }
 
-  /** Build a [[SeenIndex]] from a (doc_id, text) corpus relation. */
+  /** Build a [[SeenIndex]] from a (doc_id, text) corpus relation.
+    * `spanSets` is the containment modality's frozen artifact: the same
+    * df-capped distinct-window sets [[dedupContainment]] builds (a hub
+    * window shared by > [[SpanDfCap]] seen docs is dropped AT THE INDEX,
+    * so a fresh doc's window can never fan out to more than cap
+    * candidates — the join stays bounded however large the corpus). */
   def seenIndexOf(seen: DataFrame): SeenIndex = SeenIndex(
     hashes = seen.select(md5(col("text").cast("binary")).as("h"),
       col("doc_id").as("seen_id")),
     buckets = bandBuckets(minhashSignaturesOf(seen))
       .select(col("bucket"), col("doc_id").as("seen_id")),
     shingleSets = seen.select(col("doc_id").as("seen_id"),
-      shingles(col("text")).as("sh_s")))
+      shingles(col("text")).as("sh_s")),
+    spanSets = spanIndexOf(seen.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("seen_id"), col("h")).distinct())
 
   /** [[dedupIncrementalOf]] against a prebuilt [[SeenIndex]] — the shape
     * every increment actually runs: fresh side derived from text, seen
@@ -849,7 +951,8 @@ object TextOps {
     * every join (broadcast/AQE-friendly); the index is only touched
     * bucket- and candidate-wise, never scanned per pair. */
   def dedupIncrementalAgainst(fresh: DataFrame, idx: SeenIndex,
-      threshold: Double = DefaultNearDupThreshold): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold,
+      containment: Boolean = false): DataFrame = {
     val exact = fresh
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .join(idx.hashes, "h")
@@ -866,12 +969,35 @@ object TextOps {
         size(array_union(col("sh_f"), col("sh_s"))).cast("long"))
       .filter(col("common").cast("double") / col("union_sz") >= threshold)
       .groupBy("doc_id").agg(min(col("seen_id")).as("dup_near"))
-    val dupOf = when(col("dup_exact").isNull, col("dup_near"))
-      .when(col("dup_near").isNull, col("dup_exact"))
-      .otherwise(least(col("dup_exact"), col("dup_near")))
-    fresh.select(col("doc_id"))
+    // Containment modality (opt-in): a fresh doc quoted verbatim inside a
+    // seen doc has Jaccard far below any near-dup threshold (its shingles
+    // are a sliver of the union) and sails through the two checks above.
+    // Verdict: |W(fresh) ∩ W(seen)| ≥ num/den · |W(fresh)| over distinct
+    // SpanSeedTokens-token windows — the directed dedupContainment
+    // predicate with the FRESH side as the contained one. The fresh side
+    // is per-doc only (no df cap, no cross-doc dependency), so verdicts
+    // are batching-invariant: candidates are bounded by the FROZEN
+    // index's df cap instead (each fresh window matches ≤ SpanDfCap seen
+    // docs). Integer threshold arithmetic — the oracle replays it
+    // bit-identically.
+    val contained = if (!containment) None else Some {
+      val fw = spanWindows(fresh.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("h")).distinct()
+      val sizes = fw.groupBy("doc_id").agg(count(lit(1)).as("n_h"))
+      fw.join(idx.spanSets, "h")
+        .groupBy(col("doc_id"), col("seen_id"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes, "doc_id")
+        .filter(col("shared") * ContainmentDen >= col("n_h") * ContainmentNum)
+        .groupBy("doc_id").agg(min(col("seen_id")).as("dup_contained"))
+    }
+    val verdictCols = Seq(col("dup_exact"), col("dup_near")) ++
+      (if (containment) Seq(col("dup_contained")) else Nil)
+    val dupOf = least(verdictCols: _*) // least() ignores nulls
+    val joined = fresh.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
+    contained.foldLeft(joined)((df, c) => df.join(c, Seq("doc_id"), "left"))
       .select(col("doc_id"), dupOf.as("dup_of"), dupOf.isNull.as("kept"))
   }
 
@@ -1467,57 +1593,247 @@ object TextOps {
     * corpora are unaffected. */
   private val CosineJoinRowsPerTask = 2L * 1000 * 1000
 
+  /** Bayardo/PPJoin-style prefix relation for the count-threshold pair
+    * miner: rank each doc's terms in the global rare-first canonical order
+    * (df, term); a pair sharing ≥ `minShared` terms MUST match within each
+    * side's first nt − minShared + 1 ranked terms (the standard prefix-
+    * filter lemma for overlap joins, same discipline as the ngram-Jaccard
+    * prefix above). Docs with fewer than `minShared` surviving terms get
+    * an empty prefix — they can never qualify. */
+  private def cosinePrefixes(idx: DataFrame, minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = idx.groupBy("term").agg(count(lit(1)).as("f"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("term"))
+    idx.join(freq, "term")
+      .withColumn("rk", row_number().over(byDoc))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <= col("nt") - minShared + 1)
+      .select(col("doc_id"), col("nt"), col("rk"), col("term"))
+  }
+
+  /** Prefix-filtered exact pair mining (Bayardo et al. All-Pairs, WWW '07 /
+    * PPJoin, WWW '08, adapted to the integer overlap threshold): candidates
+    * come from a prefix×prefix join with the positional filter
+    * (min(nt−rk)+1 ≥ minShared; sound for every qualifying pair's FIRST
+    * common term because the canonical order is global) and the PPJoin+
+    * suffix bound after the pair agg (survivor matches form an order-prefix
+    * of the common terms — positional failure is monotone in rank — so
+    * common ≤ cnt + min(na−max_ra, nb−max_rb)); survivors are verified
+    * EXACTLY by re-joining both full posting lists. Result-identical to
+    * [[cosinePairsFrom]] (QueriesSpec pins it).
+    *
+    * REGIME: this pays on Zipfian vocabularies, where the prefix excludes
+    * each doc's hottest terms and collapses the df² expansion of the head.
+    * On a FLAT df distribution it does not: measured on this corpus at
+    * sf0.1 (931 surviving terms, df ≈ 275 everywhere), the prefix cuts
+    * Σdf² only 73.2 M → 55.1 M while candidates (8.7 M) over-generate the
+    * 296 k true pairs 30×, and the verify re-expansion costs more than the
+    * saved join — which is why the shipped gate in [[textCosinePairs]]
+    * picks it only when the measured prefix reduction clears
+    * [[PrefixPayoffFactor]], and a dense bounded vocabulary routes to the
+    * block kernel instead. */
+  private def cosinePairsPrefixFrom(idx: DataFrame, minShared: Int,
+      prefixes: DataFrame): DataFrame = {
+    val norms = cosineNorms(idx)
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nt") - col("a.rk"), col("b.nt") - col("b.rk")) + 1
+            >= minShared)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.rk")).as("mra"), max(col("b.rk")).as("mrb"),
+        max(col("a.nt")).as("na"), max(col("b.nt")).as("nb"))
+      .filter(col("cnt") +
+        least(col("na") - col("mra"), col("nb") - col("mrb")) >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+    cand.join(idx.as("ia"), col("doc_a") === col("ia.doc_id"))
+      .join(idx.as("ib"),
+        col("doc_b") === col("ib.doc_id") && col("ia.term") === col("ib.term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"), sum(col("ia.w") * col("ib.w")).as("dotp"))
+      .filter(col("shared") >= minShared)
+      .join(norms.select(col("doc_id"), col("nrm").as("nrm_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(norms.select(col("doc_id"), col("nrm").as("nrm_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("dotp") / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+  }
+
+  /** Dense-corpus block kernel (see [[graft.functions.CosineBlockPairsExpr]]
+    * for the full rationale): docs fold to `(doc_id, sorted dense term ids,
+    * aligned weights, norm)` structs, structs group into `nBlocks` hash
+    * blocks, the B(B+1)/2 block pairs enumerate via a tiny self-join, and
+    * one kernel evaluation per block pair emits only qualifying pairs —
+    * NO pair-keyed exchange anywhere, vs the Σdf² expansion shuffle of the
+    * inverted-index shapes (3.1 B rows / 768.5 s at sf1). Shuffled bytes =
+    * B × index bytes (each block meets every other once) — the honest
+    * floor for a Θ(n²)-output modality. The round-robin repartition spreads
+    * the block pairs evenly (the blk ≤ blk self-join is triangular — left-
+    * partition parallelism alone would idle half the cluster).
+    *
+    * The single-partition vocab window is bounded by construction: the
+    * kernel gate admits only vocab ≤ [[KernelVocabCap]] rows. */
+  private def cosinePairsKernelFrom(idx: DataFrame, minShared: Int,
+      nBlocks: Int, vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    val vocab = idx.groupBy("term").agg(count(lit(1)).as("f"))
+      .withColumn("tid",
+        (row_number().over(Window.orderBy(col("f"), col("term"))) - 1)
+          .cast("int"))
+      .select(col("term"), col("tid"))
+    val docs = idx.join(broadcast(vocab), "term")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tid"), col("w")))).as("tw"),
+        sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .select(col("doc_id"), col("tw.tid").as("terms"), col("tw.w").as("ws"),
+        col("nrm"),
+        pmod(xxhash64(col("doc_id")), lit(nBlocks.toLong)).cast("int")
+          .as("blk"))
+    val blocks = docs.groupBy(col("blk"))
+      .agg(collect_list(
+        struct(col("doc_id"), col("terms"), col("ws"), col("nrm"))).as("docs"))
+    val pairParts = math.min(nBlocks * (nBlocks + 1) / 2, 4096)
+    val kernel = ColumnBridge.column(graft.functions.CosineBlockPairsExpr(
+      ColumnBridge.expression(col("x.docs")),
+      ColumnBridge.expression(col("y.docs")),
+      ColumnBridge.expression(col("x.blk") === col("y.blk")),
+      ColumnBridge.expression(lit(minShared)),
+      ColumnBridge.expression(lit(vocabSize))))
+    blocks.as("x").join(blocks.as("y"), col("x.blk") <= col("y.blk"))
+      .repartition(pairParts)
+      .select(explode(kernel).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.shared"),
+        col("p.cos_sim"))
+  }
+
+  /** Kernel-eligibility bounds. Vocab cap: dense term ids must index a
+    * per-doc bitset (V/8 bytes each — 8 KB at the cap) and the vocab-rank
+    * window runs single-partition over V rows. Block bytes: one block's
+    * doc structs (≈ 12 B per index row + 48 B per doc) must fit a task
+    * comfortably alongside its bitsets. Max blocks: total kernel shuffle
+    * is B × index bytes, so a corpus needing > 128 memory-sized blocks
+    * pays more in replication than the expansion shuffle it avoids — fall
+    * back to the inverted-index shapes. Gate factor: a shuffled+hash-
+    * aggregated expansion row costs upwards of an order more than an
+    * in-kernel popcount gate (measured: 3.1 B expansion rows = 768.5 s vs
+    * 1.25 B gates in tens of seconds at sf1), so the kernel wins whenever
+    * n²/2 gate work ≤ 8 × Σdf² expansion rows; a SPARSE corpus (tiny Σdf²
+    * against n²) correctly falls through to the expansion join. */
+  private val KernelVocabCap = 65536
+  private val KernelBlockBytes = 64L << 20
+  private val KernelMaxBlocks = 128
+  private val KernelGateFactor = 8L
+  /** Prefix filtering must cut the expansion ≥ 4× to cover its own costs
+    * (the per-doc ranking window, candidate agg, and the verify
+    * re-expansion of Σ_cand nt rows) — measured on the flat-df corpus the
+    * reduction is only 1.33× and the prefix path LOSES (scaladoc on
+    * [[cosinePairsPrefixFrom]]); on a Zipfian head it clears easily. */
+  private val PrefixPayoffFactor = 4L
+
   def textCosinePairs(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
     val w = cosineIndex(spark, dir, dfCapFrac)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Σdf² (the EXACT pair-expansion row count) and max(df) (the skew
-    // gate) from one cheap one-row agg over the index — this narrow job
-    // also fills the cache before the heavy join reads it. Sizing and
-    // shaping the expansion from them is the operator-side twin of AQE:
-    // runtime stats, but for join OUTPUT fan-out, which AQE's
+    // Σdf² (the EXACT pair-expansion row count), max(df) (the skew gate),
+    // vocabulary size and index rows (kernel eligibility) from one cheap
+    // one-row agg over the index — this narrow job also fills the cache
+    // before the heavy join reads it. Sizing and SHAPING the job from
+    // measured stats is the operator-side twin of AQE: runtime statistics,
+    // but for join OUTPUT fan-out and algorithm choice, which AQE's
     // map-output-bytes heuristics structurally cannot see.
     val stats = w.groupBy("term").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df")), max(col("df"))).first()
+      .agg(sum(col("df") * col("df")), max(col("df")), count(lit(1)),
+        sum(col("df"))).first()
     val sumDf2 = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val maxDf = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val vocabN = stats.getLong(2)
+    val idxRows = if (stats.isNullAt(3)) 0L else stats.getLong(3)
+    val nDocs = w.select("doc_id").distinct().count()
     val cores = spark.sparkContext.defaultParallelism
-    val joinParts = math.min(math.max(
-      (sumDf2 / CosineJoinRowsPerTask).toInt + 1, cores), 4096)
-    // eager job semantics: the self-join sides AND the norm derivation all
-    // read the SAME cached index materialization instead of executing the
-    // tokenize→tf→df pipeline three times; blocking unpersist as in
-    // dedupNgramJaccard. The shuffle-partition raise is scoped to THIS
-    // query's execution (set → run → restore): a session-wide raise was
-    // measured in round 7 to inflate every small shuffle in the run
-    // (9.4 s vs 1.5 s on this very query at sf0.1), while per-query AQE
-    // coalescing still shrinks any small stage back to advisory size.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val out = try {
-      spark.conf.set(key, joinParts.toString)
+    val gatePairs = nDocs * math.max(nDocs - 1, 0L) / 2
+    val bytesEst = idxRows * 12 + nDocs * 48
+    val bMem =
+      math.max(1, math.ceil(bytesEst.toDouble / KernelBlockBytes).toInt)
+    // enough block pairs for ~4 waves of tasks; tiny corpora keep blocks
+    // of ≥ 64 docs so per-evaluation overhead never dominates
+    val bPar = math.ceil((math.sqrt(8.0 * (4 * cores) + 1) - 1) / 2).toInt
+    val nBlocks = math.max(bMem,
+      math.min(bPar, math.ceil(nDocs / 64.0).toInt)).max(1)
+    val useKernel = vocabN > 0 && vocabN <= KernelVocabCap &&
+      bMem <= KernelMaxBlocks && gatePairs <= KernelGateFactor * sumDf2
+    // eager job semantics: every strategy reads the SAME cached index
+    // materialization instead of executing the tokenize→tf→df pipeline
+    // per subtree; blocking unpersist as in dedupNgramJaccard.
+    val out = if (useKernel) {
       Engine.eagerCheckpoint(
-        cosinePairsFrom(w, minShared, salted = maxDf > CosineBlockSize))
-    } finally spark.conf.set(key, prev)
+        cosinePairsKernelFrom(w, minShared, nBlocks, vocabN.toInt))
+    } else {
+      val prefixes = cosinePrefixes(w, minShared)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pStat = prefixes.groupBy("term").agg(count(lit(1)).as("pdf"))
+        .agg(sum(col("pdf") * col("pdf"))).first()
+      val sumPDf2 = if (pStat.isNullAt(0)) 0L else pStat.getLong(0)
+      val usePrefix = sumPDf2 * PrefixPayoffFactor <= sumDf2
+      // The shuffle-partition raise is scoped to THIS query's execution
+      // (set → run → restore): a session-wide raise was measured in round
+      // 7 to inflate every small shuffle in the run (9.4 s vs 1.5 s on
+      // this very query at sf0.1), while per-query AQE coalescing still
+      // shrinks any small stage back to advisory size.
+      val joinRows = if (usePrefix) sumPDf2 else sumDf2
+      val joinParts = math.min(math.max(
+        (joinRows / CosineJoinRowsPerTask).toInt + 1, cores), 4096)
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val r = try {
+        spark.conf.set(key, joinParts.toString)
+        Engine.eagerCheckpoint(
+          if (usePrefix) cosinePairsPrefixFrom(w, minShared, prefixes)
+          else cosinePairsFrom(w, minShared, salted = maxDf > CosineBlockSize))
+      } finally spark.conf.set(key, prev)
+      prefixes.unpersist(true)
+      r
+    }
     w.unpersist(true)
     out
   }
 
+  /** Strategy dispatch for the spec/plan surfaces. `kernel` runs a tiny
+    * vocab-count job to size the dense ids (the shipped op reuses its
+    * stats agg instead). */
+  private def cosinePairsStrategy(idx: DataFrame, minShared: Int,
+      strategy: String): DataFrame = strategy match {
+    case "plain" => cosinePairsFrom(idx, minShared, salted = false)
+    case "salted" => cosinePairsFrom(idx, minShared, salted = true)
+    case "prefix" =>
+      cosinePairsPrefixFrom(idx, minShared, cosinePrefixes(idx, minShared))
+    case "kernel" =>
+      val vocabN = idx.select("term").distinct().count().toInt
+      cosinePairsKernelFrom(idx, minShared, nBlocks = 8,
+        vocabSize = math.max(vocabN, 1))
+    case other => throw new IllegalArgumentException(
+      s"unknown cosine strategy: $other")
+  }
+
   /** Un-materialized twin of [[textCosinePairs]] for plan inspection —
     * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
-    * (identical builder, no caching). `salted` selects the join shape
-    * directly (the shipped op derives it from measured max df). */
+    * (identical builder, no caching). `strategy` selects the shape
+    * directly (plain | salted | prefix | kernel; the shipped op derives
+    * it from measured stats). */
   private[graft] def textCosinePairsLazy(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5,
-      salted: Boolean = false): DataFrame =
-    cosinePairsFrom(cosineIndex(spark, dir, dfCapFrac), minShared, salted)
+      strategy: String = "plain"): DataFrame =
+    cosinePairsStrategy(cosineIndex(spark, dir, dfCapFrac), minShared,
+      strategy)
 
   /** [[textCosinePairs]] over any (doc_id, text) relation with an
-    * explicit join shape — the spec surface for pinning that the salted
-    * block join is result-identical to the plain term join. */
+    * explicit strategy — the spec surface for pinning that the salted
+    * block join, the prefix-filtered shape, and the block kernel are all
+    * result-identical to the plain term join. */
   private[graft] def textCosinePairsOf(docs: DataFrame, minShared: Int,
-      dfCapFrac: Int, salted: Boolean): DataFrame =
-    cosinePairsFrom(cosineIndexOf(docs, dfCapFrac), minShared, salted)
+      dfCapFrac: Int, strategy: String): DataFrame =
+    cosinePairsStrategy(cosineIndexOf(docs, dfCapFrac), minShared, strategy)
 
   /** Sequence packing — the concat-and-chunk assignment of documents to
     * fixed-length training sequences (GPT-style pretraining batches):

@@ -42,6 +42,15 @@ class GoldenPlanSpec extends SparkSpec {
       .replaceAll("file:[^\\s\\],)]*", "PATH")    // absolute locations
       .replaceAll("\\[\\d+ paths\\]", "[N paths]")
       .replaceAll("\\(\\d+ paths\\)", "(N paths)")
+      // JVM lambda identities (typed Dataset ops print the closure
+      // object): class-load-order- and run-dependent
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+",
+        "\\$\\$Lambda\\$N")
+      // Catalyst higher-order-function variable names (x_N, y_N, ...)
+      // draw from a session-global counter (x_7 vs x_8 depending on how
+      // many lambdas the session has ever analyzed) — suite ordering
+      // must not matter
+      .replaceAll("\\b([a-z])_\\d+\\b", "$1_N")
       .linesIterator.map(_.stripTrailing()).mkString("\n").trim + "\n"
 
   private def planOf(df: DataFrame): String =
@@ -58,7 +67,32 @@ class GoldenPlanSpec extends SparkSpec {
     "lateral_topn" -> (() => ExtraOps.lateralTopN(spark, dir)),
     "asof_join_native" -> (() => ExtraOps.asofErrorSignupNative(spark, dir)),
     "text_tfidf" -> (() => TextOps.textTfidf(spark, dir)),
-    "sim_knn" -> (() => SimilarityOps.knnBruteForce(spark, dir)))
+    "sim_knn" -> (() => SimilarityOps.knnBruteForce(spark, dir)),
+    // mining family via the *Lazy twins (identical parameterized builders,
+    // no lineage-truncating checkpoint) — exactly the plans a refactor can
+    // silently pessimize: candidate-bounded joins, df caps, block shapes
+    "dedup_ngram_jaccard" -> (() => TextOps.dedupNgramJaccardLazy(spark, dir)),
+    "dedup_containment" -> (() => TextOps.dedupContainmentLazy(spark, dir)),
+    "mm_near_dup" ->
+      (() => graft.operators.Multimodal.perceptualNearDupLazy(spark, dir)),
+    "dedup_incremental" -> (() => {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      TextOps.dedupIncrementalOf(
+        docs.filter(col("doc_id") >= TextOps.DefaultIncrementalSplitId),
+        docs.filter(col("doc_id") < TextOps.DefaultIncrementalSplitId))
+    }),
+    // all four exact cosine shapes: the shipped op picks one from
+    // measured stats, so each shape needs its own pinned plan
+    "text_cosine_pairs_plain" ->
+      (() => TextOps.textCosinePairsLazy(spark, dir, strategy = "plain")),
+    "text_cosine_pairs_salted" ->
+      (() => TextOps.textCosinePairsLazy(spark, dir, strategy = "salted")),
+    "text_cosine_pairs_prefix" ->
+      (() => TextOps.textCosinePairsLazy(spark, dir, strategy = "prefix")),
+    "text_cosine_pairs_kernel" ->
+      (() => TextOps.textCosinePairsLazy(spark, dir, strategy = "kernel")))
 
   headline.foreach { case (name, build) =>
     test(s"golden plan: $name") {

@@ -283,7 +283,7 @@ class PlanSpec extends SparkSpec {
 
   test("cosine pairs: the salted block join stays equi-keyed — no cartesian, blocks ride the join key") {
     val s = planString(graft.operators.TextOps.textCosinePairsLazy(spark, dir,
-      salted = true))
+      strategy = "salted"))
     // the salt must widen the JOIN KEY (term, i, j), never degrade the
     // join to a cartesian with a block residual (a tiny corpus may
     // legitimately broadcast one side — still equi-keyed)

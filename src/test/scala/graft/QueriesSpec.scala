@@ -450,7 +450,7 @@ class QueriesSpec extends SparkSpec {
       s"unexpected containment set: $rows")
   }
 
-  test("cosine pairs: salted block join is result-identical to the plain term join across a multi-block posting list") {
+  test("cosine pairs: salted, prefix and kernel strategies are result-identical to the plain term join across a multi-block posting list") {
     import spark.implicits._
     // 6000 docs; "a b" lands in 1200 of them — df = 1200 survives the
     // n/5 = 1200 cap at the boundary AND exceeds CosineBlockSize (1024),
@@ -460,6 +460,11 @@ class QueriesSpec extends SparkSpec {
     // qualifying pairs accumulate terms from MIXED block pairs: "a b"
     // matches in (0,0)/(0,1)/(1,1), "b c"/"c d" (df = 50, k = 1) in
     // their single block — pinning exactly-once cross-block generation.
+    // The same fixture exercises the prefix filter (minShared = 2 →
+    // prefix = all but each doc's hottest term, so "a b" — the hottest —
+    // drops from every prefix and candidates come from "b c"/"c d"
+    // alone) and the block kernel (8 hash blocks over 6000 docs pin
+    // exactly-once diagonal + cross-block pairing).
     val docs = (1 to 6000).map { i =>
       val text =
         if (i <= 25 || (i >= 1150 && i < 1175)) "a b c d"
@@ -467,24 +472,53 @@ class QueriesSpec extends SparkSpec {
         else s"u$i v$i"
       (i.toLong, text)
     }.toDF("doc_id", "text")
-    def run(salted: Boolean) =
+    def run(strategy: String) =
       TextOps.textCosinePairsOf(docs, minShared = 2, dfCapFrac = 5,
-        salted = salted)
+        strategy = strategy)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
         .toMap
-    val plain = run(salted = false)
-    val blocked = run(salted = true)
+    val plain = run("plain")
     assert(plain.size === 1225, s"expected C(50,2) pairs, got ${plain.size}")
-    assert(blocked.keySet === plain.keySet)
-    plain.foreach { case (k, (sh, cos)) =>
-      assert(blocked(k)._1 === sh, s"shared diverged at $k")
-      // both sides round to 6 dp; the fold ORDER may differ between the
-      // join shapes, so allow the last ulp of the rounded grid
-      assert(math.abs(blocked(k)._2 - cos) <= 1e-6, s"cosine diverged at $k")
-    }
     plain.values.foreach { case (sh, cos) =>
       assert(sh === 3L); assert(math.abs(cos - 1.0) <= 1e-6)
+    }
+    for (strategy <- Seq("salted", "prefix", "kernel")) {
+      val alt = run(strategy)
+      assert(alt.keySet === plain.keySet, s"$strategy pair set diverged")
+      plain.foreach { case (k, (sh, cos)) =>
+        assert(alt(k)._1 === sh, s"$strategy: shared diverged at $k")
+        // all sides round to 6 dp; the fold ORDER may differ between the
+        // shapes, so allow the last ulp of the rounded grid
+        assert(math.abs(alt(k)._2 - cos) <= 1e-6,
+          s"$strategy: cosine diverged at $k")
+      }
+    }
+  }
+
+  test("cosine pairs: all four strategies agree pairwise on real documents (sf0.001)") {
+    // the synthetic fixture pins exactly-once pairing; this pins the
+    // strategies on the REAL corpus shape (flat dfs, multi-term overlaps,
+    // non-trivial tf) that the correctness driver hashes at sf0.01 —
+    // minShared = 3 so the tiny corpus yields a non-trivial pair set
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(strategy: String) =
+      TextOps.textCosinePairsOf(docs, minShared = 3, dfCapFrac = 5,
+        strategy = strategy)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    val plain = run("plain")
+    assert(plain.nonEmpty, "expected qualifying pairs at sf0.001")
+    for (strategy <- Seq("salted", "prefix", "kernel")) {
+      val alt = run(strategy)
+      assert(alt.keySet === plain.keySet, s"$strategy pair set diverged")
+      plain.foreach { case (k, (sh, cos)) =>
+        assert(alt(k)._1 === sh, s"$strategy: shared diverged at $k")
+        assert(math.abs(alt(k)._2 - cos) <= 1e-6,
+          s"$strategy: cosine diverged at $k")
+      }
     }
   }
 
