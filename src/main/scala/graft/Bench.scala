@@ -171,8 +171,11 @@ object Bench {
     // All samples per query (mirror file only): lets a future reader
     // adjudicate a single-sample spike (box-noise vs regression) from the
     // artifact alone, without re-running the query in isolation.
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would render unparseable JSON ([1,2345])
     val samplesJson = allRows.map { case (k, ss) =>
-      "\"" + k + "\":" + ss.map(s => f"$s%.4f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ss.map(s => String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(s))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errJson = errors.reverse.distinctBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

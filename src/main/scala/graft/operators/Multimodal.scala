@@ -234,6 +234,12 @@ object Multimodal {
           require(f.length == PerceptualDims,
             s"perceptual descriptor must be $PerceptualDims-dim, got ${f.length}")
           val cells = f.map(v => math.round(v.toDouble))
+          // enforce the decoder contract instead of trusting it: cells
+          // must stay below 2^24 (float round-trip exactness AND the
+          // long-safety bound of the verify's cell·total products —
+          // 2^24 · Σcells(≤ 2^30) = 2^54 per term, 2^60 summed)
+          cells.foreach(c => require(c >= 0 && c < (1L << 24),
+            s"perceptual cell out of contract [0, 2^24) for doc $id: $c"))
           val total = cells.sum
           var sig = 0L
           var k = 0
@@ -294,13 +300,24 @@ object Multimodal {
         col("a.cells").as("cells_a"), col("b.cells").as("cells_b"))
       // a pair colliding in several bands appears once
       .dropDuplicates("doc_a", "doc_b")
+      // a zero-total payload has no profile to normalize against —
+      // excluded on BOTH sides (the oracle carries the same guard), and
+      // this also removes the 0/0 basis-point division
+      .filter(col("total_a") > 0 && col("total_b") > 0)
+      // l1x is long-safe by the enforced decoder contract (≤ 2^60); the
+      // DOWNSTREAM products are not (l1x·denom up to 2^64, 10000·l1x up
+      // to 2^73 for near-threshold multi-megabyte profiles), so both run
+      // in DECIMAL(38,0) — exact integer math, ~2^126 headroom; the
+      // returned basis points still fit a BIGINT trivially
       .withColumn("l1x", aggregate(
         zip_with(col("cells_a"), col("cells_b"),
           (x, y) => abs(x * col("total_b") - y * col("total_a"))),
         lit(0L), (acc, v) => acc + v))
-      .filter(col("l1x") * lit(l1Denom) <= col("total_a") * col("total_b"))
+      .filter(col("l1x").cast("decimal(38,0)") * lit(l1Denom) <=
+        col("total_a").cast("decimal(38,0)") * col("total_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST((10000 * l1x) DIV (total_a * total_b) AS BIGINT)")
+        expr("CAST((10000 * CAST(l1x AS DECIMAL(38,0))) DIV " +
+          "(CAST(total_a AS DECIMAL(38,0)) * total_b) AS BIGINT)")
           .as("l1_bp"))
   }
 

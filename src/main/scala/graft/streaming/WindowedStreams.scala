@@ -705,19 +705,23 @@ object WindowedStreams {
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       threshold: Double = graft.operators.TextOps.DefaultNearDupThreshold,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      containment: Boolean = false): StreamingQuery = {
     val w = freshDocs.writeStream
       .queryName("graft-incremental-dedup")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // the increment feeds four subtrees (hash, band, shingle verify,
         // final left joins) with no common-subplan sharing — same
-        // persistence rationale as the batch op
+        // persistence rationale as the batch op. `containment` adds the
+        // quoted-inside modality (frozen spanSets artifact) — verdicts
+        // stay per-(fresh doc, frozen corpus), so batching invariance and
+        // restart semantics are unchanged.
         val fresh = batch.toDF().select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try sink(
           graft.operators.TextOps.dedupIncrementalAgainst(
-            fresh, seenIndex, threshold),
+            fresh, seenIndex, threshold, containment),
           batchId)
         finally fresh.unpersist(true)
       }

@@ -56,9 +56,15 @@ object ScaleGen {
     // fixed dimensions: straight copies
     Seq("region", "nation").foreach(t => write(t)(read(t)))
 
-    // key steps = source cardinalities (keys are 0-based dense)
-    def step(t: String, key: String): Long =
-      read(t).agg(max(col(key))).head().getLong(0) + 1L
+    // key steps = source cardinalities (keys are 0-based dense). Read the
+    // max through Number (any integral key type) and fail with the table/
+    // column named — an empty source yields a null max, and an opaque NPE
+    // here would point nowhere.
+    def step(t: String, key: String): Long = {
+      val m = read(t).agg(max(col(key))).head().getAs[Number](0)
+      require(m != null, s"ScaleGen: $t.parquet is empty ($key has no max)")
+      m.longValue() + 1L
+    }
 
     val oStep = step("orders", "o_orderkey")
     val cStep = step("customer", "c_custkey")

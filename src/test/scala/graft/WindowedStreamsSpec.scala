@@ -645,4 +645,73 @@ class WindowedStreamsSpec extends SparkSpec {
     assert(results.flatMap(_._2).toSet === batchTwin)
     idx.unpersist()
   }
+
+  test("incremental dedup stream with containment: quoted-inside dups are suppressed, restart resumes, batch parity holds") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextOps
+
+    // seen doc 1 is a 24-token passage; seen doc 2 is 7 tokens (below the
+    // 8-token window width — it contributes NO span windows, so matching
+    // it exercises the no-window fresh/seen edge through the left joins)
+    val seen = Seq(
+      (1L, (1 to 24).map(i => f"t$i%02d").mkString(" ")),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val idx = TextOps.seenIndexOf(seen).persist()
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Option[Long], Boolean)])]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      val rows = df.collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+      results.synchronized { results += ((id, rows)) }
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft-incctn").toString
+
+    // 201 quotes tokens 5..16 of seen doc 1 verbatim: all 5 of its 8-token
+    // windows are contained (containment = 1 ≥ 1/2) while its shingle
+    // Jaccard vs doc 1 is 10/22 ≈ 0.45 < 0.5 — the near-dup and exact
+    // modalities BOTH miss it. THE pin: without containment this doc
+    // passes unsuppressed (asserted on the batch twin below).
+    val inc1 = Seq(
+      FreshDoc(201L, (5 to 16).map(i => f"t$i%02d").mkString(" ")),
+      FreshDoc(202L, "novel unique distinct phrases nothing matching anything whatsoever"))
+    val src1 = MemoryStream[FreshDoc]
+    src1.addData(inc1: _*)
+    val q1 = WindowedStreams.dedupIncrementalStream(src1.toDF(), idx, cp, sink,
+      containment = true)
+    q1.awaitTermination()
+
+    // restart: NEW source replays increment 1 at the same offsets, adds
+    // increment 2 — the committed batch must NOT re-reach the sink
+    val inc2 = Seq(
+      FreshDoc(203L, (1 to 24).map(i => f"t$i%02d").mkString(" ")), // exact dup of 1
+      FreshDoc(204L, "one two three four five six seven")) // exact dup of 2, no windows
+    val src2 = MemoryStream[FreshDoc]
+    src2.addData(inc1: _*)
+    src2.addData(inc2: _*)
+    val q2 = WindowedStreams.dedupIncrementalStream(src2.toDF(), idx, cp, sink,
+      containment = true)
+    q2.awaitTermination()
+
+    assert(results.map(_._1).toSeq === Seq(0L, 1L), results)
+    val byDoc = results.flatMap(_._2).map(r => r._1 -> r).toMap
+    assert(byDoc(201L) === ((201L, Some(1L), false)), "containment verdict")
+    assert(byDoc(202L) === ((202L, None, true)))
+    assert(byDoc(203L) === ((203L, Some(1L), false)))
+    assert(byDoc(204L) === ((204L, Some(2L), false)), "windowless exact dup")
+    // batching-invariance: union of micro-batch outputs == one batch run
+    val allFresh = (inc1 ++ inc2).toDF()
+    val batchTwin = TextOps.dedupIncrementalOf(allFresh, seen,
+        containment = true)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+    assert(results.flatMap(_._2).toSet === batchTwin)
+    // and the un-extended op really does let the quoted-inside dup through
+    val without = TextOps.dedupIncrementalOf(allFresh, seen)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(without(201L) === true,
+      "quoted-inside dup must pass unsuppressed without the containment modality")
+    idx.unpersist()
+  }
 }
