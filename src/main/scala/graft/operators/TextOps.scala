@@ -1725,6 +1725,14 @@ object TextOps {
   private val KernelBlockBytes = 64L << 20
   private val KernelMaxBlocks = 128
   private val KernelGateFactor = 8L
+  /** Expansion-size floor for the kernel: below this many Σdf² rows the
+    * pair-keyed exchange fits comfortably in one shuffle round and the
+    * plain term join's single-job shape beats the kernel's fixed costs
+    * (vocab ranking, per-doc struct fold, block collect — measured at
+    * sf0.1: plain 3.9 s vs kernel 5.8 s on a 73 M-row expansion, while at
+    * sf1's 3.1 B rows the kernel wins 11×). The crossover sits well under
+    * 1 B rows; 256 M keeps a safety margin on the cheap side. */
+  private val KernelMinExpansion = 256L * 1000 * 1000
   /** Prefix filtering must cut the expansion ≥ 4× to cover its own costs
     * (the per-doc ranking window, candidate agg, and the verify
     * re-expansion of Σ_cand nt rows) — measured on the flat-df corpus the
@@ -1750,8 +1758,14 @@ object TextOps {
     val maxDf = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val vocabN = stats.getLong(2)
     val idxRows = if (stats.isNullAt(3)) 0L else stats.getLong(3)
-    val nDocs = w.select("doc_id").distinct().count()
     val cores = spark.sparkContext.defaultParallelism
+    // the doc census (one more narrow job on the cached index) is only
+    // needed to size/admit the kernel — skip it when the vocab cap or the
+    // expansion floor already rules the kernel out
+    val kernelCandidate =
+      vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
+    val nDocs =
+      if (kernelCandidate) w.select("doc_id").distinct().count() else 0L
     val gatePairs = nDocs * math.max(nDocs - 1, 0L) / 2
     val bytesEst = idxRows * 12 + nDocs * 48
     val bMem =
@@ -1761,8 +1775,8 @@ object TextOps {
     val bPar = math.ceil((math.sqrt(8.0 * (4 * cores) + 1) - 1) / 2).toInt
     val nBlocks = math.max(bMem,
       math.min(bPar, math.ceil(nDocs / 64.0).toInt)).max(1)
-    val useKernel = vocabN > 0 && vocabN <= KernelVocabCap &&
-      bMem <= KernelMaxBlocks && gatePairs <= KernelGateFactor * sumDf2
+    val useKernel = kernelCandidate && bMem <= KernelMaxBlocks &&
+      gatePairs <= KernelGateFactor * sumDf2
     // eager job semantics: every strategy reads the SAME cached index
     // materialization instead of executing the tokenize→tf→df pipeline
     // per subtree; blocking unpersist as in dedupNgramJaccard.
@@ -1770,12 +1784,21 @@ object TextOps {
       Engine.eagerCheckpoint(
         cosinePairsKernelFrom(w, minShared, nBlocks, vocabN.toInt))
     } else {
-      val prefixes = cosinePrefixes(w, minShared)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val pStat = prefixes.groupBy("term").agg(count(lit(1)).as("pdf"))
-        .agg(sum(col("pdf") * col("pdf"))).first()
-      val sumPDf2 = if (pStat.isNullAt(0)) 0L else pStat.getLong(0)
-      val usePrefix = sumPDf2 * PrefixPayoffFactor <= sumDf2
+      // Probe the prefix reduction only when the expansion is expensive
+      // enough for prefix filtering to matter (same floor as the kernel):
+      // the probe itself is a per-doc ranking window over the full index,
+      // real money on a corpus whose expansion was cheap anyway.
+      val prefixes =
+        if (sumDf2 < KernelMinExpansion) None
+        else Some(cosinePrefixes(w, minShared)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val sumPDf2 = prefixes.map { p =>
+        val pStat = p.groupBy("term").agg(count(lit(1)).as("pdf"))
+          .agg(sum(col("pdf") * col("pdf"))).first()
+        if (pStat.isNullAt(0)) 0L else pStat.getLong(0)
+      }.getOrElse(Long.MaxValue)
+      val usePrefix = prefixes.nonEmpty &&
+        sumPDf2 <= sumDf2 / PrefixPayoffFactor
       // The shuffle-partition raise is scoped to THIS query's execution
       // (set → run → restore): a session-wide raise was measured in round
       // 7 to inflate every small shuffle in the run (9.4 s vs 1.5 s on
@@ -1789,10 +1812,10 @@ object TextOps {
       val r = try {
         spark.conf.set(key, joinParts.toString)
         Engine.eagerCheckpoint(
-          if (usePrefix) cosinePairsPrefixFrom(w, minShared, prefixes)
+          if (usePrefix) cosinePairsPrefixFrom(w, minShared, prefixes.get)
           else cosinePairsFrom(w, minShared, salted = maxDf > CosineBlockSize))
       } finally spark.conf.set(key, prev)
-      prefixes.unpersist(true)
+      prefixes.foreach(_.unpersist(true))
       r
     }
     w.unpersist(true)

@@ -59,6 +59,31 @@ object IncrementalRehearsal {
         .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
       val incS = (System.nanoTime() - t1) / 1e9
 
+      // streaming twin: the same increment through
+      // dedupIncrementalStream in 5 micro-batches against the SAME
+      // pinned index — the production crawl-ingest cadence; per-batch
+      // cost must stay flat because every join is bucket/candidate-
+      // bounded on the frozen side
+      implicit val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
+      val rowsLocal = fresh.collect().map(r => (r.getLong(0), r.getString(1)))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](enc, spark)
+      rowsLocal.grouped(math.max(rowsLocal.length / 5, 1))
+        .foreach(g => src.addData(g.toSeq))
+      val seenCount = new java.util.concurrent.atomic.AtomicLong()
+      val cp = java.nio.file.Files.createTempDirectory("graft-increhcp").toString
+      val t2 = System.nanoTime()
+      val q = graft.streaming.WindowedStreams.dedupIncrementalStream(
+        src.toDF().toDF("doc_id", "text"), idx, cp,
+        (df, _) => seenCount.addAndGet(df.count()): Unit,
+        containment = true)
+      q.awaitTermination()
+      val streamS = (System.nanoTime() - t2) / 1e9
+      require(seenCount.get() == rowsLocal.length,
+        s"stream verdicts ${seenCount.get()} != increment ${rowsLocal.length}")
+
       // Locale.ROOT: JSON must stay parseable under comma-decimal locales
       def num(v: Double, p: String) =
         String.format(java.util.Locale.ROOT, p, Double.box(v))
@@ -68,6 +93,7 @@ object IncrementalRehearsal {
           rows.map { case (k, v) => s""""rows_$k":$v""" }.mkString(",") +
           s""","index_cached_mb":${num(cachedMb, "%.1f")},""" +
           s""""increment_s":${num(incS, "%.3f")},""" +
+          s""""stream_5batches_s":${num(streamS, "%.3f")},""" +
           s""""kept":${out.getOrElse(true, 0L)},""" +
           s""""dropped":${out.getOrElse(false, 0L)}}"""
       println(json)
