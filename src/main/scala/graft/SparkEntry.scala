@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_incremental_contained" ->
       ((s, d) => TextOps.dedupIncremental(s, d, containment = true)),
     "dedup_report" -> ((s, d) => TextOps.dedupReport(s, d)),
+    "dedup_cdc_chunks" -> ((s, d) => TextOps.dedupCdcChunks(s, d)),
     "dedup_substring_spans" -> ((s, d) => TextOps.dedupSubstringSpans(s, d)),
     "dedup_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
@@ -913,6 +914,29 @@ object SparkEntry {
         """LEFT JOIN sq q ON k.doc_a = q.doc_a AND k.doc_b = q.doc_b """ +
         """LEFT JOIN cab ca ON k.doc_a = ca.doc_a AND k.doc_b = ca.doc_b """ +
         """LEFT JOIN cba cb ON k.doc_a = cb.doc_a AND k.doc_b = cb.doc_b"""),
+    "dedup_cdc_chunks" ->
+      // content-defined chunking replay: rolling weakHash windows, cut at
+      // hash % mod == 0, chunk key = md5 of the in-order hash sequence,
+      // df-capped key join, exact integer Jaccard (same rendering
+      // discipline as dedup_ngram_jaccard)
+      (s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+        s"""p0 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${TextOps.CdcWindowTokens - 1}], ' ') AS ws """ +
+        s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${TextOps.CdcWindowTokens - 2})) AS i """ +
+        s"""FROM d WHERE len(w) >= ${TextOps.CdcWindowTokens})), """ +
+        s"""ph AS (SELECT doc_id, pos, ${weakHashSql("ws")} AS hv FROM p0), """ +
+        s"""ci AS (SELECT doc_id, pos, hv, sum(CASE WHEN hv % ${TextOps.CdcBoundaryMod} = 0 THEN 1 ELSE 0 END) """ +
+        """OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM ph), """ +
+        """cks AS (SELECT DISTINCT doc_id, md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY pos)) AS ck """ +
+        """FROM ci GROUP BY doc_id, chunk_id), """ +
+        s"""elig AS (SELECT ck FROM (SELECT ck, count(*) AS nd FROM cks GROUP BY ck) WHERE nd <= ${TextOps.CdcDfCap}), """ +
+        """sets AS (SELECT doc_id, ck FROM cks WHERE ck IN (SELECT ck FROM elig)), """ +
+        """sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id), """ +
+        """pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common_chunks """ +
+        """FROM sets a JOIN sets b ON a.ck = b.ck AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +
+        """SELECT doc_a, doc_b, CAST(common_chunks AS BIGINT) AS common_chunks, """ +
+        """CAST(floor(10000.0 * common_chunks / (za.n + zb.n - common_chunks)) AS BIGINT) AS jaccard_bp """ +
+        """FROM pr JOIN sz za ON pr.doc_a = za.doc_id JOIN sz zb ON pr.doc_b = zb.doc_id """ +
+        s"""WHERE ${jaccardCondSql("common_chunks", "(za.n + zb.n - common_chunks)")}"""),
     "dedup_minhash_sig" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->

@@ -184,6 +184,93 @@ object TextOps {
         col("span_tokens"))
   }
 
+  /** CDC (content-defined chunking) parameters, lockstep-rendered into
+    * the oracle: rolling-window width in tokens, the boundary modulus
+    * (hash % 16 == 0 → expected chunk length 16 window positions), and
+    * the chunk-key document-frequency cap (the [[SpanDfCap]] idiom —
+    * boilerplate chunks shared corpus-wide never explode the key join). */
+  val CdcWindowTokens: Int = 4
+  val CdcBoundaryMod: Long = 16L
+  val CdcDfCap: Long = 64L
+
+  /** Content-defined-chunking dedup — the insertion-robust document-level
+    * modality (CDC as in storage dedup / LBFS, re-expressed relationally):
+    * a rolling [[weakHash]] over every [[CdcWindowTokens]]-token window
+    * cuts a chunk wherever the hash ≡ 0 (mod [[CdcBoundaryMod]]), so an
+    * edit only re-keys the chunks it touches — boundaries RE-SYNCHRONIZE
+    * downstream of the edit (a position shift does not change the hash
+    * SEQUENCE, and the chunk key is the md5 of that sequence, not of
+    * positions). Pairs whose distinct-chunk-set Jaccard clears the
+    * library default are reported with exact integer threshold math.
+    *
+    * vs the other modalities: shingle Jaccard compares n-gram SETS (an
+    * insertion changes ~window-width shingles — robust but the index is
+    * one row per shingle); CDC compares ~16×-coarser chunk sets, so the
+    * inverted index is ~16× smaller — the 100 TB economics of this
+    * modality — at the cost of boundary-quantized resolution. Docs
+    * shorter than the window width have no chunks and never pair.
+    *
+    * Dataflow: per-doc window hashes → running boundary count (one
+    * doc-local window) → chunk key = md5 of the in-order hash sequence →
+    * df-capped key self-join → exact integer Jaccard on distinct-chunk
+    * counts. All shuffles are keyed (doc_id, then chunk key); candidates
+    * are bounded by the df cap exactly like [[dedupContainment]]. */
+  def dedupCdcChunks(spark: SparkSession, dir: String,
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    dedupCdcChunksOf(tbl(spark, dir, "documents"), threshold)
+
+  /** [[dedupCdcChunks]] over any (doc_id, text) relation. */
+  def dedupCdcChunksOf(docs: DataFrame,
+      threshold: Double = DefaultNearDupThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = CdcWindowTokens
+    val pos = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= wk)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (wk - 1)), i =>
+          struct(i.cast("long").as("pos"),
+            weakHash(concat_ws(" ", slice(col("w"), i, lit(wk))))
+              .as("hv")))).as("ph"))
+      .select(col("doc_id"), col("ph.pos").as("pos"), col("ph.hv").as("hv"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = pos
+      .withColumn("cut", when(pmod(col("hv"), lit(CdcBoundaryMod)) === 0, 1L)
+        .otherwise(0L))
+      .withColumn("chunk_id", sum(col("cut")).over(byDoc))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("hv")))).as("ph"))
+      .select(col("doc_id"),
+        md5(concat_ws("_",
+          transform(col("ph.hv"), h => h.cast("string"))).cast("binary"))
+          .as("ck"))
+      .distinct()
+    val eligible = chunks.groupBy("ck")
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= CdcDfCap).select("ck")
+    val sets = chunks.join(eligible, "ck")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ck"))
+    val out = Engine.eagerCheckpoint(
+      sets.as("a").join(sets.as("b"),
+          col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common_chunks"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_ck").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_ck").as("nb")),
+          "doc_b")
+        // same float-boundary discipline as the ngram threshold: exact at
+        // the dyadic default (union = na + nb - common)
+        .filter(col("common_chunks") >= lit(threshold) *
+          (col("na") + col("nb") - col("common_chunks")))
+        .select(col("doc_a"), col("doc_b"), col("common_chunks"),
+          floor(lit(10000.0) * col("common_chunks") /
+            (col("na") + col("nb") - col("common_chunks"))).cast("long")
+            .as("jaccard_bp")))
+    sets.unpersist(true)
+    out
+  }
+
   /** Verbatim-containment threshold as an exact rational (num/den): the
     * pair predicate multiplies through (`den·shared ≥ num·n_h`), so the
     * decision is pure integer arithmetic and the DuckDB oracle replays it

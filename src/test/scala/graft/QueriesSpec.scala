@@ -496,6 +496,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: a single mid-document insertion re-keys only the chunks it touches") {
+    import spark.implicits._
+    // 200-token doc → ~12 expected chunks (boundary every ~16 windows);
+    // doc 2 inserts ONE token mid-stream. CDC's defining property:
+    // boundaries re-synchronize after the edit (the hash SEQUENCE
+    // downstream is unchanged, and chunk keys hash content, not
+    // positions), so only the chunk(s) overlapping the edit change —
+    // the pair must clear the 0.5 Jaccard easily. A shingle-set index
+    // has the same robustness but at one row per TOKEN; the chunk index
+    // is ~16× coarser (asserted: far fewer chunks than windows).
+    val base = (1 to 200).map(i => s"tok${i * 7 % 101}")
+    val edited = (base.take(100) :+ "INSERTED") ++ base.drop(100)
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, edited.mkString(" ")),
+      (3L, (1 to 200).map(i => s"other${i * 13 % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.dedupCdcChunksOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Set((1L, 2L)),
+      s"expected exactly the edited pair, got ${rows.keySet}")
+    val (common, bp) = rows((1L, 2L))
+    assert(common >= 3, s"insertion destroyed chunk sharing: $common common")
+    assert(bp >= 5000, s"jaccard too low for a 1-token edit: $bp bp")
+  }
+
   test("cosine pairs: all four strategies agree pairwise on real documents (sf0.001)") {
     // the synthetic fixture pins exactly-once pairing; this pins the
     // strategies on the REAL corpus shape (flat dfs, multi-term overlaps,
