@@ -896,47 +896,29 @@ object SparkEntry {
         s"""FROM ($simhashSigSql) sa JOIN ($simhashSigSql) sb ON sa.doc_id < sb.doc_id """ +
         """WHERE bit_count(xor(sa.sig, sb.sig)) <= 3), """ +
         s"""cq AS (SELECT * FROM ($dedupContainmentSql) c), """ +
+        s"""dq AS (SELECT doc_a, doc_b, jaccard_bp AS cdc_jaccard_bp FROM ($dedupCdcChunksSql) z), """ +
         """cab AS (SELECT doc_a, doc_b, containment_bp FROM cq WHERE doc_a < doc_b), """ +
         """cba AS (SELECT doc_b AS doc_a, doc_a AS doc_b, containment_bp FROM cq WHERE doc_a > doc_b), """ +
         """keys AS (SELECT doc_a, doc_b FROM exq UNION SELECT doc_a, doc_b FROM jq """ +
-        """UNION SELECT doc_a, doc_b FROM sq UNION SELECT doc_a, doc_b FROM cab """ +
+        """UNION SELECT doc_a, doc_b FROM sq UNION SELECT doc_a, doc_b FROM dq """ +
+        """UNION SELECT doc_a, doc_b FROM cab """ +
         """UNION SELECT doc_a, doc_b FROM cba) """ +
         """SELECT k.doc_a, k.doc_b, (e.doc_a IS NOT NULL) AS is_exact, """ +
-        """j.jaccard_bp, q.hamming AS simhash_hamming, """ +
+        """j.jaccard_bp, q.hamming AS simhash_hamming, dd.cdc_jaccard_bp, """ +
         """ca.containment_bp AS contained_ab_bp, cb.containment_bp AS contained_ba_bp, """ +
         """CAST(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END """ +
         """+ CASE WHEN j.jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
         """+ CASE WHEN q.hamming IS NOT NULL THEN 1 ELSE 0 END """ +
+        """+ CASE WHEN dd.cdc_jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
         """+ CASE WHEN ca.containment_bp IS NOT NULL OR cb.containment_bp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_modalities """ +
         """FROM keys k """ +
         """LEFT JOIN exq e ON k.doc_a = e.doc_a AND k.doc_b = e.doc_b """ +
         """LEFT JOIN jq j ON k.doc_a = j.doc_a AND k.doc_b = j.doc_b """ +
         """LEFT JOIN sq q ON k.doc_a = q.doc_a AND k.doc_b = q.doc_b """ +
+        """LEFT JOIN dq dd ON k.doc_a = dd.doc_a AND k.doc_b = dd.doc_b """ +
         """LEFT JOIN cab ca ON k.doc_a = ca.doc_a AND k.doc_b = ca.doc_b """ +
         """LEFT JOIN cba cb ON k.doc_a = cb.doc_a AND k.doc_b = cb.doc_b"""),
-    "dedup_cdc_chunks" ->
-      // content-defined chunking replay: rolling weakHash windows, cut at
-      // hash % mod == 0, chunk key = md5 of the in-order hash sequence,
-      // df-capped key join, exact integer Jaccard (same rendering
-      // discipline as dedup_ngram_jaccard)
-      (s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
-        s"""p0 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${TextOps.CdcWindowTokens - 1}], ' ') AS ws """ +
-        s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${TextOps.CdcWindowTokens - 2})) AS i """ +
-        s"""FROM d WHERE len(w) >= ${TextOps.CdcWindowTokens})), """ +
-        s"""ph AS (SELECT doc_id, pos, ${weakHashSql("ws")} AS hv FROM p0), """ +
-        s"""ci AS (SELECT doc_id, pos, hv, sum(CASE WHEN hv % ${TextOps.CdcBoundaryMod} = 0 THEN 1 ELSE 0 END) """ +
-        """OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM ph), """ +
-        """cks AS (SELECT DISTINCT doc_id, md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY pos)) AS ck """ +
-        """FROM ci GROUP BY doc_id, chunk_id), """ +
-        s"""elig AS (SELECT ck FROM (SELECT ck, count(*) AS nd FROM cks GROUP BY ck) WHERE nd <= ${TextOps.CdcDfCap}), """ +
-        """sets AS (SELECT doc_id, ck FROM cks WHERE ck IN (SELECT ck FROM elig)), """ +
-        """sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id), """ +
-        """pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common_chunks """ +
-        """FROM sets a JOIN sets b ON a.ck = b.ck AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +
-        """SELECT doc_a, doc_b, CAST(common_chunks AS BIGINT) AS common_chunks, """ +
-        """CAST(floor(10000.0 * common_chunks / (za.n + zb.n - common_chunks)) AS BIGINT) AS jaccard_bp """ +
-        """FROM pr JOIN sz za ON pr.doc_a = za.doc_id JOIN sz zb ON pr.doc_b = zb.doc_id """ +
-        s"""WHERE ${jaccardCondSql("common_chunks", "(za.n + zb.n - common_chunks)")}"""),
+    "dedup_cdc_chunks" -> dedupCdcChunksSql,
     "dedup_minhash_sig" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
@@ -1319,6 +1301,31 @@ object SparkEntry {
       s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i FROM d WHERE len(w) >= $k)), """ +
       s"""elig AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h) WHERE ndocs <= $cap)"""
   }
+
+  /** Content-defined chunking replay: rolling weakHash windows, cut at
+    * hash % mod == 0, chunk key = md5 of the in-order hash sequence,
+    * df-capped key join, exact integer Jaccard (same rendering discipline
+    * as dedup_ngram_jaccard). Shared by the dedup_cdc_chunks oracle and
+    * the dedup_report composition. */
+  private lazy val dedupCdcChunksSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+      s"""p0 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${TextOps.CdcWindowTokens - 1}], ' ') AS ws """ +
+      s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${TextOps.CdcWindowTokens - 2})) AS i """ +
+      s"""FROM d WHERE len(w) >= ${TextOps.CdcWindowTokens})), """ +
+      s"""ph AS (SELECT doc_id, pos, ${weakHashSql("ws")} AS hv FROM p0), """ +
+      s"""ci AS (SELECT doc_id, pos, hv, sum(CASE WHEN hv % ${TextOps.CdcBoundaryMod} = 0 THEN 1 ELSE 0 END) """ +
+      """OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM ph), """ +
+      """cks AS (SELECT DISTINCT doc_id, md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY pos)) AS ck """ +
+      """FROM ci GROUP BY doc_id, chunk_id), """ +
+      s"""elig AS (SELECT ck FROM (SELECT ck, count(*) AS nd FROM cks GROUP BY ck) WHERE nd <= ${TextOps.CdcDfCap}), """ +
+      """sets AS (SELECT doc_id, ck FROM cks WHERE ck IN (SELECT ck FROM elig)), """ +
+      """sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id), """ +
+      """pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common_chunks """ +
+      """FROM sets a JOIN sets b ON a.ck = b.ck AND a.doc_id < b.doc_id GROUP BY 1, 2) """ +
+      """SELECT doc_a, doc_b, CAST(common_chunks AS BIGINT) AS common_chunks, """ +
+      """CAST(floor(10000.0 * common_chunks / (za.n + zb.n - common_chunks)) AS BIGINT) AS jaccard_bp """ +
+      """FROM pr JOIN sz za ON pr.doc_a = za.doc_id JOIN sz zb ON pr.doc_b = zb.doc_id """ +
+      s"""WHERE ${jaccardCondSql("common_chunks", "(za.n + zb.n - common_chunks)")}"""
 
   /** Directed verbatim-containment replay over the shared window index:
     * distinct surviving windows per doc, key self-join, exact-integer

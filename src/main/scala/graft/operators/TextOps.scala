@@ -492,11 +492,12 @@ object TextOps {
   /** Cross-modality dedup report — corpus-triage view unioning every
     * pair-level duplicate verdict the library mines: exact text hash,
     * n-gram Jaccard (≥ the library default), SimHash (Hamming ≤ 3),
-    * and directed verbatim containment folded onto the unordered pair
-    * (a→b and b→a as separate columns). One row per flagged pair with
-    * each modality's evidence (NULL where that modality did not fire)
-    * and a modality count — the "why is this pair a dup, and does more
-    * than one detector agree" question a dedup pipeline audit asks.
+    * CDC chunk Jaccard ([[dedupCdcChunks]]), and directed verbatim
+    * containment folded onto the unordered pair (a→b and b→a as separate
+    * columns). One row per flagged pair with each modality's evidence
+    * (NULL where that modality did not fire) and a modality count — the
+    * "why is this pair a dup, and does more than one detector agree"
+    * question a dedup pipeline audit asks.
     *
     * Scale shape: every input is a bounded mined PAIR LIST (the
     * survivor residue, orders of magnitude smaller than the corpus —
@@ -517,6 +518,9 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
     val sh = simhashPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("hamming").as("simhash_hamming"))
+    val cdc = dedupCdcChunks(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        col("jaccard_bp").as("cdc_jaccard_bp"))
     val ct = dedupContainment(spark, dir)
     val cab = ct.filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -526,14 +530,16 @@ object TextOps {
         col("containment_bp").as("contained_ba_bp"))
     val keys = Seq("doc_a", "doc_b")
     ex.join(jac, keys, "full").join(sh, keys, "full")
+      .join(cdc, keys, "full")
       .join(cab, keys, "full").join(cba, keys, "full")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("exact_hit"), lit(false)).as("is_exact"),
-        col("jaccard_bp"), col("simhash_hamming"),
+        col("jaccard_bp"), col("simhash_hamming"), col("cdc_jaccard_bp"),
         col("contained_ab_bp"), col("contained_ba_bp"),
         (when(coalesce(col("exact_hit"), lit(false)), 1).otherwise(0) +
           when(col("jaccard_bp").isNotNull, 1).otherwise(0) +
           when(col("simhash_hamming").isNotNull, 1).otherwise(0) +
+          when(col("cdc_jaccard_bp").isNotNull, 1).otherwise(0) +
           when(col("contained_ab_bp").isNotNull ||
             col("contained_ba_bp").isNotNull, 1).otherwise(0))
           .cast("long").as("n_modalities"))
