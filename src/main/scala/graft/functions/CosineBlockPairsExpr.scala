@@ -127,18 +127,37 @@ object CosineBlockPairsExpr {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Sorted-merge: shared count and Σ wa·wb over the term-id
-    * intersection, ascending-id fold order (deterministic). */
-  private def merge(ta: Array[Int], wa: Array[Double],
-      tb: Array[Int], wb: Array[Double]): (Int, Double) = {
-    var i = 0; var j = 0; var shared = 0; var dot = 0.0
+  /** Sorted-merge passes, split so the weight arithmetic runs only for
+    * gate survivors (~0.07 % of pairs at sf1) and every per-pair return
+    * is a primitive. The measured kernel cost at sf1 IS the count-merge
+    * walk itself — 1.25 B two-pointer passes over ~45-term arrays ≈ 30 s
+    * across 32 threads (a combined Tuple2[Int, Double] return measured
+    * within noise: the tuple is @specialized) — which is the arithmetic
+    * floor of merge mode; the bitset mode (dense vocab) gates cheaper
+    * but this corpus's scaled vocabulary (25.7 k terms at sf1) makes the
+    * per-pair bitset scan wider than the merge. Dot pass folds in
+    * ascending-id order (deterministic). */
+  private def mergeShared(ta: Array[Int], tb: Array[Int]): Int = {
+    var i = 0; var j = 0; var shared = 0
     while (i < ta.length && j < tb.length) {
       val d = ta(i) - tb(j)
-      if (d == 0) { shared += 1; dot += wa(i) * wb(j); i += 1; j += 1 }
+      if (d == 0) { shared += 1; i += 1; j += 1 }
       else if (d < 0) i += 1
       else j += 1
     }
-    (shared, dot)
+    shared
+  }
+
+  private def mergeDot(ta: Array[Int], wa: Array[Double],
+      tb: Array[Int], wb: Array[Double]): Double = {
+    var i = 0; var j = 0; var dot = 0.0
+    while (i < ta.length && j < tb.length) {
+      val d = ta(i) - tb(j)
+      if (d == 0) { dot += wa(i) * wb(j); i += 1; j += 1 }
+      else if (d < 0) i += 1
+      else j += 1
+    }
+    dot
   }
 
   def run(aArr: ArrayData, bArr: ArrayData, diag: Boolean, minS: Int,
@@ -160,22 +179,20 @@ object CosineBlockPairsExpr {
     while (i < a.n) {
       var j = if (diag) i + 1 else 0
       while (j < b.n) {
-        if (useBits) {
-          var shared = 0
-          val oa = i * words; val ob = j * words
-          var k = 0
-          while (k < words) {
-            shared += java.lang.Long.bitCount(aBits(oa + k) & bBits(ob + k))
-            k += 1
-          }
-          if (shared >= minS) {
-            val (s2, dot) = merge(a.terms(i), a.ws(i), b.terms(j), b.ws(j))
-            emit(out, a.ids(i), b.ids(j), s2, dot, a.nrm(i) * b.nrm(j))
-          }
-        } else {
-          val (shared, dot) = merge(a.terms(i), a.ws(i), b.terms(j), b.ws(j))
-          if (shared >= minS)
-            emit(out, a.ids(i), b.ids(j), shared, dot, a.nrm(i) * b.nrm(j))
+        val shared =
+          if (useBits) {
+            var s = 0
+            val oa = i * words; val ob = j * words
+            var k = 0
+            while (k < words) {
+              s += java.lang.Long.bitCount(aBits(oa + k) & bBits(ob + k))
+              k += 1
+            }
+            s
+          } else mergeShared(a.terms(i), b.terms(j))
+        if (shared >= minS) {
+          val dot = mergeDot(a.terms(i), a.ws(i), b.terms(j), b.ws(j))
+          emit(out, a.ids(i), b.ids(j), shared, dot, a.nrm(i) * b.nrm(j))
         }
         j += 1
       }

@@ -221,7 +221,18 @@ object TextOps {
 
   /** [[dedupCdcChunks]] over any (doc_id, text) relation. */
   def dedupCdcChunksOf(docs: DataFrame,
-      threshold: Double = DefaultNearDupThreshold): DataFrame = {
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    cdcChunksImpl(docs, threshold, eager = true)
+
+  /** Un-materialized twin for plan inspection (PlanSpec/GoldenPlanSpec) —
+    * same parameterized builder as the shipped op, no cache/checkpoint. */
+  private[graft] def dedupCdcChunksLazy(spark: SparkSession,
+      dir: String): DataFrame =
+    cdcChunksImpl(tbl(spark, dir, "documents"), DefaultNearDupThreshold,
+      eager = false)
+
+  private def cdcChunksImpl(docs: DataFrame, threshold: Double,
+      eager: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wk = CdcWindowTokens
     val pos = docs.select(col("doc_id"), tokens(col("text")).as("w"))
@@ -247,28 +258,32 @@ object TextOps {
     val eligible = chunks.groupBy("ck")
       .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= CdcDfCap).select("ck")
-    val sets = chunks.join(eligible, "ck")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets0 = chunks.join(eligible, "ck")
+    val sets =
+      if (eager) sets0.persist(StorageLevel.MEMORY_AND_DISK) else sets0
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ck"))
-    val out = Engine.eagerCheckpoint(
-      sets.as("a").join(sets.as("b"),
-          col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common_chunks"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_ck").as("na")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_ck").as("nb")),
-          "doc_b")
-        // same float-boundary discipline as the ngram threshold: exact at
-        // the dyadic default (union = na + nb - common)
-        .filter(col("common_chunks") >= lit(threshold) *
-          (col("na") + col("nb") - col("common_chunks")))
-        .select(col("doc_a"), col("doc_b"), col("common_chunks"),
-          floor(lit(10000.0) * col("common_chunks") /
-            (col("na") + col("nb") - col("common_chunks"))).cast("long")
-            .as("jaccard_bp")))
-    sets.unpersist(true)
-    out
+    val result = sets.as("a").join(sets.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common_chunks"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_ck").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_ck").as("nb")),
+        "doc_b")
+      // same float-boundary discipline as the ngram threshold: exact at
+      // the dyadic default (union = na + nb - common)
+      .filter(col("common_chunks") >= lit(threshold) *
+        (col("na") + col("nb") - col("common_chunks")))
+      .select(col("doc_a"), col("doc_b"), col("common_chunks"),
+        floor(lit(10000.0) * col("common_chunks") /
+          (col("na") + col("nb") - col("common_chunks"))).cast("long")
+          .as("jaccard_bp"))
+    if (!eager) result
+    else {
+      val out = Engine.eagerCheckpoint(result)
+      sets.unpersist(true)
+      out
+    }
   }
 
   /** Verbatim-containment threshold as an exact rational (num/den): the

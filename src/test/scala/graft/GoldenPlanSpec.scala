@@ -73,6 +73,7 @@ class GoldenPlanSpec extends SparkSpec {
     // silently pessimize: candidate-bounded joins, df caps, block shapes
     "dedup_ngram_jaccard" -> (() => TextOps.dedupNgramJaccardLazy(spark, dir)),
     "dedup_containment" -> (() => TextOps.dedupContainmentLazy(spark, dir)),
+    "dedup_cdc_chunks" -> (() => TextOps.dedupCdcChunksLazy(spark, dir)),
     "mm_near_dup" ->
       (() => graft.operators.Multimodal.perceptualNearDupLazy(spark, dir)),
     "dedup_incremental" -> (() => {

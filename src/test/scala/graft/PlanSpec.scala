@@ -393,6 +393,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("cdc chunks: chunk-key equi-join over the df-capped chunk sets — no cartesian") {
+    val s = planString(graft.operators.TextOps.dedupCdcChunksLazy(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("runtime bloom filter prunes the fact side of a non-broadcast join") {
     // The 100 TB fact⋈fact shape: when the selective side is too big to
     // broadcast, Spark 4's runtime bloom filter (default-on) builds a
