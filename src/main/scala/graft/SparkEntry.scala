@@ -108,14 +108,17 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, d) => TextOps.minhashSignatures(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.simhash(s, d)),
     "dedup_lsh_pairs" -> ((s, d) => TextOps.lshNearDupPairs(s, d)),
-    "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => TextOps.simhashPairsMined(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_incremental_contained" ->
       ((s, d) => TextOps.dedupIncremental(s, d, containment = true)),
     "dedup_report" -> ((s, d) => TextOps.dedupReport(s, d)),
-    "dedup_cdc_chunks" -> ((s, d) => TextOps.dedupCdcChunks(s, d)),
+    "dedup_report_pairs" ->
+      ((s, d) => TextOps.dedupReportFromPairs(s, d,
+        TextOps.nearDupPairs(s, d).select("doc_a", "doc_b"))),
+    "dedup_cdc_chunks" -> ((s, d) => TextOps.cdcChunksMined(s, d)),
     "dedup_substring_spans" -> ((s, d) => TextOps.dedupSubstringSpans(s, d)),
-    "dedup_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
+    "dedup_containment" -> ((s, d) => TextOps.containmentMined(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     // --- text analysis ---
     "text_tokens" -> ((s, d) => TextOps.textTokens(s, d)),
@@ -275,6 +278,21 @@ object SparkEntry {
     else s"$d * ($common) >= $n * ($union)"
   }
   private val incSplit = TextOps.DefaultIncrementalSplitId
+
+  /** MinHash band-collision predicate between signature rows `a` and
+    * `b`, generated from the library geometry (TextOps.MinhashBands ×
+    * MinhashRows) so the oracle's banding can never drift from
+    * bandBuckets' — per-band conjunction of the band's signature
+    * values, disjoined across bands (pairwise equality IS the string
+    * bucket key's semantics: the mh values are integers, so the "_"
+    * separator cannot collide). */
+  private def bandCollideSql(a: String, b: String): String =
+    (0 until TextOps.MinhashBands).map { band =>
+      (0 until TextOps.MinhashRows)
+        .map(r => s"$a.mh${band * TextOps.MinhashRows + r} = " +
+          s"$b.mh${band * TextOps.MinhashRows + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
   private val ngramPairCond = jaccardCondSql(
     "len(list_intersect(a.sh, b.sh))",
     "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))")
@@ -293,7 +311,7 @@ object SparkEntry {
       """JOIN sn ON md5(f.text) = md5(sn.text) GROUP BY f.doc_id), """ +
       """cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS seen_id """ +
       s"""FROM sig a JOIN sig b ON a.doc_id >= $incSplit AND b.doc_id < $incSplit """ +
-      """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))), """ +
+      s"""AND ${bandCollideSql("a", "b")}), """ +
       """nr AS (SELECT c.doc_id, min(c.seen_id) AS dup_near """ +
       """FROM cand c JOIN s sa ON c.doc_id = sa.doc_id JOIN s sb ON c.seen_id = sb.doc_id """ +
       s"""WHERE ${jaccardCondSql("len(list_intersect(sa.sh, sb.sh))",
@@ -885,8 +903,13 @@ object SparkEntry {
       // block — DuckDB scopes subquery CTEs locally), keys = union of
       // flagged pairs, evidence NULL where a modality did not fire
       (s"""WITH $ngramPairCtes, """ +
+        // group-size cap (TextOps.ExactDupGroupCap): only hashes with
+        // 2..cap members pair — replays the Spark side's degenerate-
+        // group guard (unreachable at oracle scale, mirrored for truth)
         """exq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a """ +
-        """JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id), """ +
+        """JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id """ +
+        """WHERE md5(a.text) IN (SELECT md5(text) FROM documents """ +
+        s"""GROUP BY md5(text) HAVING count(*) BETWEEN 2 AND ${TextOps.ExactDupGroupCap})), """ +
         """jq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
         """CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / """ +
         """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp """ +
@@ -918,6 +941,60 @@ object SparkEntry {
         """LEFT JOIN dq dd ON k.doc_a = dd.doc_a AND k.doc_b = dd.doc_b """ +
         """LEFT JOIN cab ca ON k.doc_a = ca.doc_a AND k.doc_b = ca.doc_b """ +
         """LEFT JOIN cba cb ON k.doc_a = cb.doc_a AND k.doc_b = cb.doc_b"""),
+    "dedup_report_pairs" -> {
+      // audit-mode replay: keys = the exact jaccard pair graph (the
+      // Spark query feeds nearDupPairs in), evidence computed per pair
+      // from per-doc artifacts with NO df caps (TextOps
+      // .dedupReportFromPairs's audit contract). NULL columns mirror
+      // the Spark side's left joins: cdc/containment evidence is NULL
+      // unless BOTH docs have chunk/window sets.
+      val (num, den) = (TextOps.ContainmentNum, TextOps.ContainmentDen)
+      val k = TextOps.SpanSeedTokens
+      s"""WITH $ngramPairCtes, """ +
+        s"""keys AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
+        s"""FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $ngramPairCond), """ +
+        """hx AS (SELECT doc_id, md5(text) AS h FROM documents), """ +
+        s"""sig AS (SELECT * FROM ($simhashSigSql) z), """ +
+        s"""$cdcChunkSetCtes, """ +
+        """csz AS (SELECT doc_id, count(*) AS n FROM cks GROUP BY doc_id), """ +
+        s"""wnd AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+${k - 1}], ' ')) AS wh """ +
+        s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${k - 2})) AS i """ +
+        s"""FROM d WHERE len(w) >= $k)), """ +
+        """wsz AS (SELECT doc_id, count(*) AS n FROM wnd GROUP BY doc_id), """ +
+        """cdcp AS (SELECT k.doc_a, k.doc_b, count(*) AS c FROM keys k """ +
+        """JOIN cks ca ON ca.doc_id = k.doc_a """ +
+        """JOIN cks cb ON cb.doc_id = k.doc_b AND ca.ck = cb.ck GROUP BY 1, 2), """ +
+        """wp AS (SELECT k.doc_a, k.doc_b, count(*) AS c FROM keys k """ +
+        """JOIN wnd wa ON wa.doc_id = k.doc_a """ +
+        """JOIN wnd wb ON wb.doc_id = k.doc_b AND wa.wh = wb.wh GROUP BY 1, 2) """ +
+        """SELECT k.doc_a, k.doc_b, (ha.h = hb.h) AS is_exact, """ +
+        """CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh)) / """ +
+        """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_bp, """ +
+        """CAST(bit_count(xor(ga.sig, gb.sig)) AS BIGINT) AS simhash_hamming, """ +
+        """CASE WHEN za.n IS NOT NULL AND zb.n IS NOT NULL THEN """ +
+        """CAST(floor(10000.0 * coalesce(cd.c, 0) / (za.n + zb.n - coalesce(cd.c, 0))) AS BIGINT) END AS cdc_jaccard_bp, """ +
+        """CASE WHEN wa.n IS NOT NULL AND wb.n IS NOT NULL THEN """ +
+        """CAST(floor(10000.0 * coalesce(w2.c, 0) / wa.n) AS BIGINT) END AS contained_ab_bp, """ +
+        """CASE WHEN wa.n IS NOT NULL AND wb.n IS NOT NULL THEN """ +
+        """CAST(floor(10000.0 * coalesce(w2.c, 0) / wb.n) AS BIGINT) END AS contained_ba_bp, """ +
+        """CAST(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END """ +
+        s"""+ CASE WHEN ${jaccardCondSql("len(list_intersect(sa.sh, sb.sh))",
+          "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")} THEN 1 ELSE 0 END """ +
+        """+ CASE WHEN bit_count(xor(ga.sig, gb.sig)) <= 3 THEN 1 ELSE 0 END """ +
+        s"""+ CASE WHEN za.n IS NOT NULL AND zb.n IS NOT NULL AND ${jaccardCondSql(
+          "coalesce(cd.c, 0)", "(za.n + zb.n - coalesce(cd.c, 0))")} THEN 1 ELSE 0 END """ +
+        s"""+ CASE WHEN wa.n IS NOT NULL AND wb.n IS NOT NULL AND """ +
+        s"""(coalesce(w2.c, 0) * $den >= wa.n * $num OR coalesce(w2.c, 0) * $den >= wb.n * $num) """ +
+        """THEN 1 ELSE 0 END AS BIGINT) AS n_modalities """ +
+        """FROM keys k """ +
+        """JOIN hx ha ON k.doc_a = ha.doc_id JOIN hx hb ON k.doc_b = hb.doc_id """ +
+        """JOIN s sa ON k.doc_a = sa.doc_id JOIN s sb ON k.doc_b = sb.doc_id """ +
+        """JOIN sig ga ON k.doc_a = ga.doc_id JOIN sig gb ON k.doc_b = gb.doc_id """ +
+        """LEFT JOIN csz za ON k.doc_a = za.doc_id LEFT JOIN csz zb ON k.doc_b = zb.doc_id """ +
+        """LEFT JOIN wsz wa ON k.doc_a = wa.doc_id LEFT JOIN wsz wb ON k.doc_b = wb.doc_id """ +
+        """LEFT JOIN cdcp cd ON k.doc_a = cd.doc_a AND k.doc_b = cd.doc_b """ +
+        """LEFT JOIN wp w2 ON k.doc_a = w2.doc_a AND k.doc_b = w2.doc_b"""
+    },
     "dedup_cdc_chunks" -> dedupCdcChunksSql,
     "dedup_minhash_sig" -> minhashSql,
     "dedup_simhash" -> simhashSql,
@@ -973,18 +1050,16 @@ object SparkEntry {
         """LEFT JOIN nr n ON f.doc_id = n.doc_id """ +
         """LEFT JOIN ct c ON f.doc_id = c.doc_id"""),
     "dedup_lsh_pairs" ->
-      // exact replay of the MinHash banding: candidates collide on band 0
-      // (mh0, mh1) or band 1 (mh2, mh3) — pairwise equality is the string
-      // bucket key's semantics (the mh values are integers, so the "_"
-      // separator cannot collide) — then the same exact-Jaccard verify as
-      // dedup_ngram_jaccard. The hot-bucket cap (4096) is unreachable at
-      // oracle scale, so the replay omits it.
+      // exact replay of the MinHash banding (bandCollideSql renders the
+      // band structure from the library geometry), then the same
+      // exact-Jaccard verify as dedup_ngram_jaccard. The hot-bucket cap
+      // (4096) is unreachable at oracle scale, so the replay omits it.
       (s"""WITH sig AS ($minhashSql), """ +
         """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
         s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM d WHERE len(w) >= 3), """ +
         """cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
         """FROM sig a JOIN sig b ON a.doc_id < b.doc_id """ +
-        """AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))) """ +
+        s"""AND ${bandCollideSql("a", "b")}) """ +
         """SELECT doc_a, doc_b, """ +
         """CAST(floor(10000.0 * len(list_intersect(sa.sh, sb.sh)) / """ +
         """(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT) AS jaccard_bp """ +
@@ -1307,16 +1382,23 @@ object SparkEntry {
     * df-capped key join, exact integer Jaccard (same rendering discipline
     * as dedup_ngram_jaccard). Shared by the dedup_cdc_chunks oracle and
     * the dedup_report composition. */
-  private lazy val dedupCdcChunksSql: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
-      s"""p0 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${TextOps.CdcWindowTokens - 1}], ' ') AS ws """ +
+  /** Per-doc distinct CDC chunk-key sets (`cks`), assuming a `d`
+    * (doc_id, split-words) CTE is in scope — mirrors
+    * [[TextOps.cdcChunkSets]]; shared by the CDC pair miner's oracle
+    * and the audit-mode report's. */
+  private lazy val cdcChunkSetCtes: String =
+    s"""p0 AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+${TextOps.CdcWindowTokens - 1}], ' ') AS ws """ +
       s"""FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${TextOps.CdcWindowTokens - 2})) AS i """ +
       s"""FROM d WHERE len(w) >= ${TextOps.CdcWindowTokens})), """ +
       s"""ph AS (SELECT doc_id, pos, ${weakHashSql("ws")} AS hv FROM p0), """ +
       s"""ci AS (SELECT doc_id, pos, hv, sum(CASE WHEN hv % ${TextOps.CdcBoundaryMod} = 0 THEN 1 ELSE 0 END) """ +
       """OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM ph), """ +
       """cks AS (SELECT DISTINCT doc_id, md5(string_agg(CAST(hv AS VARCHAR), '_' ORDER BY pos)) AS ck """ +
-      """FROM ci GROUP BY doc_id, chunk_id), """ +
+      """FROM ci GROUP BY doc_id, chunk_id)"""
+
+  private lazy val dedupCdcChunksSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), """ +
+      s"""$cdcChunkSetCtes, """ +
       s"""elig AS (SELECT ck FROM (SELECT ck, count(*) AS nd FROM cks GROUP BY ck) WHERE nd <= ${TextOps.CdcDfCap}), """ +
       """sets AS (SELECT doc_id, ck FROM cks WHERE ck IN (SELECT ck FROM elig)), """ +
       """sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id), """ +

@@ -618,11 +618,12 @@ object SimilarityOps {
       nCentroids: Int = 16): DataFrame = {
     // eager-job idiom (simhashPairs): the assigned+bucketed relation is
     // referenced THREE times (both self-join sides + the survivor probe);
-    // Catalyst shares no common subplans, so unpersisted it would scan and
-    // re-derive the corpus three times
-    val emb = semanticDedupIndex(spark, dir, nBits, nCentroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = Engine.eagerCheckpoint(semanticDedupFrom(emb, threshold))
+    // Catalyst shares no common subplans, so an unpersisted relation
+    // would scan and re-derive the corpus three times. Storage medium
+    // size-adaptive via Engine.miningLevel.
+    val lvl = Engine.miningLevel(tbl(spark, dir, "embeddings"))
+    val emb = semanticDedupIndex(spark, dir, nBits, nCentroids).persist(lvl)
+    val out = Engine.eagerCheckpoint(semanticDedupFrom(emb, threshold), lvl)
     emb.unpersist(true)
     out
   }

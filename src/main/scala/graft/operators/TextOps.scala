@@ -126,9 +126,13 @@ object TextOps {
   /** [[dedupSubstringSpans]] over any (doc_id, text) relation. */
   def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
     // eager-job idiom: the pair join reads ONE materialization of the
-    // windowed index (both join sides), not two full re-tokenizations
-    val idx = spanIndexOf(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val out = Engine.eagerCheckpoint(spansFromIndex(idx))
+    // windowed index (both join sides), not two full re-tokenizations.
+    // Storage medium is size-adaptive (Engine.miningLevel): memory-only
+    // below the disk-backed floor, so small-corpus materializations
+    // never touch disk — see the rationale on DiskBackedMinInputBytesKey
+    val lvl = Engine.miningLevel(docs)
+    val idx = spanIndexOf(docs).persist(lvl)
+    val out = Engine.eagerCheckpoint(spansFromIndex(idx), lvl)
     idx.unpersist(true)
     out
   }
@@ -231,8 +235,10 @@ object TextOps {
     cdcChunksImpl(tbl(spark, dir, "documents"), DefaultNearDupThreshold,
       eager = false)
 
-  private def cdcChunksImpl(docs: DataFrame, threshold: Double,
-      eager: Boolean): DataFrame = {
+  /** Per-doc distinct CDC chunk-key sets — (doc_id, ck), per-doc only
+    * (no cross-doc dependency, no df cap), so audit-mode consumers
+    * ([[dedupReportFromPairs]]) can restrict it to the docs they touch. */
+  private[graft] def cdcChunkSets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wk = CdcWindowTokens
     val pos = docs.select(col("doc_id"), tokens(col("text")).as("w"))
@@ -244,7 +250,7 @@ object TextOps {
               .as("hv")))).as("ph"))
       .select(col("doc_id"), col("ph.pos").as("pos"), col("ph.hv").as("hv"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val chunks = pos
+    pos
       .withColumn("cut", when(pmod(col("hv"), lit(CdcBoundaryMod)) === 0, 1L)
         .otherwise(0L))
       .withColumn("chunk_id", sum(col("cut")).over(byDoc))
@@ -255,12 +261,17 @@ object TextOps {
           transform(col("ph.hv"), h => h.cast("string"))).cast("binary"))
           .as("ck"))
       .distinct()
+  }
+
+  private def cdcChunksImpl(docs: DataFrame, threshold: Double,
+      eager: Boolean): DataFrame = {
+    val chunks = cdcChunkSets(docs)
     val eligible = chunks.groupBy("ck")
       .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= CdcDfCap).select("ck")
     val sets0 = chunks.join(eligible, "ck")
-    val sets =
-      if (eager) sets0.persist(StorageLevel.MEMORY_AND_DISK) else sets0
+    val lvl = if (eager) Engine.miningLevel(docs) else StorageLevel.NONE
+    val sets = if (eager) sets0.persist(lvl) else sets0
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ck"))
     val result = sets.as("a").join(sets.as("b"),
         col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
@@ -280,7 +291,7 @@ object TextOps {
           .as("jaccard_bp"))
     if (!eager) result
     else {
-      val out = Engine.eagerCheckpoint(result)
+      val out = Engine.eagerCheckpoint(result, lvl)
       sets.unpersist(true)
       out
     }
@@ -312,11 +323,13 @@ object TextOps {
 
   /** [[dedupContainment]] over any (doc_id, text) relation. */
   def dedupContainmentOf(docs: DataFrame): DataFrame = {
-    // eager-job idiom: the sizes agg and both key-join sides read ONE
-    // materialization of the distinct window sets
+    // eager-job idiom (see dedupSubstringSpansOf): the sizes agg and
+    // both key-join sides read ONE materialization of the distinct
+    // window sets; storage medium size-adaptive via Engine.miningLevel
+    val lvl = Engine.miningLevel(docs)
     val sets = spanIndexOf(docs).select(col("doc_id"), col("h")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = Engine.eagerCheckpoint(containmentFromSets(sets))
+      .persist(lvl)
+    val out = Engine.eagerCheckpoint(containmentFromSets(sets), lvl)
     sets.unpersist(true)
     out
   }
@@ -382,8 +395,10 @@ object TextOps {
     val docs0 = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val docs =
-      if (eager) docs0.persist(StorageLevel.MEMORY_AND_DISK) else docs0
+    val lvl =
+      if (eager) Engine.miningLevel(tbl(spark, dir, "documents"))
+      else StorageLevel.NONE
+    val docs = if (eager) docs0.persist(lvl) else docs0
     val inv = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
@@ -399,8 +414,7 @@ object TextOps {
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("n_sh"), col("rk"), col("s"))
-    val prefixes =
-      if (eager) prefixes0.persist(StorageLevel.MEMORY_AND_DISK) else prefixes0
+    val prefixes = if (eager) prefixes0.persist(lvl) else prefixes0
     // positional filter (PPJoin): the shared prefix element at ranks
     // (ra, rb) caps the achievable overlap at min(na−ra, nb−rb)+1
     val reqOverlap =
@@ -455,45 +469,69 @@ object TextOps {
     // pollution in rounds 1 and 2)
     if (!eager) result
     else {
-      val out = Engine.eagerCheckpoint(result)
+      val out = Engine.eagerCheckpoint(result, lvl)
       docs.unpersist(true)
       prefixes.unpersist(true)
       out
     }
   }
 
-  /** Per-JVM registry of materialized near-dup pair graphs, keyed by
-    * (context, dir, threshold). The pair graph is a dedup JOB output — tiny
-    * (localCheckpoint'd by dedupNgramJaccard) and consumed by several
-    * downstream stages (the pair listing itself, cluster resolution, any
-    * survivor filter) — so a pipeline materializes it ONCE and every
-    * consumer reads the result, exactly as it would read the pair list
-    * back from durable storage on a cluster. The context id keys out
-    * frames from a stopped SparkContext (test suites cycle sessions). */
-  private val minedPairs =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Double), DataFrame]
+  /** Per-JVM registry of materialized mined pair graphs — ALL modalities
+    * (round-10 VERDICT item 1a widened it from jaccard-only), keyed by
+    * (context, dir, "modality|params"). A pair graph is a dedup JOB
+    * output — tiny (the survivor residue, localCheckpoint'd by its
+    * miner above the size floor) and consumed by several downstream
+    * stages (the pair listing itself, cluster resolution, survivor
+    * filters, the cross-modality report) — so a pipeline materializes
+    * each ONCE and every consumer reads the result, exactly as it would
+    * read the pair list back from durable storage on a cluster. The
+    * context id keys out frames from a stopped SparkContext (test
+    * suites cycle sessions). */
+  private val minedMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
-  /** The exact near-dup pair graph for (dir, threshold), mined at most once
-    * per JVM — see [[minedPairs]]. The registry assumes the input dir is
-    * immutable for the application's lifetime (the testdata contract here;
-    * a production pipeline would persist the pair graph to durable storage
-    * and read it back). Callers that rewrite inputs in-place, or need
-    * per-sample isolation (Bench repeats), call [[clearMinedPairs]]. */
-  def nearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = DefaultNearDupThreshold): DataFrame = {
+  /** Memoize `build`'s pair graph under (dir, key) — see [[minedMemo]].
+    * The registry assumes the input dir is immutable for the
+    * application's lifetime (the testdata contract here; a production
+    * pipeline would persist the pair graph to durable storage and read
+    * it back). Callers that rewrite inputs in-place, or need per-sample
+    * isolation (Bench repeats), call [[clearMinedPairs]]. */
+  private def memoizedMiner(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // evict entries from other (stopped) contexts: a long-lived JVM that
     // cycles SparkContexts (test suites, notebook servers) must not pin
     // dead frames — and their checkpoint blocks — for the JVM lifetime
-    minedPairs.keys.filter(_._1 != appId).foreach(minedPairs.remove)
-    minedPairs.getOrElseUpdate(
-      (appId, dir, threshold),
-      dedupNgramJaccard(spark, dir, threshold))
+    minedMemo.keys.filter(_._1 != appId).foreach(minedMemo.remove)
+    minedMemo.getOrElseUpdate((appId, dir, key), build)
   }
+
+  /** The exact near-dup pair graph for (dir, threshold), mined at most
+    * once per JVM — see [[minedMemo]]. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    memoizedMiner(spark, dir, s"jaccard|$threshold")(
+      dedupNgramJaccard(spark, dir, threshold))
+
+  /** Memoized [[simhashPairs]] — mined at most once per JVM. */
+  def simhashPairsMined(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    memoizedMiner(spark, dir, s"simhash|$maxHamming")(
+      simhashPairs(spark, dir, maxHamming))
+
+  /** Memoized [[dedupCdcChunks]] — mined at most once per JVM. */
+  def cdcChunksMined(spark: SparkSession, dir: String,
+      threshold: Double = DefaultNearDupThreshold): DataFrame =
+    memoizedMiner(spark, dir, s"cdc|$threshold")(
+      dedupCdcChunks(spark, dir, threshold))
+
+  /** Memoized [[dedupContainment]] — mined at most once per JVM. */
+  def containmentMined(spark: SparkSession, dir: String): DataFrame =
+    memoizedMiner(spark, dir, "containment")(dedupContainment(spark, dir))
 
   /** Drop all memoized pair graphs (the checkpointed frames become
     * unreferenced and the ContextCleaner reclaims their blocks). */
-  def clearMinedPairs(): Unit = minedPairs.clear()
+  def clearMinedPairs(): Unit = minedMemo.clear()
 
   /** Near-dup cluster resolution — the "keep one per duplicate cluster"
     * final stage of a training-data dedup pipeline: connected components
@@ -504,39 +542,85 @@ object TextOps {
       threshold: Double = DefaultNearDupThreshold): DataFrame =
     dedupClustersFromPairs(nearDupPairs(spark, dir, threshold))
 
+  /** Duplicate-group size cap for the report's exact modality: a group
+    * of g identical texts contributes C(g,2) pairs, so a degenerate
+    * corpus (millions of empty/boilerplate-identical docs under one
+    * hash) would square with no bound — the one modality that had no
+    * cap (round-10 ADVICE). Groups larger than the cap are DROPPED from
+    * the exact pair listing, never silently: each run logs how many.
+    * The df-cap idiom of [[SpanDfCap]]/[[CdcDfCap]], applied to hash
+    * groups; a group that large is boilerplate triage, not pair-listing
+    * material (list it via [[dedupExact]]'s group view instead). */
+  val ExactDupGroupCap: Long = 1024L
+
   /** Cross-modality dedup report — corpus-triage view unioning every
     * pair-level duplicate verdict the library mines: exact text hash,
-    * n-gram Jaccard (≥ the library default), SimHash (Hamming ≤ 3),
-    * CDC chunk Jaccard ([[dedupCdcChunks]]), and directed verbatim
-    * containment folded onto the unordered pair (a→b and b→a as separate
-    * columns). One row per flagged pair with each modality's evidence
-    * (NULL where that modality did not fire) and a modality count — the
-    * "why is this pair a dup, and does more than one detector agree"
-    * question a dedup pipeline audit asks.
+    * n-gram Jaccard (≥ `jaccardThreshold`), SimHash (Hamming ≤
+    * `maxHamming`), CDC chunk Jaccard (≥ `cdcThreshold`), and directed
+    * verbatim containment folded onto the unordered pair (a→b and b→a
+    * as separate columns). One row per flagged pair with each
+    * modality's evidence (NULL where that modality did not fire) and a
+    * modality count — the "why is this pair a dup, and does more than
+    * one detector agree" question a dedup pipeline audit asks.
+    * Per-modality thresholds are parameters (library defaults match
+    * each miner's own default, so the report's verdicts never drift
+    * from the standalone queries').
     *
-    * Scale shape: every input is a bounded mined PAIR LIST (the
-    * survivor residue, orders of magnitude smaller than the corpus —
-    * jaccard via the memoized [[nearDupPairs]] graph), and the exact
-    * modality is a hash-equality self-join bounded by duplicate-group
-    * sizes; the report itself is full-outer joins of those small
-    * relations on the pair key — no corpus-scale work beyond the
-    * mining jobs it composes. */
-  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: every modality is a bounded mined PAIR LIST (the
+    * survivor residue, orders of magnitude smaller than the corpus),
+    * read through the per-JVM miner memo ([[minedMemo]]) — a pipeline
+    * that already mined any modality pays ZERO re-mining here, and the
+    * report itself is full-outer joins of those small relations on the
+    * pair key. The exact modality is a hash-equality self-join bounded
+    * by [[ExactDupGroupCap]] per duplicate group. */
+  def dedupReport(spark: SparkSession, dir: String,
+      jaccardThreshold: Double = DefaultNearDupThreshold,
+      maxHamming: Int = 3,
+      cdcThreshold: Double = DefaultNearDupThreshold): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    val ex = docs.as("a").join(docs.as("b"),
-        md5(col("a.text").cast("binary")) ===
-          md5(col("b.text").cast("binary")) &&
-          col("a.doc_id") < col("b.doc_id"))
+    val hashed = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    // group-size guard (the df-cap idiom): only hashes with 2..cap
+    // members reach the pair self-join, so a degenerate group can never
+    // square; dropped groups are logged, not silently vanished
+    val groupSizes = hashed.groupBy("h").agg(count(lit(1)).as("g"))
+    // The four mined modalities are INDEPENDENT Spark jobs (above the
+    // size floor each miner materializes eagerly) — submit them
+    // concurrently so each miner's driver-side planning overlaps the
+    // others' execution and independent stages share the executor pool.
+    // Composed wall ≈ the slowest miner, not the sum of four (measured
+    // sf0.1: 11.3 s serial → see SURVEY §7.5). The memo registry is a
+    // TrieMap and the four keys are distinct, so concurrent
+    // getOrElseUpdate builds race-free; a warm memo returns instantly.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fOversized =
+      Future(groupSizes.filter(col("g") > ExactDupGroupCap).count())
+    val fJac = Future(nearDupPairs(spark, dir, jaccardThreshold))
+    val fSh = Future(simhashPairsMined(spark, dir, maxHamming))
+    val fCdc = Future(cdcChunksMined(spark, dir, cdcThreshold))
+    val fCt = Future(containmentMined(spark, dir))
+    val oversized = Await.result(fOversized, Duration.Inf)
+    if (oversized > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupReport: dropped $oversized duplicate group(s) over " +
+          s"$ExactDupGroupCap members from the exact pair listing")
+    val eligible = groupSizes
+      .filter(col("g") >= 2 && col("g") <= ExactDupGroupCap).select("h")
+    val ex = hashed.join(eligible, "h").as("a")
+      .join(hashed.join(eligible, "h").as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(true).as("exact_hit"))
-    val jac = nearDupPairs(spark, dir)
+    val jac = Await.result(fJac, Duration.Inf)
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
-    val sh = simhashPairs(spark, dir)
+    val sh = Await.result(fSh, Duration.Inf)
       .select(col("doc_a"), col("doc_b"), col("hamming").as("simhash_hamming"))
-    val cdc = dedupCdcChunks(spark, dir)
+    val cdc = Await.result(fCdc, Duration.Inf)
       .select(col("doc_a"), col("doc_b"),
         col("jaccard_bp").as("cdc_jaccard_bp"))
-    val ct = dedupContainment(spark, dir)
+    val ct = Await.result(fCt, Duration.Inf)
     val cab = ct.filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         col("containment_bp").as("contained_ab_bp"))
@@ -557,6 +641,94 @@ object TextOps {
           when(col("cdc_jaccard_bp").isNotNull, 1).otherwise(0) +
           when(col("contained_ab_bp").isNotNull ||
             col("contained_ba_bp").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_modalities"))
+  }
+
+  /** AUDIT-mode dedup report — the "explain the pairs I already mined"
+    * variant (round-10 VERDICT item 7): given an arbitrary (doc_a,
+    * doc_b) pair list, compute every modality's evidence FOR THOSE
+    * PAIRS directly, with no mining. Where [[dedupReport]] unions the
+    * miners' survivor residues (evidence NULL when a modality's MINER
+    * did not fire), this computes each measure exactly per pair, so
+    * every evidence column is populated wherever defined — the number
+    * an auditor wants when asking "how near-dup is this flagged pair
+    * under each lens". `n_modalities` counts the modalities clearing
+    * the same library thresholds as the miners.
+    *
+    * Scale shape: O(|pairs| + involved docs). The supplied pairs are
+    * normalized (unordered, deduped); per-doc artifacts (md5, shingle
+    * arrays, simhash signatures, CDC chunk sets, containment window
+    * sets) are derived ONLY for docs appearing in a pair (semi-join
+    * restriction), then attached to each pair by two broadcast-or-
+    * shuffled id equi-joins. No df caps apply — caps bound MINING
+    * candidate generation; here the candidate set is given, so the
+    * evidence is exact (a boilerplate window dropped by the miners'
+    * caps still counts here — audit answers must not inherit mining
+    * approximations). */
+  def dedupReportFromPairs(spark: SparkSession, dir: String,
+      pairs: DataFrame,
+      jaccardThreshold: Double = DefaultNearDupThreshold,
+      maxHamming: Int = 3,
+      cdcThreshold: Double = DefaultNearDupThreshold): DataFrame = {
+    val norm = pairs.select(
+        least(col("doc_a"), col("doc_b")).cast("long").as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("doc_b"))
+      .filter(col("doc_a").isNotNull && col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val ids = norm.select(explode(array(col("doc_a"), col("doc_b")))
+      .as("doc_id")).distinct()
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(ids, Seq("doc_id"), "left_semi")
+    // per-doc artifacts, array-valued so the pair evidence is pure
+    // expression math after two id equi-joins
+    val perDoc = d
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        shingles(col("text")).as("sh"))
+      .join(simhashSigOf(d), Seq("doc_id"), "left")
+      .join(cdcChunkSets(d).groupBy("doc_id")
+        .agg(collect_set(col("ck")).as("cks")), Seq("doc_id"), "left")
+      .join(spanWindows(d).select(col("doc_id"), col("h").as("wh"))
+        .distinct().groupBy("doc_id")
+        .agg(collect_set(col("wh")).as("whs")), Seq("doc_id"), "left")
+    val a = perDoc.toDF(perDoc.columns.map(_ + "_a"): _*)
+    val b = perDoc.toDF(perDoc.columns.map(_ + "_b"): _*)
+    val ev = norm
+      .join(a, col("doc_a") === col("doc_id_a"))
+      .join(b, col("doc_b") === col("doc_id_b"))
+    def jaccBp(x: Column, y: Column): (Column, Column, Column) = {
+      val common = size(array_intersect(x, y)).cast("long")
+      val union = (size(x) + size(y)).cast("long") - common
+      (common, union, floor(lit(10000.0) * common / union).cast("long"))
+    }
+    val (shC, shU, shBp) = jaccBp(col("sh_a"), col("sh_b"))
+    val (ckC, ckU, ckBp) = jaccBp(col("cks_a"), col("cks_b"))
+    val whC = size(array_intersect(col("whs_a"), col("whs_b"))).cast("long")
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+      .cast("long")
+    ev.select(col("doc_a"), col("doc_b"),
+        (col("h_a") === col("h_b")).as("is_exact"),
+        shBp.as("jaccard_bp"),
+        hamming.as("simhash_hamming"),
+        ckBp.as("cdc_jaccard_bp"),
+        floor(lit(10000.0) * whC / size(col("whs_a"))).cast("long")
+          .as("contained_ab_bp"),
+        floor(lit(10000.0) * whC / size(col("whs_b"))).cast("long")
+          .as("contained_ba_bp"),
+        // zero-union guards: a pair of shingle-less (or chunk-less,
+        // window-less) docs must not count a modality via 0 ≥ 0 — the
+        // miners never emit such pairs (their per-doc relations filter
+        // empties), so the audit thresholds must not either
+        (when(col("h_a") === col("h_b"), 1).otherwise(0) +
+          when(shU > 0 && shC >= lit(jaccardThreshold) * shU, 1)
+            .otherwise(0) +
+          when(hamming <= maxHamming, 1).otherwise(0) +
+          when(ckU > 0 && ckC >= lit(cdcThreshold) * ckU, 1).otherwise(0) +
+          when((size(col("whs_a")) > 0 && whC * ContainmentDen >=
+              size(col("whs_a")).cast("long") * ContainmentNum) ||
+            (size(col("whs_b")) > 0 && whC * ContainmentDen >=
+              size(col("whs_b")).cast("long") * ContainmentNum), 1)
+            .otherwise(0))
           .cast("long").as("n_modalities"))
   }
 
@@ -727,9 +899,32 @@ object TextOps {
         col("best.q").as("quality_bp"), col("n_members"))
   }
 
-  /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles. */
+  /** MinHash band geometry: [[MinhashBands]] bands of [[MinhashRows]]
+    * signature values each (signature length = bands × rows). A pair
+    * collides in a band with probability jaccardʳ, so ROWS set the
+    * noise floor (false candidates per sub-threshold pair fall
+    * geometrically in r) and BANDS buy recall back (miss probability
+    * (1−jʳ)ᵇ). See [[lshNearDupPairs]] for the measured round-10
+    * retuning rationale. */
+  val MinhashBands: Int = 2
+  val MinhashRows: Int = 2
+
+  /** First `n` MinHash universal-hash parameter pairs:
+    * h_i(s) = (a_i · H(s) + b_i) mod p over shingle hashes. The first
+    * four are the library's historical hand-picked primes (pinned by
+    * specs and the oracle); further pairs extend by the same
+    * deterministic formula family as [[simhashParams]], offset so the
+    * two signature spaces never share a parameter pair. */
+  def minhashParamsN(n: Int): Seq[(Long, Long)] = {
+    val base = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+    base.take(n) ++ (base.length until n).map(i =>
+      (104729L * (i + 3) % MOD, 15485863L * (i + 11) % MOD))
+  }
+
+  /** MinHash constants: h_i(s) = (a_i * H(s) + b_i) mod p over shingles —
+    * [[minhashParamsN]] instantiated at the library geometry. */
   val minhashParams: Seq[(Long, Long)] =
-    Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+    minhashParamsN(MinhashBands * MinhashRows)
 
   /** Per-document MinHash signature (4 hashes) — oracle-verifiable since
     * H is the explicit weakHash. */
@@ -780,9 +975,13 @@ object TextOps {
     * BOTH engines (bit 63 would flip the sign and DuckDB has no uint64
     * parquet lane the driver compare reads), with headroom. */
   def simhashSig(spark: SparkSession, dir: String,
-      nBits: Int = SimhashBits): DataFrame = {
+      nBits: Int = SimhashBits): DataFrame =
+    simhashSigOf(tbl(spark, dir, "documents"), nBits)
+
+  /** [[simhashSig]] over any (doc_id, text) relation. */
+  def simhashSigOf(docs: DataFrame, nBits: Int = SimhashBits): DataFrame = {
     require(nBits <= 60, s"signature must stay positive in int64 (got $nBits)")
-    val tok = tbl(spark, dir, "documents")
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("hv", weakHash(col("t")))
     val bitSums = simhashParams(nBits).zipWithIndex.map { case ((a, b), j) =>
@@ -826,10 +1025,11 @@ object TextOps {
     // eager-job idiom (dedupNgramJaccard): the self-join reads ONE cached
     // materialization of the banded signatures — Catalyst shares no common
     // subplans, so an unpersisted relation would run the whole
-    // tokenize→hash→aggregate signature pipeline once per join side
-    val banded = bandedSimhash(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = Engine.eagerCheckpoint(simhashPairsFrom(banded, maxHamming))
+    // tokenize→hash→aggregate signature pipeline once per join side.
+    // Storage medium size-adaptive via Engine.miningLevel.
+    val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
+    val banded = bandedSimhash(spark, dir).persist(lvl)
+    val out = Engine.eagerCheckpoint(simhashPairsFrom(banded, maxHamming), lvl)
     banded.unpersist(true)
     out
   }
@@ -898,18 +1098,22 @@ object TextOps {
     * encoding (`"<band>|<mh>_<mh>"`), one definition shared by the batch
     * pair miner, the incremental op, and the census in QueriesSpec so the
     * key layout can never silently drift between them. */
-  private[graft] def bandBuckets(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), explode(array(
-      concat(lit("0|"), concat_ws("_", col("mh0"), col("mh1"))),
-      concat(lit("1|"), concat_ws("_", col("mh2"), col("mh3"))))).as("bucket"))
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bands = (0 until MinhashBands).map { b =>
+      val cs = (0 until MinhashRows).map(r => col(s"mh${b * MinhashRows + r}"))
+      concat(lit(s"$b|"), concat_ws("_", cs: _*))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
+  }
 
   def lshNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = DefaultNearDupThreshold, maxBucketSize: Int = 4096,
       isinLimit: Int = 1000): DataFrame = {
-    // persisted: bucket memberships feed the hot-bucket census, the stats
-    // action, and both sides of the candidate self-join
-    val buckets = bandBuckets(minhashSignatures(spark, dir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted (storage medium size-adaptive via Engine.miningLevel):
+    // bucket memberships feed the hot-bucket census, the stats action,
+    // and both sides of the candidate self-join
+    val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
+    val buckets = bandBuckets(minhashSignatures(spark, dir)).persist(lvl)
     // hot-bucket census — tiny by definition (only buckets over the cap),
     // so it is collected ONCE and excluded via a literal filter: an
     // anti-join against the census relation would re-execute the census
@@ -944,10 +1148,10 @@ object TextOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify on the candidates only (persisted: used by both join
-    // sides; spill-capable and freed once the result materializes)
+    // sides; freed once the result materializes)
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val result = cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
@@ -961,7 +1165,7 @@ object TextOps {
           .as("jaccard_bp"))
     // same eager-job materialization + deterministic cleanup as
     // dedupNgramJaccard (see comment there)
-    val out = Engine.eagerCheckpoint(result)
+    val out = Engine.eagerCheckpoint(result, lvl)
     docs.unpersist(true)
     buckets.unpersist(true)
     out
@@ -1002,12 +1206,11 @@ object TextOps {
     // audit target); in production the seen side's signatures/shingles
     // are ingest-time artifacts read back, not recomputed.
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val fresh = docs.filter(col("doc_id") >= splitId)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val seen = docs.filter(col("doc_id") < splitId)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lvl = Engine.miningLevel(docs)
+    val fresh = docs.filter(col("doc_id") >= splitId).persist(lvl)
+    val seen = docs.filter(col("doc_id") < splitId).persist(lvl)
     val out = Engine.eagerCheckpoint(
-      dedupIncrementalOf(fresh, seen, threshold, containment))
+      dedupIncrementalOf(fresh, seen, threshold, containment), lvl)
     fresh.unpersist(true)
     seen.unpersist(true)
     out
@@ -1850,8 +2053,12 @@ object TextOps {
 
   def textCosinePairs(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
-    val w = cosineIndex(spark, dir, dfCapFrac)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted (storage medium size-adaptive via Engine.miningLevel):
+    // the stats probes below are ACTIONS, so every strategy reads the
+    // SAME cached index materialization instead of executing the
+    // tokenize→tf→df pipeline per subtree
+    val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
+    val w = cosineIndex(spark, dir, dfCapFrac).persist(lvl)
     // Σdf² (the EXACT pair-expansion row count), max(df) (the skew gate),
     // vocabulary size and index rows (kernel eligibility) from one cheap
     // one-row agg over the index — this narrow job also fills the cache
@@ -1890,7 +2097,7 @@ object TextOps {
     // per subtree; blocking unpersist as in dedupNgramJaccard.
     val out = if (useKernel) {
       Engine.eagerCheckpoint(
-        cosinePairsKernelFrom(w, minShared, nBlocks, vocabN.toInt))
+        cosinePairsKernelFrom(w, minShared, nBlocks, vocabN.toInt), lvl)
     } else {
       // Probe the prefix reduction only when the expansion is expensive
       // enough for prefix filtering to matter (same floor as the kernel):
@@ -1898,8 +2105,7 @@ object TextOps {
       // real money on a corpus whose expansion was cheap anyway.
       val prefixes =
         if (sumDf2 < KernelMinExpansion) None
-        else Some(cosinePrefixes(w, minShared)
-          .persist(StorageLevel.MEMORY_AND_DISK))
+        else Some(cosinePrefixes(w, minShared).persist(lvl))
       val sumPDf2 = prefixes.map { p =>
         val pStat = p.groupBy("term").agg(count(lit(1)).as("pdf"))
           .agg(sum(col("pdf") * col("pdf"))).first()
@@ -1921,7 +2127,8 @@ object TextOps {
         spark.conf.set(key, joinParts.toString)
         Engine.eagerCheckpoint(
           if (usePrefix) cosinePairsPrefixFrom(w, minShared, prefixes.get)
-          else cosinePairsFrom(w, minShared, salted = maxDf > CosineBlockSize))
+          else cosinePairsFrom(w, minShared, salted = maxDf > CosineBlockSize),
+          lvl)
       } finally spark.conf.set(key, prev)
       prefixes.foreach(_.unpersist(true))
       r

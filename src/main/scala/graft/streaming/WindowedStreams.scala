@@ -335,17 +335,19 @@ object WindowedStreams {
     union > 0 && inter.toDouble >= threshold * union
   }
 
-  /** MinHash band bucket as a PER-ROW expression (band = 2 of the 4
-    * signature hashes, same banding as TextOps.lshNearDupPairs): each
-    * min-hash folds inside the shingle array via HOFs, so the signature
-    * costs zero shuffles and zero extra stateful operators — on a stream
-    * a groupBy-based signature would itself be an unbounded stateful agg.
-    * Callers filter to `hasShingles` first — shingle-less documents must
-    * never reach the stateful operator (see [[bandedDocs]]). */
+  /** MinHash band bucket as a PER-ROW expression (band =
+    * TextOps.MinhashRows of the signature hashes, same banding as
+    * TextOps.lshNearDupPairs): each min-hash folds inside the shingle
+    * array via HOFs, so the signature costs zero shuffles and zero
+    * extra stateful operators — on a stream a groupBy-based signature
+    * would itself be an unbounded stateful agg. Callers filter to
+    * `hasShingles` first — shingle-less documents must never reach the
+    * stateful operator (see [[bandedDocs]]). */
   private def bandBucket(band: Int, text: Column): Column = {
     import graft.operators.TextOps
+    val r = TextOps.MinhashRows
     val sh = TextOps.shingles(text)
-    val mhs = TextOps.minhashParams.slice(band * 2, band * 2 + 2).map {
+    val mhs = TextOps.minhashParams.slice(band * r, band * r + r).map {
       case (a, b) =>
         array_min(transform(sh,
           s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
@@ -505,7 +507,8 @@ object WindowedStreams {
     * consumers (an audit sink, a dedup ledger) dedupe pairs colliding in
     * both bands. */
   def nearDupHitLog(docs: DataFrame, tsCol: String = "ts",
-      watermark: String = "10 minutes", nBands: Int = 2,
+      watermark: String = "10 minutes",
+      nBands: Int = graft.operators.TextOps.MinhashBands,
       ttlMs: Long = 24L * 3600 * 1000): Dataset[DupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._

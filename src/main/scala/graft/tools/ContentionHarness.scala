@@ -1,0 +1,171 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Contention-robustness harness (round-10 VERDICT item 5): measures how
+  * much each bench query degrades when the box is under memory pressure,
+  * turning "the box was noisy" from folklore into a committed, repeatable
+  * per-query ratio.
+  *
+  * Shape: one JVM, two measurement phases over the same query list —
+  *   1. BASELINE: min-of-`repeats` wall per query, box as-is;
+  *   2. LOADED: the same measurement while `hogWorkers` background
+  *      processes churn pages — each loops writing a `hogGb`-GiB file to
+  *      tmpfs (/dev/shm) and deleting it. tmpfs pages are anonymous
+  *      memory (unswappable on a swapless box), so every cycle forces the
+  *      kernel to reclaim page cache and compact free memory — the
+  *      kswapd/kcompactd/kdamond storm signature that amplified the
+  *      round-9 driver bench's mining family 10–50× (SURVEY §8d),
+  *      reproduced on demand.
+  * The hog is started/stopped by THIS process and cleaned up in a finally
+  * (files deleted, processes destroyed) — a crashed run leaves at most
+  * one cycle's file, bounded by `hogGb`.
+  *
+  * Output: one JSON line per run (stdout + SPARK_GRAFT_BENCH_OUT mirror,
+  * default bench_out/contention.json) with per-query {idle, loaded,
+  * ratio} and the loadavg/meminfo before each phase. Queries run
+  * memo-cold per sample exactly like Bench (clearMinedPairs), so ratios
+  * measure the OPERATOR's robustness, not cache luck.
+  *
+  * Usage: runMain graft.tools.ContentionHarness [queriesCsv] [repeats]
+  *   [hogGb] [hogWorkers]   (defaults: mining family, 2, 24, 3) */
+object ContentionHarness {
+
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim
+    catch { case _: Throwable => "unavailable" }
+
+  private def availableGb(): Long =
+    try {
+      val mem = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/meminfo")))
+      mem.linesIterator.find(_.startsWith("MemAvailable:"))
+        .map(_.split("\\s+")(1).toLong / (1024 * 1024)).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  val DefaultQueries: Seq[String] = Seq(
+    "dedup_cdc_chunks", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_keep_best", "dedup_containment", "dedup_substring_spans",
+    "dedup_simhash_pairs", "dedup_lsh_pairs", "dedup_report",
+    "text_cosine_pairs", "q1_agg", "s3_catalog_join")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val queries =
+      if (args.length > 0 && args(0) != "default")
+        args(0).split(",").map(_.trim).toSeq
+      else DefaultQueries
+    val repeats = if (args.length > 1) args(1).toInt else 2
+    val hogGb = if (args.length > 2) args(2).toInt else 24
+    val hogWorkers = if (args.length > 3) args(3).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val fns = graft.SparkEntry.queries
+    val missing = queries.filterNot(fns.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+
+    def measure(phase: String): Map[String, Double] = {
+      System.err.println(s"[contention] phase=$phase loadavg=${loadavg()} " +
+        s"availGb=${availableGb()}")
+      queries.map { name =>
+        val samples = (1 to repeats).map { _ =>
+          graft.operators.TextOps.clearMinedPairs()
+          spark.sharedState.cacheManager.clearCache()
+          val persisted = spark.sparkContext.getPersistentRDDs.values
+          if (persisted.nonEmpty) { persisted.foreach(_.unpersist(true)); System.gc() }
+          val t0 = System.nanoTime()
+          fns(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(s"[contention] $phase $name " +
+          samples.map(s => f"$s%.2f").mkString(", "))
+        name -> samples.min
+      }.toMap
+    }
+
+    val idle = measure("baseline")
+
+    // Memory hog, two parts (tmpfs pages are unswappable on a swapless
+    // box, so they remove memory from the reclaimable pool for real):
+    //   - a HOLDER writes `hogGb` GiB to tmpfs once and sits on it, so
+    //     MemAvailable actually drops for the whole loaded phase;
+    //   - `hogWorkers` CHURNERS loop (write hogGb/4, delete), keeping
+    //     allocation + page-cache reclaim + compaction continuously
+    //     active in the shrunken pool.
+    // Cleanup kills by command-line marker (pkill -f graft_hog): the dd
+    // children outlive a destroyed parent bash, so destroying the
+    // Process alone leaves a writer running for minutes.
+    val churnGb = math.max(hogGb / 4, 4)
+    val holder = new ProcessBuilder("bash", "-c",
+      s"dd if=/dev/zero of=/dev/shm/graft_hog_hold bs=1M count=${hogGb * 1024} " +
+        "2>/dev/null; sleep 100000").redirectErrorStream(true).start()
+    val hogs = (0 until hogWorkers).map { i =>
+      new ProcessBuilder("bash", "-c",
+        s"sleep ${i * 3}; while true; do " +
+          s"dd if=/dev/zero of=/dev/shm/graft_hog_$i bs=1M count=${churnGb * 1024} " +
+          "2>/dev/null; rm -f /dev/shm/graft_hog_" + i + "; done")
+        .redirectErrorStream(true).start()
+    }
+    val loaded =
+      try {
+        // wait for the holder to actually occupy its pages (up to 120 s;
+        // an 85 GiB hold takes tens of seconds at memory bandwidth)
+        val holdPath = java.nio.file.Paths.get("/dev/shm/graft_hog_hold")
+        val target = hogGb.toLong * 1024 * 1024 * 1024 * 9 / 10
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+            (!java.nio.file.Files.exists(holdPath) ||
+              java.nio.file.Files.size(holdPath) < target))
+          Thread.sleep(2000)
+        measure("loaded")
+      }
+      finally {
+        (hogs :+ holder).foreach(_.destroyForcibly())
+        // the dd/sleep children are NOT in our process tree anymore —
+        // kill by marker, then sweep the files. The [h] bracket keeps
+        // the killer's own command line from matching its own pattern
+        // (classic pgrep idiom); the rm runs in a second shell so the
+        // glob text can't self-match either.
+        try {
+          new ProcessBuilder("bash", "-c",
+            "pkill -9 -f graft_[h]og || true").start().waitFor()
+          new ProcessBuilder("bash", "-c",
+            "rm -f /dev/shm/graft_hog_hold /dev/shm/graft_hog_[0-9]*")
+            .start().waitFor()
+        } catch { case _: Throwable => () }
+      }
+
+    val rows = queries.map { q =>
+      val r = loaded(q) / idle(q)
+      f""""$q":{"idle":${idle(q)}%.3f,"loaded":${loaded(q)}%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val worst = queries.map(q => loaded(q) / idle(q)).max
+    val json =
+      s"""{"tool":"contention","sf":"$sfDir","hog_gb":$hogGb,""" +
+      s""""hog_workers":$hogWorkers,"repeats":$repeats,""" +
+      f""""worst_ratio":$worst%.2f,"queries":$rows}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out/contention.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(json)
+    try spark.stop() catch { case _: Throwable => () }
+    System.exit(0)
+  }
+}
