@@ -60,7 +60,7 @@ object Bench {
     val only: Option[Set[String]] = args.headOption.filter(_ != "all")
       .map(_.split(",").map(_.trim).toSet)
     val repeats = if (args.length > 1) args(1).toInt else 3
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // same scale posture as Engine.builder: runtime re-planning, tiny
@@ -70,7 +70,23 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shuffle/spill files on tmpfs when available (single-box harness
+    // posture, the ramdisk-local-dir idiom of real deployments): at
+    // sf0.1 the shuffle files are MBs, but writing them through the
+    // DISK page path is the one I/O this suite cannot avoid — and
+    // round-10's ContentionHarness measured disk-path block writes
+    // stalling 7-30x during kernel memory-reclaim storms (this box's
+    // documented failure mode, SURVEY §8d). A cluster deployment sets
+    // spark.local.dir per node (YARN/K8s manage it) — this default is
+    // scoped to the bench JVM, not the library (Engine.builder is
+    // untouched).
+    val shmDir = new java.io.File("/dev/shm")
+    if (shmDir.isDirectory && shmDir.canWrite) {
+      val p = new java.io.File(shmDir, "graft-bench-local")
+      p.mkdirs()
+      builder.config("spark.local.dir", p.getAbsolutePath)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session init, codegen pipeline, parquet reader paths. The
     // second statement pushes one throwaway plan through the higher-order-

@@ -1449,9 +1449,7 @@ object SparkEntry {
     * definitions so the two sides cannot desynchronize. */
   private lazy val mmNearDupSql: String = {
     val dims = Multimodal.PerceptualDims
-    val bands = Multimodal.PerceptualBands
     val bits = Multimodal.PerceptualBandBits
-    val mask = (1L << bits) - 1
     val denom = Multimodal.NearDupL1Denom
     s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), """ +
       """ch AS (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS j FROM d0), """ +
@@ -1463,14 +1461,14 @@ object SparkEntry {
       """grid AS (SELECT d0.doc_id, kk.k, CAST(coalesce(cl.cell, 0) AS BIGINT) AS cell """ +
       """FROM d0 CROSS JOIN kk LEFT JOIN cl ON cl.doc_id = d0.doc_id AND cl.k = kk.k), """ +
       """tot AS (SELECT doc_id, CAST(sum(cell) AS BIGINT) AS total FROM grid GROUP BY doc_id), """ +
-      // DuckDB rejects 1<<63 (signed overflow); the top bit is the
-      // Long.MinValue literal — same 64-bit pattern Spark's 1L<<63 yields
-      s"""sg AS (SELECT g.doc_id, CAST(sum(CASE WHEN g.cell * $dims >= t.total """ +
-      s"""THEN CASE WHEN g.k = ${dims - 1} THEN CAST(${Long.MinValue} AS BIGINT) """ +
-      """ELSE CAST(1 AS BIGINT) << CAST(g.k AS INTEGER) END ELSE 0 END) AS BIGINT) AS sig """ +
-      """FROM grid g JOIN tot t ON g.doc_id = t.doc_id GROUP BY g.doc_id), """ +
-      s"""bk AS (SELECT doc_id, band, (sig >> CAST(band * $bits AS INTEGER)) & $mask AS bkey """ +
-      s"""FROM (SELECT doc_id, sig, unnest(range(0, $bands)) AS band FROM sg)), """ +
+      // per-band keys straight from the grid (the 128-bit signature no
+      // longer fits one BIGINT — round-10 contract change): band =
+      // k / bandBits, key bit = k mod bandBits; max shift 15, so no
+      // signed-overflow hack is needed
+      s"""bk AS (SELECT g.doc_id, g.k // $bits AS band, """ +
+      s"""CAST(sum(CASE WHEN g.cell * $dims >= t.total """ +
+      s"""THEN CAST(1 AS BIGINT) << CAST(g.k % $bits AS INTEGER) ELSE 0 END) AS BIGINT) AS bkey """ +
+      s"""FROM grid g JOIN tot t ON g.doc_id = t.doc_id GROUP BY 1, 2), """ +
       """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
       """FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), """ +
       """l1 AS (SELECT c.doc_a, c.doc_b, ta.total AS total_a, tb.total AS total_b, """ +

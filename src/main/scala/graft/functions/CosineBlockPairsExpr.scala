@@ -36,14 +36,17 @@ import org.apache.spark.sql.types._
   * (sameBlock) iterates positions i < j, the off-diagonal the full
   * A × B cross; `doc_a`/`doc_b` are canonicalized min/max afterwards.
   *
-  * Two internal strategies, chosen per evaluation from the actual sizes:
-  * - BITSET (dense vocab: words ≤ 4·avg terms/doc): each doc's term set
-  *   becomes a V-bit set; the `shared` gate is a popcount over the AND —
-  *   O(V/64) ≈ 15 longs on a 931-term vocab — and only gate survivors
-  *   pay the sorted-merge dot product.
-  * - MERGE (sparse: bitset words would exceed the merge cost): one
-  *   two-pointer pass over the sorted term ids computes shared and dotp
-  *   together, O(|a| + |b|) per pair.
+  * Two internal count strategies, chosen per evaluation from the actual
+  * sizes (both exact; only count survivors pay the sorted-merge dot
+  * product):
+  * - BITSET-AND (dense vocab: words ≤ 4·avg terms/doc): each doc's term
+  *   set becomes a V-bit set; `shared` is a popcount over the AND —
+  *   O(V/64) ≈ 15 longs on a 931-term vocab.
+  * - PROBE (wide vocab): the same V-bit sets index membership, but each
+  *   pair probes only the SHORTER side's terms — O(min(|a|, |b|))
+  *   branchless loads, independent of vocab width. Replaced the round-9
+  *   two-pointer count-merge (O(|a| + |b|) branchy steps), whose 1.25 B
+  *   walks were the measured ~30 s sf1 floor.
   *
   * CodegenFallback is deliberate and does NOT put interpretation in the
   * hot path: the expression is evaluated once per BLOCK PAIR (hundreds of
@@ -120,6 +123,7 @@ object CosineBlockPairsExpr {
       }
       bits
     }
+
   }
 
   /** `round(x, 6)` semantics (HALF_UP on the decimal rendering). */
@@ -127,27 +131,12 @@ object CosineBlockPairsExpr {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Sorted-merge passes, split so the weight arithmetic runs only for
-    * gate survivors (~0.07 % of pairs at sf1) and every per-pair return
-    * is a primitive. The measured kernel cost at sf1 IS the count-merge
-    * walk itself — 1.25 B two-pointer passes over ~45-term arrays ≈ 30 s
-    * across 32 threads (a combined Tuple2[Int, Double] return measured
-    * within noise: the tuple is @specialized) — which is the arithmetic
-    * floor of merge mode; the bitset mode (dense vocab) gates cheaper
-    * but this corpus's scaled vocabulary (25.7 k terms at sf1) makes the
-    * per-pair bitset scan wider than the merge. Dot pass folds in
-    * ascending-id order (deterministic). */
-  private def mergeShared(ta: Array[Int], tb: Array[Int]): Int = {
-    var i = 0; var j = 0; var shared = 0
-    while (i < ta.length && j < tb.length) {
-      val d = ta(i) - tb(j)
-      if (d == 0) { shared += 1; i += 1; j += 1 }
-      else if (d < 0) i += 1
-      else j += 1
-    }
-    shared
-  }
-
+  /** Sorted-merge dot product — paid only by count survivors (~0.07 %
+    * of pairs at sf1), so the branchy two-pointer walk is off the hot
+    * path (the round-9 kernel ran it per PAIR as the count strategy and
+    * it was the measured ~30 s sf1 floor; counting now goes through
+    * [[probeShared]] in the wide-vocab regime). Folds in ascending-id
+    * order (deterministic). */
   private def mergeDot(ta: Array[Int], wa: Array[Double],
       tb: Array[Int], wb: Array[Double]): Double = {
     var i = 0; var j = 0; var dot = 0.0
@@ -160,38 +149,73 @@ object CosineBlockPairsExpr {
     dot
   }
 
+  /** `shared` via membership probes of `ts` against a V-bit set —
+    * O(|ts|) branchless dependent loads (the other side's ~V/8-byte
+    * bitset is L1-resident), vs O(V/64) for the AND+popcount scan and
+    * O(|a| + |b|) branchy steps for the two-pointer merge. This is the
+    * wide-vocab regime's winner (round-10: ScaleGen's 25.7 k-term sf1
+    * vocab defeats the bitset-scan crossover and the count-merge walk
+    * was the measured ~30 s floor — SURVEY §8's "next lever"): the probe
+    * touches only the SHORTER side's terms, never the vocab width. */
+  private def probeShared(ts: Array[Int], bits: Array[Long],
+      off: Int): Int = {
+    var s = 0
+    var k = 0
+    while (k < ts.length) {
+      val t = ts(k)
+      s += ((bits(off + (t >>> 6)) >>> (t & 63)) & 1L).toInt
+      k += 1
+    }
+    s
+  }
+
   def run(aArr: ArrayData, bArr: ArrayData, diag: Boolean, minS: Int,
       vocab: Int): GenericArrayData = {
     val a = new Side(aArr)
     val b = if (diag) a else new Side(bArr)
     val words = (vocab + 63) >>> 6
-    // bitset pays when the AND+popcount scan beats the two-pointer merge;
-    // 4× is the measured crossover headroom (popcount ops are ~branchless,
-    // merge steps branch)
+    // Count-strategy selection, cheapest first (all three are EXACT —
+    // emitted pairs are bit-identical across strategies, pinned by
+    // CosineBlockPairsExprSpec):
+    //  - bitset AND+popcount when the vocab is narrow enough that the
+    //    V/64-word scan beats per-term work (4× headroom measured:
+    //    popcount ops are ~branchless, merge steps branch);
+    //  - membership PROBE otherwise: bitsets still index membership, but
+    //    each pair costs only the shorter side's |terms| dependent loads
+    //    — the wide-vocab regime where the round-9 kernel fell back to
+    //    the two-pointer count-merge and paid ~30 s at sf1.
+    // The merge walk survives only in mergeDot, which gate survivors
+    // (~0.07 % of pairs at sf1) alone pay.
     val avgTerms =
       if (a.n + b.n == 0) 0L
       else (a.totalTerms + b.totalTerms) / math.max(a.n + b.n, 1)
     val useBits = words <= 4 * math.max(avgTerms, 1)
-    val aBits = if (useBits) a.bitsets(words) else null
-    val bBits = if (!useBits) null else if (diag) aBits else b.bitsets(words)
+    val aBits = a.bitsets(words)
+    val bBits = if (diag) aBits else b.bitsets(words)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var i = 0
     while (i < a.n) {
+      val ta = a.terms(i)
+      val oa = i * words
       var j = if (diag) i + 1 else 0
       while (j < b.n) {
         val shared =
           if (useBits) {
             var s = 0
-            val oa = i * words; val ob = j * words
+            val ob = j * words
             var k = 0
             while (k < words) {
               s += java.lang.Long.bitCount(aBits(oa + k) & bBits(ob + k))
               k += 1
             }
             s
-          } else mergeShared(a.terms(i), b.terms(j))
+          } else {
+            val tb = b.terms(j)
+            if (ta.length <= tb.length) probeShared(ta, bBits, j * words)
+            else probeShared(tb, aBits, oa)
+          }
         if (shared >= minS) {
-          val dot = mergeDot(a.terms(i), a.ws(i), b.terms(j), b.ws(j))
+          val dot = mergeDot(ta, a.ws(i), b.terms(j), b.ws(j))
           emit(out, a.ids(i), b.ids(j), shared, dot, a.nrm(i) * b.nrm(j))
         }
         j += 1

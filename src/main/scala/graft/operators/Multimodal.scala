@@ -177,7 +177,16 @@ object Multimodal {
   // descriptor, SimHash-band candidate join, exact integer-L1 verify.
   // ---------------------------------------------------------------------
 
-  /** Perceptual descriptor width (pHash's 8×8 grid). */
+  /** Perceptual descriptor width (pHash's 8×8 grid). Round 10 MEASURED
+    * the "longer signature" alternative (128 cells / 8 bands) and
+    * rejected it: finer cells double a true near-dup pair's absolute
+    * Hamming distance while the pigeonhole-exact radius only grows
+    * 3 → 7, so real near-dup pairs fell out of every band — mm_near_dup
+    * returned 0 rows on the sf0.001 fixture. The quadratic candidate
+    * growth at scale is arrested by the hot-bucket cap on the banded
+    * join instead (see [[perceptualNearDupOf]] — the lshNearDupPairs
+    * hygiene pattern), which bounds cost without touching the recall
+    * contract. */
   val PerceptualDims = 64
   /** Band layout over the 64-bit signature: 4 bands × 16 bits. Wider
     * bands keep the candidate count scale-sane (random collision
@@ -213,41 +222,64 @@ object Multimodal {
     out
   }
 
-  /** Integer perceptual descriptor + pHash signature, one codec pass.
-    * Cells are recovered as exact integers from the codec's float
+  /** Integer perceptual descriptor + pHash-style signature, one codec
+    * pass. Cells are recovered as exact integers from the codec's float
     * descriptor (`round` — exact while values stay below 2^24, which the
     * decoder contract requires); `total` is their sum and signature bit k
     * is `cells(k) · dims ≥ total` (cell vs the mean cell — pure integer
-    * comparison, no float tie ambiguity for the oracle to diverge on). */
+    * comparison, no float tie ambiguity for the oracle to diverge on).
+    * The [[PerceptualDims]]-bit signature is packed little-endian into
+    * `bits` (bit k = word k/64, offset k mod 64) — an array so the
+    * contract survives any future dims change without a signed-overflow
+    * special case (round-10 generalization; one word at 64 dims). */
   case class PerceptualDesc(doc_id: Long, total: Long, cells: Array[Long],
-      sig: Long)
+      bits: Array[Long])
 
+  /** Decode the corpus into [[PerceptualDesc]]s. `quarantine = false`
+    * (default) fails fast on a decoder-contract violation with the doc
+    * id in the error — a corrupted CODEC is a deploy problem, not a data
+    * problem. `quarantine = true` drops out-of-contract documents from
+    * the descriptor relation instead (each drop logged), for
+    * corpus-scale pipelines where one hostile payload must not abort
+    * the job (round-10 ADVICE). */
   def perceptualDescriptors(df: DataFrame,
-      codec: MediaCodec = FakeCodec): Dataset[PerceptualDesc] = {
+      codec: MediaCodec = FakeCodec,
+      quarantine: Boolean = false): Dataset[PerceptualDesc] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val dec = codec.open()
-        it.map { case (id, bytes) =>
+        it.flatMap { case (id, bytes) =>
           val f = dec.perceptual(id, bytes)
-          require(f.length == PerceptualDims,
-            s"perceptual descriptor must be $PerceptualDims-dim, got ${f.length}")
-          val cells = f.map(v => math.round(v.toDouble))
-          // enforce the decoder contract instead of trusting it: cells
-          // must stay below 2^24 (float round-trip exactness AND the
-          // long-safety bound of the verify's cell·total products —
-          // 2^24 · Σcells(≤ 2^30) = 2^54 per term, 2^60 summed)
-          cells.foreach(c => require(c >= 0 && c < (1L << 24),
-            s"perceptual cell out of contract [0, 2^24) for doc $id: $c"))
-          val total = cells.sum
-          var sig = 0L
-          var k = 0
-          while (k < PerceptualDims) {
-            if (cells(k) * PerceptualDims >= total) sig |= 1L << k
-            k += 1
+          // enforce the decoder contract instead of trusting it:
+          // PerceptualDims cells, each below 2^24 (float round-trip
+          // exactness AND the long-safety bound of the verify's
+          // cell·total products — 2^24 · Σcells(≤ 2^30) = 2^54 per
+          // term, 2^60 summed)
+          val cells = if (f.length == PerceptualDims)
+            f.map(v => math.round(v.toDouble)) else Array.empty[Long]
+          val ok = cells.nonEmpty && cells.forall(c => c >= 0 && c < (1L << 24))
+          if (!ok && !quarantine)
+            throw new IllegalArgumentException(
+              s"perceptual descriptor out of contract for doc $id: " +
+                s"${f.length}-dim, cells must be $PerceptualDims × [0, 2^24)")
+          if (!ok) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"perceptualDescriptors: quarantined doc $id " +
+                "(decoder-contract violation)")
+            Iterator.empty
+          } else {
+            val total = cells.sum
+            val bits = new Array[Long]((PerceptualDims + 63) / 64)
+            var k = 0
+            while (k < PerceptualDims) {
+              if (cells(k) * PerceptualDims >= total)
+                bits(k >>> 6) |= 1L << (k & 63)
+              k += 1
+            }
+            Iterator.single(PerceptualDesc(id, total, cells, bits))
           }
-          PerceptualDesc(id, total, cells, sig)
         }
       }
   }
@@ -261,14 +293,48 @@ object Multimodal {
     * ⟺ normalized L1 ≤ 1/denom. Output carries the distance as floored
     * basis points — integer-exact on both engines. */
   def perceptualNearDupOf(df: DataFrame, codec: MediaCodec = FakeCodec,
-      l1Denom: Long = NearDupL1Denom): DataFrame = {
+      l1Denom: Long = NearDupL1Denom, maxBucketSize: Int = 4096,
+      isinLimit: Int = 1000): DataFrame = {
     // eager-job idiom: the banded self-join reads ONE materialization of
     // the codec pass (Catalyst shares no common subplans — an unpersisted
-    // relation would run the mapPartitions decode once per join side)
-    val desc = perceptualDescriptors(df, codec).toDF()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = graft.Engine.eagerCheckpoint(nearDupFromDesc(desc, l1Denom))
-    desc.unpersist(true)
+    // relation would run the mapPartitions decode once per join side).
+    // Storage medium size-adaptive via Engine.miningLevel.
+    val lvl = graft.Engine.miningLevel(df)
+    val banded = bandedOf(perceptualDescriptors(df, codec).toDF())
+      .persist(lvl)
+    // Hot-bucket cap — the lshNearDupPairs hygiene pattern, and the
+    // round-10 answer to the measured quadratic candidate growth at
+    // scale (19.8 k → 1.37 M candidates at 10× data: ScaleGen's
+    // perturbed copies share coarse segment profiles, so a popular band
+    // key squares in the self-join). Buckets over the cap are DROPPED
+    // from candidate generation, never silently: the census below logs
+    // how many buckets/memberships the cap removed. Members still pair
+    // through their other bands unless every shared band is hot.
+    val hot = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucketSize)
+      .collect()
+    if (hot.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"perceptualNearDup: dropped ${hot.length} band bucket(s) over " +
+          s"$maxBucketSize members " +
+          s"(${hot.map(_.getLong(2)).sum} memberships) from candidates")
+    val bandKey = concat_ws("|", col("band"), col("bkey"))
+    val kept =
+      if (hot.isEmpty) banded
+      else if (hot.length <= isinLimit)
+        banded.filter(!bandKey.isin(
+          hot.map(r => s"${r.getInt(0)}|${r.getLong(1)}").toSeq: _*))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        banded.join(
+          broadcast(hot.map(r => (r.getInt(0), r.getLong(1)))
+            .toSeq.toDF("band", "bkey")),
+          Seq("band", "bkey"), "left_anti")
+      }
+    val out = graft.Engine.eagerCheckpoint(verifyFromBanded(kept, l1Denom), lvl)
+    banded.unpersist(true)
     out
   }
 
@@ -283,15 +349,31 @@ object Multimodal {
     nearDupFromDesc(perceptualDescriptors(withPayload(spark, dir)).toDF(),
       NearDupL1Denom)
 
-  private def nearDupFromDesc(desc: DataFrame, l1Denom: Long): DataFrame = {
+  /** Capless composition for plan inspection and small relations. */
+  private def nearDupFromDesc(desc: DataFrame, l1Denom: Long): DataFrame =
+    verifyFromBanded(bandedOf(desc), l1Denom)
+
+  /** Descriptors exploded onto their band buckets: band b's key lives in
+    * packed-signature word (b·bits)/64 at offset (b·bits) mod 64 — band
+    * width divides 64, so a key never straddles words. */
+  private def bandedOf(desc: DataFrame): DataFrame = {
     val mask = (1L << PerceptualBandBits) - 1
-    val banded = desc.select(col("doc_id"), col("total"), col("cells"),
-      explode(array((0 until PerceptualBands).map(b =>
+    desc.select(col("doc_id"), col("total"), col("cells"),
+      explode(array((0 until PerceptualBands).map { b =>
+        val word = (b * PerceptualBandBits) / 64
+        val shift = (b * PerceptualBandBits) % 64
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * PerceptualBandBits).bitwiseAND(mask)
-            .as("bkey"))): _*)).as("bk"))
+          shiftright(element_at(col("bits"), word + 1), shift)
+            .bitwiseAND(mask).as("bkey"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("total"), col("cells"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Bucket self-join + exact integer-L1 verify over a (possibly
+    * hot-bucket-filtered) banded relation. */
+  private def verifyFromBanded(banded: DataFrame,
+      l1Denom: Long): DataFrame = {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -2022,8 +2022,9 @@ object TextOps {
   /** Kernel-eligibility bounds. Vocab cap: dense term ids must index a
     * per-doc bitset (V/8 bytes each — 8 KB at the cap) and the vocab-rank
     * window runs single-partition over V rows. Block bytes: one block's
-    * doc structs (≈ 12 B per index row + 48 B per doc) must fit a task
-    * comfortably alongside its bitsets. Max blocks: total kernel shuffle
+    * doc structs (≈ 12 B per index row + 48 B per doc) plus its V-bit
+    * membership sets (V/8 B per doc — both kernel count strategies build
+    * them) must fit a task. Max blocks: total kernel shuffle
     * is B × index bytes, so a corpus needing > 128 memory-sized blocks
     * pays more in replication than the expansion shuffle it avoids — fall
     * back to the inverted-index shapes. Gate factor: a shuffled+hash-
@@ -2082,15 +2083,27 @@ object TextOps {
     val nDocs =
       if (kernelCandidate) w.select("doc_id").distinct().count() else 0L
     val gatePairs = nDocs * math.max(nDocs - 1, 0L) / 2
-    val bytesEst = idxRows * 12 + nDocs * 48
+    // struct bytes + the per-doc V-bit membership sets the kernel builds
+    // per evaluation (V/8 bytes each — both count strategies index them)
+    val bytesEst = idxRows * 12 + nDocs * (48 + vocabN / 8)
     val bMem =
       math.max(1, math.ceil(bytesEst.toDouble / KernelBlockBytes).toInt)
     // enough block pairs for ~4 waves of tasks; tiny corpora keep blocks
     // of ≥ 64 docs so per-evaluation overhead never dominates
     val bPar = math.ceil((math.sqrt(8.0 * (4 * cores) + 1) - 1) / 2).toInt
-    val nBlocks = math.max(bMem,
-      math.min(bPar, math.ceil(nDocs / 64.0).toInt)).max(1)
-    val useKernel = kernelCandidate && bMem <= KernelMaxBlocks &&
+    // worst-case output floor (round-10 ADVICE): one evaluation buffers
+    // its qualifying pairs in memory before the explode, so block size
+    // caps the DEGENERATE bound (every pair qualifying) at
+    // (n/B)² ≈ 4 M rows ≈ 128 MB — realistic match rates emit KBs
+    val bBuf = math.max(1, math.ceil(nDocs / 2048.0).toInt)
+    // clamp to KernelMaxBlocks unconditionally (round-10 ADVICE: bPar
+    // on a very-high-core cluster previously escaped the cap, breaking
+    // the documented B×index shuffle-replication bound)
+    val nBlocks = math.max(math.max(bMem, bBuf),
+      math.min(bPar, math.ceil(nDocs / 64.0).toInt))
+      .max(1).min(KernelMaxBlocks)
+    val useKernel = kernelCandidate &&
+      math.max(bMem, bBuf) <= KernelMaxBlocks &&
       gatePairs <= KernelGateFactor * sumDf2
     // eager job semantics: every strategy reads the SAME cached index
     // materialization instead of executing the tokenize→tf→df pipeline

@@ -60,7 +60,7 @@ object ContentionHarness {
     val repeats = if (args.length > 1) args(1).toInt else 2
     val hogGb = if (args.length > 2) args(2).toInt else 24
     val hogWorkers = if (args.length > 3) args(3).toInt else 3
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -68,7 +68,16 @@ object ContentionHarness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // tmpfs local dir — same single-box posture as Bench (see its
+    // comment); the whole point of this harness is measuring the policy
+    // the bench actually runs
+    val shmDir = new java.io.File("/dev/shm")
+    if (shmDir.isDirectory && shmDir.canWrite) {
+      val p = new java.io.File(shmDir, "graft-bench-local")
+      p.mkdirs()
+      builder.config("spark.local.dir", p.getAbsolutePath)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/documents.parquet").count()

@@ -574,8 +574,9 @@ class QueriesSpec extends SparkSpec {
     val descs = Multimodal.perceptualDescriptors(payloads, QueriesSpec.ProbeCodec)
       .collect()
     // probe descriptor = [7, 0, 0, …]: exact integer recovery and the
-    // cell-vs-mean signature (only cell 0 is ≥ the mean) pin the contract
-    assert(descs.forall(d => d.total === 7L && d.sig === 1L))
+    // cell-vs-mean signature (only cell 0 is ≥ the mean) pin the
+    // contract — bit 0 of packed word 0
+    assert(descs.forall(d => d.total === 7L && d.bits.toSeq === Seq(1L)))
   }
 
   test("testdata invariant: documents text is ASCII (mm_near_dup oracle byte=char guard)") {
