@@ -161,13 +161,13 @@ class WindowedStreamsSpec extends SparkSpec {
     // equality is asserted below from the engine's own public hash chain,
     // so a hash-parameter change fails loudly instead of testing nothing.
     val base = "alpha beta gamma delta epsilon"
-    val collider = "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu"
+    val collider = "alpha beta gamma delta epsilon zeta eta xi omicron rho digamma"
     locally {
       import graft.operators.TextOps
       import org.apache.spark.sql.functions._
       val bucket = (text: String) => {
         val sh = TextOps.shingles(lit(text))
-        val mins = TextOps.minhashParams.take(2).map { case (a, b) =>
+        val mins = TextOps.minhashParams.take(TextOps.MinhashRows).map { case (a, b) =>
           array_min(transform(sh,
             s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
         }
@@ -204,7 +204,7 @@ class WindowedStreamsSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     // same bucket-sharing dissimilar pair as the verify test above
     val base = "alpha beta gamma delta epsilon"
-    val collider = "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu"
+    val collider = "alpha beta gamma delta epsilon zeta eta xi omicron rho digamma"
     val src = MemoryStream[DocEv]
     // maxOwners = 1: every emitted doc evicts the previous claimant
     val out = WindowedStreams.suppressNearDups(src.toDF(), maxOwners = 1)
@@ -236,14 +236,14 @@ class WindowedStreamsSpec extends SparkSpec {
     // three mutually-dissimilar docs sharing the band-0 bucket: base's two
     // minhash minima survive in both supersets (asserted below)
     val base = "alpha beta gamma delta epsilon"
-    val collider = "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu"
-    val collider2 = "alpha beta gamma delta epsilon nu xi omicron pi rho sigma"
+    val collider = "alpha beta gamma delta epsilon zeta eta xi omicron rho digamma"
+    val collider2 = "alpha beta gamma delta epsilon zeta eta pi upsilon heta san"
     locally {
       import graft.operators.TextOps
       import org.apache.spark.sql.functions._
       val bucket = (text: String) => {
         val sh = TextOps.shingles(lit(text))
-        val mins = TextOps.minhashParams.take(2).map { case (a, b) =>
+        val mins = TextOps.minhashParams.take(TextOps.MinhashRows).map { case (a, b) =>
           array_min(transform(sh,
             s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
         }
@@ -296,7 +296,7 @@ class WindowedStreamsSpec extends SparkSpec {
       import org.apache.spark.sql.functions._
       val bucket = (text: String) => {
         val sh = TextOps.shingles(lit(text))
-        val mins = TextOps.minhashParams.take(2).map { case (a, b) =>
+        val mins = TextOps.minhashParams.take(TextOps.MinhashRows).map { case (a, b) =>
           array_min(transform(sh,
             s => (lit(a) * TextOps.weakHash(s) + lit(b)) % TextOps.MOD))
         }
@@ -346,9 +346,11 @@ class WindowedStreamsSpec extends SparkSpec {
           "SELECT doc_a, doc_b, band, jaccard_bp FROM nddhits").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
         .toSet
-      // an exact duplicate collides in BOTH bands — two logged hits, each
-      // carrying the exact Jaccard (identical shingle sets = 10000 bp)
-      assert(hits === Set((1L, 3L, 0, 10000L), (1L, 3L, 1, 10000L)), hits)
+      // an exact duplicate collides in EVERY band — one logged hit per
+      // band, each carrying the exact Jaccard (identical shingle sets =
+      // 10000 bp); the expected set renders from the library geometry
+      assert(hits === (0 until graft.operators.TextOps.MinhashBands)
+        .map(b => (1L, 3L, b, 10000L)).toSet, hits)
     } finally q.stop()
   }
 
