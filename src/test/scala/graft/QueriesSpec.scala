@@ -194,6 +194,25 @@ class QueriesSpec extends SparkSpec {
       (401L, "twin text never seen before ok")).toDF("doc_id", "text")
     val kept = TextOps.dedupIncrementalOf(twins, seen).collect()
     assert(kept.forall(_.getBoolean(2)), kept.mkString(","))
+    // disk-backed frozen index (writeSeenIndex → readSeenIndex): the
+    // parquet snapshot round-trip must yield verdicts identical to the
+    // in-memory index — the at-scale storage form is not a different
+    // operator
+    val snap = java.nio.file.Files.createTempDirectory("graft-seenidx-spec")
+    TextOps.writeSeenIndex(TextOps.seenIndexOf(seen), snap.toString)
+    val viaDisk = TextOps.dedupIncrementalAgainst(fresh,
+        TextOps.readSeenIndex(spark, snap.toString), containment = true)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val viaMem = TextOps.dedupIncrementalOf(fresh, seen, containment = true)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(viaDisk.toSeq === viaMem.toSeq,
+      s"disk=${viaDisk.mkString(",")} mem=${viaMem.mkString(",")}")
   }
 
   test("LSH knn ranks are consistent with brute force where buckets agree") {
