@@ -67,6 +67,73 @@ object Kernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Hex(s: CharSequence): UTF8String = {
+    val d = md5Local.get().digest(
+      s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Byte](32)
+    val digits = "0123456789abcdef"
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = digits.charAt((d(i) >> 4) & 0xf).toByte
+      hex(2 * i + 1) = digits.charAt(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  /** [[weakHash]] over a char sequence without materializing a UTF8String
+    * — same arithmetic (UTF-16 code units, as charAt reads). */
+  private def weakHashChars(s: CharSequence): Long = {
+    val n = s.length
+    if (n == 0) return 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += s.charAt(i).toLong; i += 1 }
+    7L * n + 31L * s.charAt(0) + 17L * s.charAt(n - 1) + sum
+  }
+
+  /** CDC chunk keys of a token array, one pass: rolling [[weakHash]] over
+    * every `wk`-token window (window string = tokens joined by ' ', the
+    * concat_ws semantics), a hash ≡ 0 (mod `mod`) STARTS a new chunk, and
+    * each chunk's key is the md5 hex of its in-order hash values joined
+    * by '_' (the `Long.toString`/CAST-to-string rendering). Key-identical
+    * to the relational formulation it replaces (explode → doc-partitioned
+    * running-sum window → regroup — a full exchange + sort of the corpus
+    * token stream) and to the HOF fold twin (TextOps.cdcChunkKeysLambda),
+    * which pins value identity in QueriesSpec; the DuckDB oracle
+    * recomputes the same keys in SQL. Docs shorter than the window have
+    * no chunks (empty array). */
+  def cdcChunkKeys(words: ArrayData, wk: Int, mod: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    if (n < wk) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new java.util.ArrayList[Any]()
+    val cur = new java.lang.StringBuilder()
+    val win = new java.lang.StringBuilder()
+    var w = 0
+    while (w <= n - wk) {
+      win.setLength(0)
+      var j = 0
+      while (j < wk) {
+        if (j > 0) win.append(' ')
+        win.append(words.getUTF8String(w + j).toString)
+        j += 1
+      }
+      val hv = weakHashChars(win)
+      if (hv % mod == 0) { // hv ≥ 0 by construction, so % == pmod
+        if (cur.length > 0) out.add(md5Hex(cur))
+        cur.setLength(0)
+      }
+      if (cur.length > 0) cur.append('_')
+      cur.append(java.lang.Long.toString(hv))
+      w += 1
+    }
+    if (cur.length > 0) out.add(md5Hex(cur))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Σ aᵢ·bᵢ over two float arrays in double, index order — identical to
     * aggregate(zip_with(a, b, _*_), 0.0, _+_) on equal-length inputs. */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
@@ -129,6 +196,22 @@ case class WeakHashExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.weakHash($c)")
   override protected def withNewChildInternal(c: Expression): WeakHashExpr = copy(c)
+}
+
+/** cdc_chunk_keys(array<string>) → array<string>: the whole CDC chunker
+  * (rolling window hash → boundary split → per-chunk md5 key) as ONE
+  * codegen'd pass over the token array — chunking is doc-local, so no
+  * relational machinery (explode / window / regroup) belongs in it. */
+case class CdcChunkKeysExpr(child: Expression, windowTokens: Int,
+    boundaryMod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.cdcChunkKeys(v.asInstanceOf[ArrayData], windowTokens, boundaryMod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.cdcChunkKeys($c, $windowTokens, ${boundaryMod}L)")
+  override protected def withNewChildInternal(c: Expression): CdcChunkKeysExpr =
+    copy(child = c)
 }
 
 /** dot_ff(array<float>, array<float>) → double, codegen'd. */

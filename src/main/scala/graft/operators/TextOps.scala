@@ -214,11 +214,13 @@ object TextOps {
     * modality — at the cost of boundary-quantized resolution. Docs
     * shorter than the window width have no chunks and never pair.
     *
-    * Dataflow: per-doc window hashes → running boundary count (one
-    * doc-local window) → chunk key = md5 of the in-order hash sequence →
-    * df-capped key self-join → exact integer Jaccard on distinct-chunk
-    * counts. All shuffles are keyed (doc_id, then chunk key); candidates
-    * are bounded by the df cap exactly like [[dedupContainment]]. */
+    * Dataflow: per-doc window hashes → in-row boundary fold (an
+    * `aggregate` over the hash array — chunking is doc-local, so no
+    * exchange exists until the chunk keys themselves) → chunk key = md5
+    * of the in-order hash sequence → df-capped key self-join → exact
+    * integer Jaccard on distinct-chunk counts. The only shuffles are on
+    * the chunk key (~16× coarser than the token stream); candidates are
+    * bounded by the df cap exactly like [[dedupContainment]]. */
   def dedupCdcChunks(spark: SparkSession, dir: String,
       threshold: Double = DefaultNearDupThreshold): DataFrame =
     dedupCdcChunksOf(tbl(spark, dir, "documents"), threshold)
@@ -237,29 +239,65 @@ object TextOps {
 
   /** Per-doc distinct CDC chunk-key sets — (doc_id, ck), per-doc only
     * (no cross-doc dependency, no df cap), so audit-mode consumers
-    * ([[dedupReportFromPairs]]) can restrict it to the docs they touch. */
+    * ([[dedupReportFromPairs]]) can restrict it to the docs they touch.
+    *
+    * Chunking is DOC-LOCAL, so it folds entirely inside the row — ONE
+    * codegen'd kernel pass over the token array
+    * ([[graft.functions.CdcChunkKeysExpr]]: rolling window hash →
+    * boundary split → per-chunk md5 key). The previous formulation
+    * exploded one row per token position and recovered chunk ids with a
+    * doc-partitioned running-sum window — a full exchange + sort of the
+    * corpus's TOKEN STREAM (~16× the chunk relation) that bought
+    * nothing: at 100 TB that exchange is the operator's largest shuffle,
+    * and on the round-10 contention harness its sort/spill I/O made CDC
+    * the family's worst amplifier (7.4× under a memory hog). Chunk keys
+    * are byte-identical to the windowed formulation (pinned by
+    * QueriesSpec's insertion re-key case, the kernel ≡ HOF-fold twin
+    * case, and the DuckDB oracle's hash match). */
   private[graft] def cdcChunkSets(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keys = ColumnBridge.column(graft.functions.CdcChunkKeysExpr(
+      ColumnBridge.expression(tokens(col("text"))),
+      CdcWindowTokens, CdcBoundaryMod))
+    docs.select(col("doc_id"), explode(keys).as("ck")).distinct()
+  }
+
+  /** HOF-fold twin of the [[cdcChunkSets]] kernel (built-ins only) —
+    * kept for cross-validation: the fold state is (cur = the growing
+    * "_"-joined hash string of the open chunk, out = the closed chunks'
+    * md5 keys); a boundary hash closes the open chunk (if any) and opens
+    * a new one WITH itself as first member — exactly the
+    * running-sum-of-cuts chunk assignment, doc-locally. Correct but
+    * interpreted per element (measured 2.4× the query wall at sf0.1),
+    * hence the kernel. */
+  private[graft] def cdcChunkSetsLambda(docs: DataFrame): DataFrame = {
     val wk = CdcWindowTokens
-    val pos = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val hvs = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= wk)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (wk - 1)), i =>
-          struct(i.cast("long").as("pos"),
-            weakHash(concat_ws(" ", slice(col("w"), i, lit(wk))))
-              .as("hv")))).as("ph"))
-      .select(col("doc_id"), col("ph.pos").as("pos"), col("ph.hv").as("hv"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos
-      .withColumn("cut", when(pmod(col("hv"), lit(CdcBoundaryMod)) === 0, 1L)
-        .otherwise(0L))
-      .withColumn("chunk_id", sum(col("cut")).over(byDoc))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("hv")))).as("ph"))
-      .select(col("doc_id"),
-        md5(concat_ws("_",
-          transform(col("ph.hv"), h => h.cast("string"))).cast("binary"))
-          .as("ck"))
+        transform(sequence(lit(1), size(col("w")) - (wk - 1)), i =>
+          weakHash(concat_ws(" ", slice(col("w"), i, lit(wk))))).as("hv"))
+    val folded = hvs.select(col("doc_id"),
+      aggregate(
+        col("hv"),
+        struct(lit("").as("cur"), array().cast("array<string>").as("out")),
+        (acc, h) => {
+          val isCut = pmod(h, lit(CdcBoundaryMod)) === 0
+          val hs = h.cast("string")
+          val cur = acc.getField("cur")
+          val out = acc.getField("out")
+          struct(
+            when(isCut, hs)
+              .otherwise(when(cur === "", hs)
+                .otherwise(concat(cur, lit("_"), hs))).as("cur"),
+            when(isCut && cur =!= "", array_append(out, cur))
+              .otherwise(out).as("out"))
+        },
+        acc => when(acc.getField("cur") =!= "",
+          array_append(acc.getField("out"), acc.getField("cur")))
+          .otherwise(acc.getField("out"))).as("chunks"))
+    folded.select(col("doc_id"), explode(col("chunks")).as("cs"))
+      .select(col("doc_id"), md5(col("cs").cast("binary")).as("ck"))
       .distinct()
   }
 

@@ -36,6 +36,38 @@ object ContentionHarness {
       java.nio.file.Paths.get("/proc/loadavg"))).trim
     catch { case _: Throwable => "unavailable" }
 
+  /** Measured memory bandwidth (GB/s): 8 threads stream-sum disjoint
+    * slices of a 512 MB long array for ~1 s. The box's COMPUTE FLOOR
+    * under the hog — dd hogs write at memory bandwidth, so every
+    * bandwidth-bound workload (hash joins, sorts, shuffles) degrades at
+    * least by this probe's ratio even with zero I/O and zero GC. Query
+    * ratios at or under the membw ratio are PROPORTIONAL slowdown
+    * (hardware sharing), not a pathology of the operator. */
+  private def membwGbps(): Double = {
+    val words = 64 << 20 // 512 MB
+    val arr = new Array[Long](words)
+    java.util.Arrays.fill(arr, 3L)
+    val threads = 8
+    val slice = words / threads
+    val deadline = System.nanoTime() + 1000L * 1000 * 1000
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        val lo = t * slice; val hi = lo + slice
+        var sink = 0L
+        while (System.nanoTime() < deadline) {
+          var i = lo
+          while (i < hi) { sink += arr(i); i += 8 } // one load per cache line
+          bytes.addAndGet(slice.toLong * 8)
+        }
+        if (sink == 42) println("") // keep the loads live
+      })
+    }
+    val t0 = System.nanoTime()
+    pool.foreach(_.start()); pool.foreach(_.join())
+    bytes.get.toDouble / (System.nanoTime() - t0)
+  }
+
   private def availableGb(): Long =
     try {
       val mem = new String(java.nio.file.Files.readAllBytes(
@@ -86,9 +118,11 @@ object ContentionHarness {
     val missing = queries.filterNot(fns.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
 
+    val membw = scala.collection.mutable.Map.empty[String, Double]
     def measure(phase: String): Map[String, Double] = {
+      membw(phase) = membwGbps()
       System.err.println(s"[contention] phase=$phase loadavg=${loadavg()} " +
-        s"availGb=${availableGb()}")
+        s"availGb=${availableGb()} membwGbps=${f"${membw(phase)}%.1f"}")
       queries.map { name =>
         val samples = (1 to repeats).map { _ =>
           graft.operators.TextOps.clearMinedPairs()
@@ -162,9 +196,15 @@ object ContentionHarness {
       f""""$q":{"idle":${idle(q)}%.3f,"loaded":${loaded(q)}%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     val worst = queries.map(q => loaded(q) / idle(q)).max
+    // the box's bandwidth floor under this hog: ratios ≤ bwRatio are
+    // proportional hardware sharing, not operator pathology
+    val bwRatio = membw("baseline") / math.max(membw("loaded"), 1e-9)
     val json =
       s"""{"tool":"contention","sf":"$sfDir","hog_gb":$hogGb,""" +
       s""""hog_workers":$hogWorkers,"repeats":$repeats,""" +
+      f""""membw_idle_gbps":${membw("baseline")}%.1f,""" +
+      f""""membw_loaded_gbps":${membw("loaded")}%.1f,""" +
+      f""""membw_ratio":$bwRatio%.2f,""" +
       f""""worst_ratio":$worst%.2f,"queries":$rows}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_out/contention.json")

@@ -542,6 +542,24 @@ class QueriesSpec extends SparkSpec {
     assert(bp >= 5000, s"jaccard too low for a 1-token edit: $bp bp")
   }
 
+  test("cdc chunk keys: native kernel ≡ HOF-fold twin on real documents (sf0.001)") {
+    // the kernel (CdcChunkKeysExpr: one pass, codegen) and the built-ins
+    // fold must emit the SAME (doc_id, ck) set — the twin re-derives the
+    // window hashes, boundary splits, and md5 keys from independent
+    // machinery (transform/aggregate/md5), so a kernel bug in any of the
+    // three stages diverges here
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kernel = keys(TextOps.cdcChunkSets(docs))
+    val lambda = keys(TextOps.cdcChunkSetsLambda(docs))
+    assert(kernel.nonEmpty, "expected chunks at sf0.001")
+    assert(kernel === lambda,
+      s"kernel/lambda diverged: only-kernel=${(kernel -- lambda).take(3)} " +
+        s"only-lambda=${(lambda -- kernel).take(3)}")
+  }
+
   test("cosine pairs: all four strategies agree pairwise on real documents (sf0.001)") {
     // the synthetic fixture pins exactly-once pairing; this pins the
     // strategies on the REAL corpus shape (flat dfs, multi-term overlaps,
