@@ -123,6 +123,20 @@ object ContentionHarness {
       membw(phase) = membwGbps()
       System.err.println(s"[contention] phase=$phase loadavg=${loadavg()} " +
         s"availGb=${availableGb()} membwGbps=${f"${membw(phase)}%.1f"}")
+      try measureQueries(phase)
+      finally {
+        // sample the floor AGAIN at phase end and keep the worst: the
+        // churners ramp with staggered sleeps, so a start-of-phase-only
+        // probe can read near-idle bandwidth (measured: 65.6 of 69.8
+        // GB/s at loaded-phase start while in-phase control queries
+        // degraded 2.5-4x)
+        val end = membwGbps()
+        membw(phase) = math.min(membw(phase), end)
+        System.err.println(
+          f"[contention] phase=$phase end membwGbps=$end%.1f")
+      }
+    }
+    def measureQueries(phase: String): Map[String, Double] = {
       queries.map { name =>
         val samples = (1 to repeats).map { _ =>
           graft.operators.TextOps.clearMinedPairs()
