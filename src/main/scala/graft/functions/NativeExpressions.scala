@@ -134,6 +134,65 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Sign-projection simhash of a token array, one pass — per-token
+    * [[weakHash]], then for each bit j the ±1 sign of
+    * ((a_j·hv + b_j) mod 1000003)·2 > 1000003 accumulates over ALL token
+    * occurrences (duplicates count, as the relational groupBy-sum did);
+    * bit j sets iff its sum is positive. The (a_j, b_j) family is
+    * TextOps.simhashParams verbatim (a = 104729·(j+1) mod M,
+    * b = 15485863·(j+7) mod M) — the spec pins kernel ≡ the exploded
+    * groupBy formulation, and the DuckDB oracle recomputes the same
+    * integer math. nBits ≤ 60 keeps the signature positive in int64.
+    * No overflow: hv ≤ ~7·10⁵ for sane tokens and a < 10⁶ keeps a·hv+b
+    * far inside int64 (same arithmetic domain as the Catalyst twin). */
+  def simhashSig(words: ArrayData, nBits: Int): Long = {
+    val M = 1000003L
+    val n = words.numElements()
+    val sums = new Array[Long](nBits)
+    var i = 0
+    while (i < n) {
+      val hv = weakHash(words.getUTF8String(i))
+      var j = 0
+      while (j < nBits) {
+        val a = 104729L * (j + 1) % M
+        val b = 15485863L * (j + 7) % M
+        if (((a * hv + b) % M) * 2 > M) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) { if (sums(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  /** md5-hex key of every `k`-token window of a token array, in position
+    * order (window string = tokens joined by ' ', the concat_ws
+    * semantics) — one pass, byte-identical to
+    * explode(transform(sequence…, i => md5(concat_ws(' ', slice(w,i,k))))).
+    * Shorter docs yield an empty array. Shared by the substring-span and
+    * containment index builders (position via posexplode downstream). */
+  def windowHashes(words: ArrayData, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - k + 1)
+    val win = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      win.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) win.append(' ')
+        win.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = md5Hex(win)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Σ aᵢ·bᵢ over two float arrays in double, index order — identical to
     * aggregate(zip_with(a, b, _*_), 0.0, _+_) on equal-length inputs. */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
@@ -211,6 +270,37 @@ case class CdcChunkKeysExpr(child: Expression, windowTokens: Int,
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Kernels.cdcChunkKeys($c, $windowTokens, ${boundaryMod}L)")
   override protected def withNewChildInternal(c: Expression): CdcChunkKeysExpr =
+    copy(child = c)
+}
+
+/** simhash_sig(array<string>, nBits) → long: the whole sign-projection
+  * signature in one codegen'd pass over the token array — the relational
+  * formulation paid 60 interpreted conditional evaluations per TOKEN ROW
+  * plus an explode + per-doc aggregation for a value that is a pure
+  * function of the document. */
+case class SimhashSigExpr(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  require(nBits <= 60, s"signature must stay positive in int64 (got $nBits)")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.simhashSig(v.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashSig($c, $nBits)")
+  override protected def withNewChildInternal(c: Expression): SimhashSigExpr =
+    copy(child = c)
+}
+
+/** window_hashes(array<string>, k) → array<string>: md5 key per k-token
+  * window, one codegen'd pass (vs an interpreted md5 + concat_ws + slice
+  * lambda per window). */
+case class WindowHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.windowHashes(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.windowHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WindowHashesExpr =
     copy(child = c)
 }
 

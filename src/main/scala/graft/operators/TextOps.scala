@@ -147,6 +147,17 @@ object TextOps {
     * so downstream uses that need batching invariance (the incremental
     * containment check) can consume it per increment. */
   private[graft] def spanWindows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val whs = ColumnBridge.column(graft.functions.WindowHashesExpr(
+      ColumnBridge.expression(tokens(col("text"))), SpanSeedTokens))
+    docs.select(col("doc_id"), posexplode(whs).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("h"))
+  }
+
+  /** Built-ins twin of [[spanWindows]] (interpreted md5 + concat_ws +
+    * slice lambda per window) — kept for cross-validation of the
+    * one-pass [[graft.functions.WindowHashesExpr]] kernel. */
+  private[graft] def spanWindowsLambda(docs: DataFrame): DataFrame = {
     val k = SpanSeedTokens
     docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
@@ -302,13 +313,20 @@ object TextOps {
   }
 
   private def cdcChunksImpl(docs: DataFrame, threshold: Double,
-      eager: Boolean): DataFrame = {
-    val chunks = cdcChunkSets(docs)
+      eager: Boolean): DataFrame =
+    cdcChunksFromSets(cdcChunkSets(docs), threshold, eager,
+      if (eager) Engine.miningLevel(docs) else StorageLevel.NONE)
+
+  /** The CDC pair dataflow over a prepared distinct (doc_id, ck)
+    * chunk-set relation — the seam [[dedupReport]]'s one-scan artifact
+    * path enters through (its chunks explode from the shared artifact
+    * relation instead of a dedicated corpus scan). */
+  private[graft] def cdcChunksFromSets(chunks: DataFrame, threshold: Double,
+      eager: Boolean, lvl: StorageLevel): DataFrame = {
     val eligible = chunks.groupBy("ck")
       .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= CdcDfCap).select("ck")
     val sets0 = chunks.join(eligible, "ck")
-    val lvl = if (eager) Engine.miningLevel(docs) else StorageLevel.NONE
     val sets = if (eager) sets0.persist(lvl) else sets0
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ck"))
     val result = sets.as("a").join(sets.as("b"),
@@ -365,7 +383,21 @@ object TextOps {
     // both key-join sides read ONE materialization of the distinct
     // window sets; storage medium size-adaptive via Engine.miningLevel
     val lvl = Engine.miningLevel(docs)
-    val sets = spanIndexOf(docs).select(col("doc_id"), col("h")).distinct()
+    containmentFromWindows(spanWindows(docs), lvl)
+  }
+
+  /** Containment mining over a prepared exploded (doc_id, …, h)
+    * window-hash relation — the df cap, distinct sets, persist, and
+    * eager materialization of [[dedupContainmentOf]] from any window
+    * derivation (the one-scan artifact path of [[dedupReport]] enters
+    * here with windows exploded from the shared artifact relation). */
+  private[graft] def containmentFromWindows(windows: DataFrame,
+      lvl: StorageLevel): DataFrame = {
+    val eligible = windows.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") <= SpanDfCap).select("h")
+    val sets = windows.join(eligible, "h")
+      .select(col("doc_id"), col("h")).distinct()
       .persist(lvl)
     val out = Engine.eagerCheckpoint(containmentFromSets(sets), lvl)
     sets.unpersist(true)
@@ -422,7 +454,19 @@ object TextOps {
     ngramJaccardImpl(spark, dir, threshold, eager = false)
 
   private def ngramJaccardImpl(spark: SparkSession, dir: String,
-      threshold: Double, eager: Boolean): DataFrame = {
+      threshold: Double, eager: Boolean): DataFrame =
+    ngramJaccardFromShingles(
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), shingles(col("text")).as("sh")),
+      threshold, eager,
+      if (eager) Engine.miningLevel(tbl(spark, dir, "documents"))
+      else StorageLevel.NONE)
+
+  /** The PPJoin pair dataflow over a prepared (doc_id, sh) shingle
+    * relation — the seam [[dedupReport]]'s one-scan artifact path enters
+    * through. */
+  private[graft] def ngramJaccardFromShingles(docsSh: DataFrame,
+      threshold: Double, eager: Boolean, lvl: StorageLevel): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted (eager mode): the shingle arrays are reused by three plan
     // subtrees (inverted index build + both sides of the verify join) —
@@ -430,12 +474,7 @@ object TextOps {
     // MEMORY_AND_DISK (not cache(): on a cluster, shingle relations can
     // exceed executor memory) and explicitly unpersisted below once the
     // small result materializes — nothing pinned outlives the query.
-    val docs0 = tbl(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val lvl =
-      if (eager) Engine.miningLevel(tbl(spark, dir, "documents"))
-      else StorageLevel.NONE
+    val docs0 = docsSh.filter(size(col("sh")) > 0)
     val docs = if (eager) docs0.persist(lvl) else docs0
     val inv = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
       explode(col("sh")).as("s"))
@@ -609,15 +648,49 @@ object TextOps {
     * read through the per-JVM miner memo ([[minedMemo]]) — a pipeline
     * that already mined any modality pays ZERO re-mining here, and the
     * report itself is full-outer joins of those small relations on the
-    * pair key. The exact modality is a hash-equality self-join bounded
+    * pair key. Cold miners all derive from ONE shared corpus scan
+    * ([[docArtifacts]]: every per-doc artifact is map-only, so the five
+    * modalities' scans collapse to one cached projection — memo keys
+    * stay shared with the standalone miners because the derivations are
+    * identical). The exact modality is a hash-equality self-join bounded
     * by [[ExactDupGroupCap]] per duplicate group. */
+  /** One-scan per-doc artifact relation for the cross-modality report:
+    * every modality's per-doc artifact is a pure MAP-ONLY function of the
+    * text — md5 text hash (exact), shingle set (Jaccard), simhash
+    * signature, CDC chunk keys, containment window hashes — so ONE corpus
+    * scan derives them all, where the five standalone miners each pay
+    * their own scan + tokenize before their first exchange. At 100 TB
+    * that is the difference between reading the corpus five times and
+    * once. All five artifact columns evaluate inside one projection (the
+    * `split` feeding the three token-array kernels is a common
+    * subexpression), so consumers column-prune a single cached relation. */
+  private[graft] def docArtifacts(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = ColumnBridge.expression(tokens(col("text")))
+    def k(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ColumnBridge.column(e)
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      md5(col("text").cast("binary")).as("th"),
+      shingles(col("text")).as("sh"),
+      k(graft.functions.SimhashSigExpr(toks, SimhashBits)).as("sig"),
+      k(graft.functions.CdcChunkKeysExpr(toks, CdcWindowTokens,
+        CdcBoundaryMod)).as("cks"),
+      k(graft.functions.WindowHashesExpr(toks, SpanSeedTokens)).as("whs"))
+  }
+
   def dedupReport(spark: SparkSession, dir: String,
       jaccardThreshold: Double = DefaultNearDupThreshold,
       maxHamming: Int = 3,
       cdcThreshold: Double = DefaultNearDupThreshold): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    val hashed = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h"))
+    val lvl = Engine.miningLevel(docs)
+    // ONE corpus scan for all five modalities ([[docArtifacts]]); the
+    // persist is LAZY, so when every miner is already memo-warm the
+    // artifact relation never computes. Unpersisted (non-blocking) after
+    // the last consumer — each miner's output is checkpointed, so no
+    // lineage reaches back here.
+    val arts = docArtifacts(docs).persist(lvl)
+    val hashed = arts.select(col("doc_id"), col("th").as("h"))
     // group-size guard (the df-cap idiom): only hashes with 2..cap
     // members reach the pair self-join, so a degenerate group can never
     // square; dropped groups are logged, not silently vanished
@@ -630,15 +703,27 @@ object TextOps {
     // sf0.1: 11.3 s serial → see SURVEY §7.5). The memo registry is a
     // TrieMap and the four keys are distinct, so concurrent
     // getOrElseUpdate builds race-free; a warm memo returns instantly.
+    // Memo keys are SHARED with the standalone miners (values identical
+    // — the artifact path is the same derivation from a shared scan), so
+    // report and standalone mining reuse each other's pair graphs.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fOversized =
       Future(groupSizes.filter(col("g") > ExactDupGroupCap).count())
-    val fJac = Future(nearDupPairs(spark, dir, jaccardThreshold))
-    val fSh = Future(simhashPairsMined(spark, dir, maxHamming))
-    val fCdc = Future(cdcChunksMined(spark, dir, cdcThreshold))
-    val fCt = Future(containmentMined(spark, dir))
+    val fJac = Future(memoizedMiner(spark, dir, s"jaccard|$jaccardThreshold")(
+      ngramJaccardFromShingles(arts.select(col("doc_id"), col("sh")),
+        jaccardThreshold, eager = true, lvl)))
+    val fSh = Future(memoizedMiner(spark, dir, s"simhash|$maxHamming")(
+      simhashPairsFromSigs(arts.select(col("doc_id"), col("sig")),
+        maxHamming, lvl)))
+    val fCdc = Future(memoizedMiner(spark, dir, s"cdc|$cdcThreshold")(
+      cdcChunksFromSets(
+        arts.select(col("doc_id"), explode(col("cks")).as("ck")).distinct(),
+        cdcThreshold, eager = true, lvl)))
+    val fCt = Future(memoizedMiner(spark, dir, "containment")(
+      containmentFromWindows(
+        arts.select(col("doc_id"), explode(col("whs")).as("h")), lvl)))
     val oversized = Await.result(fOversized, Duration.Inf)
     if (oversized > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -666,7 +751,7 @@ object TextOps {
       .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
         col("containment_bp").as("contained_ba_bp"))
     val keys = Seq("doc_a", "doc_b")
-    ex.join(jac, keys, "full").join(sh, keys, "full")
+    val report = ex.join(jac, keys, "full").join(sh, keys, "full")
       .join(cdc, keys, "full")
       .join(cab, keys, "full").join(cba, keys, "full")
       .select(col("doc_a"), col("doc_b"),
@@ -680,6 +765,9 @@ object TextOps {
           when(col("contained_ab_bp").isNotNull ||
             col("contained_ba_bp").isNotNull, 1).otherwise(0))
           .cast("long").as("n_modalities"))
+    val out = Engine.eagerCheckpoint(report, lvl)
+    arts.unpersist(false)
+    out
   }
 
   /** AUDIT-mode dedup report — the "explain the pairs I already mined"
@@ -1035,8 +1123,28 @@ object TextOps {
       nBits: Int = SimhashBits): DataFrame =
     simhashSigOf(tbl(spark, dir, "documents"), nBits)
 
-  /** [[simhashSig]] over any (doc_id, text) relation. */
+  /** [[simhashSig]] over any (doc_id, text) relation — MAP-ONLY: the
+    * signature is a pure per-doc function, so it computes in one codegen'd
+    * kernel pass over the token array ([[graft.functions.SimhashSigExpr]]).
+    * The relational formulation (kept below as the cross-validation twin)
+    * exploded the token stream and paid `nBits` interpreted conditional
+    * sums per token row plus a per-doc aggregation — machinery a per-row
+    * expression never needs. Null-text docs drop (the twin's explode
+    * dropped them). */
   def simhashSigOf(docs: DataFrame, nBits: Int = SimhashBits): DataFrame = {
+    require(nBits <= 60, s"signature must stay positive in int64 (got $nBits)")
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        ColumnBridge.column(graft.functions.SimhashSigExpr(
+          ColumnBridge.expression(tokens(col("text"))), nBits)).as("sig"))
+  }
+
+  /** Exploded groupBy twin of [[simhashSigOf]] (built-ins only) — kept
+    * for cross-validation of the kernel: same weakHash, same
+    * (a·hv + b) mod M sign projection, same duplicate-token counting. */
+  private[graft] def simhashSigOfLambda(docs: DataFrame,
+      nBits: Int = SimhashBits): DataFrame = {
     require(nBits <= 60, s"signature must stay positive in int64 (got $nBits)")
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -1085,7 +1193,15 @@ object TextOps {
     // tokenize→hash→aggregate signature pipeline once per join side.
     // Storage medium size-adaptive via Engine.miningLevel.
     val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
-    val banded = bandedSimhash(spark, dir).persist(lvl)
+    simhashPairsFromSigs(simhashSig(spark, dir), maxHamming, lvl)
+  }
+
+  /** The banded mining dataflow over a prepared (doc_id, sig) signature
+    * relation — the seam [[dedupReport]]'s one-scan artifact path enters
+    * through. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+      lvl: StorageLevel): DataFrame = {
+    val banded = bandedSimhashFrom(sigs).persist(lvl)
     val out = Engine.eagerCheckpoint(simhashPairsFrom(banded, maxHamming), lvl)
     banded.unpersist(true)
     out
@@ -1099,9 +1215,12 @@ object TextOps {
     simhashPairsFrom(bandedSimhash(spark, dir), maxHamming)
 
   /** Signatures exploded onto their [[SimhashBands]] band buckets. */
-  private def bandedSimhash(spark: SparkSession, dir: String): DataFrame = {
+  private def bandedSimhash(spark: SparkSession, dir: String): DataFrame =
+    bandedSimhashFrom(simhashSig(spark, dir))
+
+  private def bandedSimhashFrom(sigs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
-    simhashSig(spark, dir).select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until SimhashBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * SimhashBandBits).bitwiseAND(mask)

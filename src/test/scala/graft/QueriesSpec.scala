@@ -542,6 +542,29 @@ class QueriesSpec extends SparkSpec {
     assert(bp >= 5000, s"jaccard too low for a 1-token edit: $bp bp")
   }
 
+  test("simhash signatures: native kernel ≡ exploded-groupBy twin on real documents (sf0.001)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = sigs(TextOps.simhashSigOf(docs))
+    val twin = sigs(TextOps.simhashSigOfLambda(docs))
+    assert(kernel.nonEmpty && kernel === twin,
+      s"diverged: ${kernel.toSet.diff(twin.toSet).take(3)}")
+  }
+
+  test("span windows: native kernel ≡ md5-lambda twin on real documents (sf0.001)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val kernel = rows(TextOps.spanWindows(docs))
+    val twin = rows(TextOps.spanWindowsLambda(docs))
+    assert(kernel.nonEmpty && kernel === twin,
+      s"diverged: only-kernel=${(kernel -- twin).take(3)} " +
+        s"only-twin=${(twin -- kernel).take(3)}")
+  }
+
   test("cdc chunk keys: native kernel ≡ HOF-fold twin on real documents (sf0.001)") {
     // the kernel (CdcChunkKeysExpr: one pass, codegen) and the built-ins
     // fold must emit the SAME (doc_id, ck) set — the twin re-derives the
