@@ -327,6 +327,28 @@ object NativeFunctions {
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** SQL-side integer parameter of a kernel expression — the kernels take
+    * Scala construction parameters (band width, window size, modulus), so
+    * their SQL forms require foldable integer literals. */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private[functions] def simhashSigFromSql(exprs: Seq[Expression]): Expression =
+    SimhashSigExpr(exprs.head,
+      if (exprs.length > 1) intLit(exprs(1), "graft_simhash_sig", "nBits")
+      else 60)
+  private[functions] def windowHashesFromSql(exprs: Seq[Expression]): Expression =
+    WindowHashesExpr(exprs.head,
+      intLit(exprs(1), "graft_window_hashes", "k"))
+  private[functions] def cdcChunkKeysFromSql(exprs: Seq[Expression]): Expression =
+    CdcChunkKeysExpr(exprs.head,
+      intLit(exprs(1), "graft_cdc_chunk_keys", "windowTokens"),
+      intLit(exprs(2), "graft_cdc_chunk_keys", "boundaryMod").toLong)
+
   /** Register as SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -335,6 +357,14 @@ object NativeFunctions {
       "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalizeExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => ShinglesExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_sig", simhashSigFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hashes", windowHashesFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_chunk_keys", cdcChunkKeysFromSql, "built-in")
   }
 }
 
@@ -354,6 +384,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShinglesExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSigExpr].getName, "graft_simhash_sig"),
+      NativeFunctions.simhashSigFromSql _))
+    e.injectFunction((
+      FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WindowHashesExpr].getName, "graft_window_hashes"),
+      NativeFunctions.windowHashesFromSql _))
+    e.injectFunction((
+      FunctionIdentifier("graft_cdc_chunk_keys"),
+      new ExpressionInfo(classOf[CdcChunkKeysExpr].getName, "graft_cdc_chunk_keys"),
+      NativeFunctions.cdcChunkKeysFromSql _))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan (the native
     // as-of join) — sessions without this extension get the strategy via
     // the public experimental hook in AsOfJoin.asofNative

@@ -1797,10 +1797,15 @@ object TextOps {
     val v = tbl(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+    // big/ctx are LEFT UNHINTED (the containmentFromSets discipline): at
+    // bench scale AQE broadcasts them — same plan a hint would force —
+    // but the distinct-bigram table of a 100 TB corpus outgrows any
+    // broadcast and must degrade to a shuffled join, which a hint would
+    // forbid. Only the one-row vocab count keeps its hint.
     occ
       .withColumn("w1", substring_index(col("term"), " ", 1))
-      .join(broadcast(big), "term")
-      .join(broadcast(ctx), "w1")
+      .join(big, "term")
+      .join(ctx, "w1")
       .crossJoin(broadcast(v))
       .select(col("doc_id"),
         log((col("cb") + 1).cast("double") / (col("cw") + col("v")))
@@ -1822,10 +1827,11 @@ object TextOps {
     // table is itself referenced twice (ctx derivation + probe join) and
     // is eagerly materialized (dedup-job idiom) — which also materializes
     // occ's cache before the probe reads it
-    val occ = lmOccurrences(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
+    val occ = lmOccurrences(spark, dir).persist(lvl)
     val big = Engine.eagerCheckpoint(
-      occ.groupBy("term").agg(count(lit(1)).as("cb")))
-    val out = Engine.eagerCheckpoint(lmScoreFrom(spark, dir, occ, big))
+      occ.groupBy("term").agg(count(lit(1)).as("cb")), lvl)
+    val out = Engine.eagerCheckpoint(lmScoreFrom(spark, dir, occ, big), lvl)
     occ.unpersist(true)
     out
   }

@@ -208,6 +208,37 @@ class NativeExprSpec extends SparkSpec {
     assert(d.nonEmpty && !d.head.isNullAt(0))
   }
 
+  test("SQL registration: the per-doc artifact kernels usable from spark.sql") {
+    graft.functions.NativeFunctions.register(spark)
+    // simhash over a 1-token doc: sign per bit of ((a·hv+b) mod M)·2 > M
+    val sig = spark.sql(
+      "SELECT graft_simhash_sig(split('abc', ' ')) AS s").collect().head.getLong(0)
+    val hv = 7L * 3 + 31L * 'a' + 17L * 'c' + ('a' + 'b' + 'c')
+    val M = 1000003L
+    val expected = (0 until 60).map { j =>
+      val a = 104729L * (j + 1) % M; val b = 15485863L * (j + 7) % M
+      if (((a * hv + b) % M) * 2 > M) 1L << j else 0L
+    }.sum
+    assert(sig === expected)
+    // window hashes: md5 of the join of each k-window
+    val wh = spark.sql(
+      "SELECT graft_window_hashes(split('a b c', ' '), 2) AS w")
+      .collect().head.getSeq[String](0)
+    assert(wh.length === 2 && wh.forall(_.length == 32))
+    // cdc chunk keys over a short doc: non-empty, 32-hex keys
+    val ck = spark.sql(
+      "SELECT graft_cdc_chunk_keys(split('a b c d e f', ' '), 4, 16) AS c")
+      .collect().head.getSeq[String](0)
+    assert(ck.nonEmpty && ck.forall(_.length == 32))
+    // non-literal parameter must fail loudly, not mis-plan
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_window_hashes(split('a b', ' '), length('xx'))")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.contains("graft_window_hashes"))
+  }
+
   test("kernel stays inside whole-stage codegen (no fallback)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = e.select(NativeFunctions.dot_ff(col("embedding"), col("embedding")).as("d"))

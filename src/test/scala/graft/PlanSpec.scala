@@ -399,6 +399,23 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("per-doc artifact kernels: no Window node anywhere in the cdc/containment dataflows") {
+    // the round-10 kernels moved chunking/signatures/window-hashing into
+    // the row — a Window (doc-partitioned sort of the token stream) in
+    // these plans means the relational formulation leaked back in
+    val cdc = planString(graft.operators.TextOps.dedupCdcChunksLazy(spark, dir))
+    assert(!cdc.contains("Window"), s"cdc regained a window exchange:\n$cdc")
+    val ct = planString(graft.operators.TextOps.dedupContainmentLazy(spark, dir))
+    assert(!ct.contains("Window"), s"containment regained a window exchange:\n$ct")
+    // simhash signatures are map-only: a single stage over the scan — no
+    // exchange at all before the (doc_id, sig) projection
+    val sig = planString(graft.operators.TextOps.simhashSig(spark, dir))
+    assert(!sig.contains("Exchange"),
+      s"simhash signature derivation regained an exchange:\n$sig")
+    assert(!sig.contains("Generate"),
+      s"simhash signature derivation regained a token explode:\n$sig")
+  }
+
   test("runtime bloom filter prunes the fact side of a non-broadcast join") {
     // The 100 TB fact⋈fact shape: when the selective side is too big to
     // broadcast, Spark 4's runtime bloom filter (default-on) builds a
