@@ -21,17 +21,12 @@ object Kernels {
 
   /** weakHash kernel — must stay value-identical to TextOps.weakHash and
     * the DuckDB oracle rendering: 7·len + 31·first + 17·last + Σ chars
-    * (char-code based; corpus is ASCII so bytes == chars == code points). */
-  def weakHash(s: UTF8String): Long = {
-    if (s == null) return 0L
-    val str = s.toString
-    val n = str.length
-    if (n == 0) return 0L
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += str.charAt(i).toLong; i += 1 }
-    7L * n + 31L * str.charAt(0) + 17L * str.charAt(n - 1) + sum
-  }
+    * (char-code based; corpus is ASCII so bytes == chars == code points).
+    * One hash loop exists ([[weakHashChars]]) — this is the UTF8String
+    * entry point, so the arithmetic cannot drift between the per-row
+    * kernel and the window/chunk kernels that hash char buffers. */
+  def weakHash(s: UTF8String): Long =
+    if (s == null) 0L else weakHashChars(s.toString)
 
   /** Distinct 3-word shingles of a space-tokenized string, one pass.
     * Must match: split(' ') (Java semantics: trailing empties dropped,
@@ -86,7 +81,7 @@ object Kernels {
 
   /** [[weakHash]] over a char sequence without materializing a UTF8String
     * — same arithmetic (UTF-16 code units, as charAt reads). */
-  private def weakHashChars(s: CharSequence): Long = {
+  private[functions] def weakHashChars(s: CharSequence): Long = {
     val n = s.length
     if (n == 0) return 0L
     var sum = 0L
@@ -109,18 +104,14 @@ object Kernels {
   def cdcChunkKeys(words: ArrayData, wk: Int, mod: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = words.numElements()
     if (n < wk) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val toks = tokenStrings(words)
     val out = new java.util.ArrayList[Any]()
     val cur = new java.lang.StringBuilder()
     val win = new java.lang.StringBuilder()
     var w = 0
     while (w <= n - wk) {
       win.setLength(0)
-      var j = 0
-      while (j < wk) {
-        if (j > 0) win.append(' ')
-        win.append(words.getUTF8String(w + j).toString)
-        j += 1
-      }
+      appendWindow(win, toks, w, wk)
       val hv = weakHashChars(win)
       if (hv % mod == 0) { // hv ≥ 0 by construction, so % == pmod
         if (cur.length > 0) out.add(md5Hex(cur))
@@ -148,23 +139,75 @@ object Kernels {
   def simhashSig(words: ArrayData, nBits: Int): Long = {
     val M = 1000003L
     val n = words.numElements()
+    // projection params hoisted out of the token loop (they are a pure
+    // function of the bit index; recomputing them per token paid two
+    // mod-multiplications per token per bit in the hot kernel)
+    val as = new Array[Long](nBits)
+    val bs = new Array[Long](nBits)
+    var j = 0
+    while (j < nBits) {
+      as(j) = 104729L * (j + 1) % M
+      bs(j) = 15485863L * (j + 7) % M
+      j += 1
+    }
     val sums = new Array[Long](nBits)
     var i = 0
     while (i < n) {
-      val hv = weakHash(words.getUTF8String(i))
-      var j = 0
-      while (j < nBits) {
-        val a = 104729L * (j + 1) % M
-        val b = 15485863L * (j + 7) % M
-        if (((a * hv + b) % M) * 2 > M) sums(j) += 1 else sums(j) -= 1
-        j += 1
+      val u = words.getUTF8String(i)
+      if (u == null) {
+        // relational-twin parity: a null token's hv is NULL, the sign
+        // condition is NULL, and when(...).otherwise(-1) contributes -1
+        j = 0
+        while (j < nBits) { sums(j) -= 1; j += 1 }
+      } else {
+        val hv = weakHashChars(u.toString)
+        j = 0
+        while (j < nBits) {
+          if (((as(j) * hv + bs(j)) % M) * 2 > M) sums(j) += 1
+          else sums(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
     var sig = 0L
-    var j = 0
+    j = 0
     while (j < nBits) { if (sums(j) > 0) sig |= 1L << j; j += 1 }
     sig
+  }
+
+  /** Token array materialized to Strings once per call — each token joins
+    * up to window-width windows, so reading through ArrayData per window
+    * would re-decode UTF-8 window-width times. Null elements stay null
+    * (the window builders skip them with concat_ws semantics). */
+  private def tokenStrings(words: ArrayData): Array[String] = {
+    val n = words.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = words.getUTF8String(i)
+      toks(i) = if (u == null) null else u.toString
+      i += 1
+    }
+    toks
+  }
+
+  /** Append tokens [from, from+k) to `win` joined by ' ', skipping null
+    * elements — exactly concat_ws(" ", slice(...)) semantics, which the
+    * relational twins (and therefore the oracle) use. */
+  private def appendWindow(win: java.lang.StringBuilder,
+      toks: Array[String], from: Int, k: Int): Unit = {
+    var j = 0
+    var first = true
+    while (j < k) {
+      val t = toks(from + j)
+      if (t != null) {
+        if (!first) win.append(' ')
+        win.append(t)
+        first = false
+      }
+      j += 1
+    }
   }
 
   /** md5-hex key of every `k`-token window of a token array, in position
@@ -176,17 +219,13 @@ object Kernels {
   def windowHashes(words: ArrayData, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = words.numElements()
     if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val toks = tokenStrings(words)
     val out = new Array[Any](n - k + 1)
     val win = new java.lang.StringBuilder()
     var i = 0
     while (i <= n - k) {
       win.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) win.append(' ')
-        win.append(words.getUTF8String(i + j).toString)
-        j += 1
-      }
+      appendWindow(win, toks, i, k)
       out(i) = md5Hex(win)
       i += 1
     }
@@ -263,6 +302,8 @@ case class WeakHashExpr(child: Expression) extends UnaryExpression {
   * relational machinery (explode / window / regroup) belongs in it. */
 case class CdcChunkKeysExpr(child: Expression, windowTokens: Int,
     boundaryMod: Long) extends UnaryExpression {
+  require(windowTokens > 0, s"windowTokens must be positive (got $windowTokens)")
+  require(boundaryMod > 0, s"boundaryMod must be positive (got $boundaryMod)")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Kernels.cdcChunkKeys(v.asInstanceOf[ArrayData], windowTokens, boundaryMod)
@@ -295,6 +336,7 @@ case class SimhashSigExpr(child: Expression, nBits: Int)
   * lambda per window). */
 case class WindowHashesExpr(child: Expression, k: Int)
     extends UnaryExpression {
+  require(k > 0, s"window width must be positive (got $k)")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Kernels.windowHashes(v.asInstanceOf[ArrayData], k)
@@ -329,12 +371,22 @@ object NativeFunctions {
 
   /** SQL-side integer parameter of a kernel expression — the kernels take
     * Scala construction parameters (band width, window size, modulus), so
-    * their SQL forms require foldable integer literals. */
-  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+    * their SQL forms require foldable integer literals. Long-typed
+    * literals are accepted for Int parameters only when they fit (a
+    * silent toInt would wrap a >32-bit value into a wrong — or zero —
+    * parameter). */
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = {
+    val v = longLit(e, fn, arg)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: $arg must fit in a 32-bit integer literal, got $v")
+    v.toInt
   }
 
   private[functions] def simhashSigFromSql(exprs: Seq[Expression]): Expression =
@@ -347,7 +399,7 @@ object NativeFunctions {
   private[functions] def cdcChunkKeysFromSql(exprs: Seq[Expression]): Expression =
     CdcChunkKeysExpr(exprs.head,
       intLit(exprs(1), "graft_cdc_chunk_keys", "windowTokens"),
-      intLit(exprs(2), "graft_cdc_chunk_keys", "boundaryMod").toLong)
+      longLit(exprs(2), "graft_cdc_chunk_keys", "boundaryMod"))
 
   /** Register as SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -169,10 +169,17 @@ object TextOps {
   }
 
   /** Position-keyed seed-window inverted index, df-capped. */
-  private def spanIndexOf(docs: DataFrame): DataFrame = {
-    val sh = spanWindows(docs)
-    // df-cap: the aggregate and the join probe share the hash-by-h
-    // exchange (AQE exchange reuse); eligible keys join back as a filter
+  private def spanIndexOf(docs: DataFrame): DataFrame =
+    dfCapWindows(spanWindows(docs))
+
+  /** THE window df-cap — one definition for every consumer (the span
+    * index, the eager containment path, the report's artifact path), so
+    * the cap semantics cannot diverge between the shipped operators and
+    * their plan-inspection twins. Input: any (doc_id, …, h) exploded
+    * window relation; output: the same relation restricted to keys in at
+    * most [[SpanDfCap]] documents. The aggregate and the join probe share
+    * the hash-by-h exchange (AQE exchange reuse). */
+  private def dfCapWindows(sh: DataFrame): DataFrame = {
     val eligible = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") <= SpanDfCap).select("h")
@@ -393,10 +400,7 @@ object TextOps {
     * here with windows exploded from the shared artifact relation). */
   private[graft] def containmentFromWindows(windows: DataFrame,
       lvl: StorageLevel): DataFrame = {
-    val eligible = windows.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") <= SpanDfCap).select("h")
-    val sets = windows.join(eligible, "h")
+    val sets = dfCapWindows(windows)
       .select(col("doc_id"), col("h")).distinct()
       .persist(lvl)
     val out = Engine.eagerCheckpoint(containmentFromSets(sets), lvl)
@@ -690,7 +694,20 @@ object TextOps {
     // the last consumer — each miner's output is checkpointed, so no
     // lineage reaches back here.
     val arts = docArtifacts(docs).persist(lvl)
-    val hashed = arts.select(col("doc_id"), col("th").as("h"))
+    // the exact modality reads the md5 column THROUGH the artifact cache
+    // only when some miner is cold (the cache is being paid for anyway —
+    // materializing a cached relation builds batches for ALL its
+    // columns); with every miner memo-warm it projects the raw scan
+    // instead, so a warm report never runs the artifact kernels
+    val appId = spark.sparkContext.applicationId
+    val allWarm = Seq(s"jaccard|$jaccardThreshold", s"simhash|$maxHamming",
+      s"cdc|$cdcThreshold", "containment")
+      .forall(k => minedMemo.contains((appId, dir, k)))
+    val hashed =
+      if (allWarm)
+        docs.filter(col("text").isNotNull).select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h"))
+      else arts.select(col("doc_id"), col("th").as("h"))
     // group-size guard (the df-cap idiom): only hashes with 2..cap
     // members reach the pair self-join, so a degenerate group can never
     // square; dropped groups are logged, not silently vanished

