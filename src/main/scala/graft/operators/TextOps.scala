@@ -685,8 +685,25 @@ object TextOps {
   def dedupReport(spark: SparkSession, dir: String,
       jaccardThreshold: Double = DefaultNearDupThreshold,
       maxHamming: Int = 3,
-      cdcThreshold: Double = DefaultNearDupThreshold): DataFrame = {
-    val docs = tbl(spark, dir, "documents")
+      cdcThreshold: Double = DefaultNearDupThreshold): DataFrame =
+    reportImpl(tbl(spark, dir, "documents"), jaccardThreshold, maxHamming,
+      cdcThreshold, memoCtx = Some((spark, dir)))
+
+  /** [[dedupReport]] over any (doc_id, text) relation — the Of-variant
+    * every other dedup operator has. No miner memoization (the memo
+    * registry keys on the immutable-testdata-dir contract, which an
+    * arbitrary relation has no analogue of); every modality mines fresh
+    * from the shared one-scan artifact relation. */
+  def dedupReportOf(docs: DataFrame,
+      jaccardThreshold: Double = DefaultNearDupThreshold,
+      maxHamming: Int = 3,
+      cdcThreshold: Double = DefaultNearDupThreshold): DataFrame =
+    reportImpl(docs, jaccardThreshold, maxHamming, cdcThreshold,
+      memoCtx = None)
+
+  private def reportImpl(docs: DataFrame, jaccardThreshold: Double,
+      maxHamming: Int, cdcThreshold: Double,
+      memoCtx: Option[(SparkSession, String)]): DataFrame = {
     val lvl = Engine.miningLevel(docs)
     // ONE corpus scan for all five modalities ([[docArtifacts]]); the
     // persist is LAZY, so when every miner is already memo-warm the
@@ -694,15 +711,23 @@ object TextOps {
     // the last consumer — each miner's output is checkpointed, so no
     // lineage reaches back here.
     val arts = docArtifacts(docs).persist(lvl)
+    // mined-pair routing: through the per-JVM memo when a (dir) context
+    // exists, fresh otherwise (the Of-variant)
+    def mined(key: String)(build: => DataFrame): DataFrame = memoCtx match {
+      case Some((spark, dir)) => memoizedMiner(spark, dir, key)(build)
+      case None => build
+    }
     // the exact modality reads the md5 column THROUGH the artifact cache
     // only when some miner is cold (the cache is being paid for anyway —
     // materializing a cached relation builds batches for ALL its
     // columns); with every miner memo-warm it projects the raw scan
     // instead, so a warm report never runs the artifact kernels
-    val appId = spark.sparkContext.applicationId
-    val allWarm = Seq(s"jaccard|$jaccardThreshold", s"simhash|$maxHamming",
-      s"cdc|$cdcThreshold", "containment")
-      .forall(k => minedMemo.contains((appId, dir, k)))
+    val allWarm = memoCtx.exists { case (spark, dir) =>
+      val appId = spark.sparkContext.applicationId
+      Seq(s"jaccard|$jaccardThreshold", s"simhash|$maxHamming",
+        s"cdc|$cdcThreshold", "containment")
+        .forall(k => minedMemo.contains((appId, dir, k)))
+    }
     val hashed =
       if (allWarm)
         docs.filter(col("text").isNotNull).select(col("doc_id"),
@@ -728,17 +753,17 @@ object TextOps {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fOversized =
       Future(groupSizes.filter(col("g") > ExactDupGroupCap).count())
-    val fJac = Future(memoizedMiner(spark, dir, s"jaccard|$jaccardThreshold")(
+    val fJac = Future(mined(s"jaccard|$jaccardThreshold")(
       ngramJaccardFromShingles(arts.select(col("doc_id"), col("sh")),
         jaccardThreshold, eager = true, lvl)))
-    val fSh = Future(memoizedMiner(spark, dir, s"simhash|$maxHamming")(
+    val fSh = Future(mined(s"simhash|$maxHamming")(
       simhashPairsFromSigs(arts.select(col("doc_id"), col("sig")),
         maxHamming, lvl)))
-    val fCdc = Future(memoizedMiner(spark, dir, s"cdc|$cdcThreshold")(
+    val fCdc = Future(mined(s"cdc|$cdcThreshold")(
       cdcChunksFromSets(
         arts.select(col("doc_id"), explode(col("cks")).as("ck")).distinct(),
         cdcThreshold, eager = true, lvl)))
-    val fCt = Future(memoizedMiner(spark, dir, "containment")(
+    val fCt = Future(mined("containment")(
       containmentFromWindows(
         arts.select(col("doc_id"), explode(col("whs")).as("h")), lvl)))
     val oversized = Await.result(fOversized, Duration.Inf)

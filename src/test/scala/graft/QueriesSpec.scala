@@ -542,6 +542,18 @@ class QueriesSpec extends SparkSpec {
     assert(bp >= 5000, s"jaccard too low for a 1-token edit: $bp bp")
   }
 
+  test("dedup report: Of-variant over the raw relation equals the dir-based op") {
+    TextOps.clearMinedPairs()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaDir = rows(TextOps.dedupReport(spark, dir))
+    val viaOf = rows(TextOps.dedupReportOf(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))))
+    assert(viaDir.nonEmpty && viaDir === viaOf)
+    TextOps.clearMinedPairs()
+  }
+
   test("dedup report: memo-warm rerun equals the cold run (and skips the artifact scan)") {
     TextOps.clearMinedPairs()
     def rows(df: org.apache.spark.sql.DataFrame) =
