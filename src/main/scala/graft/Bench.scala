@@ -28,10 +28,13 @@ import org.apache.spark.sql.SparkSession
   *             sample, so no sample ever reads another's work). Default
   *             raised 2 → 3 in round 5: this box's kernel memory-reclaim
   *             daemons (kdamond/kcompactd) produce multi-second stalls in
-  *             BURSTS, so two consecutive samples can both land in one bad
-  *             phase (measured: the same mining query 51 s, 5.5 s, 2.8 s
-  *             within one JVM, and 8 s cold in the next) — a third sample
-  *             makes the min robust to a single storm.
+  *             BURSTS. Since round 11 the samples are INTERLEAVED (pass k
+  *             runs the whole query list once — see the loop comment):
+  *             storms on this box last minutes, so consecutive samples of
+  *             one query all landed inside one storm and its min read
+  *             10-25× high while the neighbors' read true — the round-10
+  *             recorded artifact's dedup_clusters (90/113/56 s vs 2-3 s
+  *             idle) was exactly this measurement artifact.
   *
   * A query that throws is reported in an `errors` map (name → exception
   * class) and its wall-clock entry is negated — a broken query must never
@@ -86,7 +89,25 @@ object Bench {
       p.mkdirs()
       builder.config("spark.local.dir", p.getAbsolutePath)
     }
+    // A/B lever for the eager-materialization policy (round-10 VERDICT
+    // item 7): SPARK_GRAFT_RELIABLE_CKPT=true switches every pair-mining
+    // materialization from executor-resident localCheckpoint blocks to
+    // reliable checkpoint files under the (tmpfs when available) local
+    // dir — so the driver protocol can measure local vs reliable blocks
+    // under co-tenant storms without a code change.
+    val reliable = sys.env.get("SPARK_GRAFT_RELIABLE_CKPT")
+      .exists(_.toBoolean)
+    if (reliable) {
+      builder.config(graft.Engine.ReliableCheckpointKey, "true")
+      builder.config("spark.cleaner.referenceTracking.cleanCheckpoints",
+        "true")
+    }
     val spark = builder.getOrCreate()
+    if (reliable) {
+      val base = spark.sparkContext.getConf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir"))
+      spark.sparkContext.setCheckpointDir(s"$base/graft-reliable-ckpt")
+    }
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session init, codegen pipeline, parquet reader paths. The
     // second statement pushes one throwaway plan through the higher-order-
@@ -116,47 +137,67 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var errors = List.empty[(String, String)]
-    // Block hygiene between QUERIES, OUTSIDE the timed section: several
+    // Block hygiene between SAMPLES, OUTSIDE the timed section: several
     // queries eagerly localCheckpoint/persist (dedup pair graphs, LM
     // tables, cosine indexes) and their blocks are released only after
     // driver GC + the ASYNC ContextCleaner — across ~100 queries the
     // orphans fill the block manager and successors crawl under eviction
     // pressure (measured: llm_pipeline 1.2 s isolated vs 21 s late in a
-    // full pass). Unpersist everything still registered, drop the SQL
-    // cache, and give the cleaner a GC to act on — but ONLY when blocks
-    // were actually registered: round 5 ran this (with an unconditional
-    // System.gc()) per SAMPLE, ~300 forced full GCs per pass, inflating
-    // the wall 112 s → 814 s and racing the executor pool at shutdown
-    // (uncaught RejectedExecutionException, exit 56, no metrics line).
-    // Repeated samples of one query re-register the same blocks anyway,
-    // so per-query reclamation bounds orphan growth at repeats× one
-    // query's footprint — negligible — at 1/repeats the GC cost.
+    // full pass). Unpersist everything still registered (synchronous —
+    // localCheckpoint blocks are registered as persistent RDDs, so this
+    // releases the bulk without GC), drop the SQL cache. The GC that
+    // lets the ContextCleaner reap the small weak-ref remnants runs once
+    // per PASS, not per sample: round 5 ran a forced GC per sample
+    // (~300 full GCs) and inflated the wall 112 s → 814 s.
     def releaseOrphanedBlocks(): Unit = {
       graft.operators.TextOps.clearMinedPairs()
       spark.sharedState.cacheManager.clearCache()
       val persisted = spark.sparkContext.getPersistentRDDs.values
-      if (persisted.nonEmpty) {
-        persisted.foreach(_.unpersist(true))
-        System.gc()
-      }
+      if (persisted.nonEmpty) persisted.foreach(_.unpersist(true))
     }
-    val results = selected.map { case (name, fn) =>
-      releaseOrphanedBlocks()
-      val samples = (1 to repeats).map { _ =>
-        // EVERY sample starts memo-cold: a memoized pair graph would make
-        // whichever dedup sample runs first absorb the mining cost and
-        // the rest read cache — samples would not be independently
-        // comparable. Block-level hygiene stays per-query (above); the
-        // mine-once pipeline shape is measured separately and honestly
-        // below as `dedup_pipeline_mine_once`.
-        graft.operators.TextOps.clearMinedPairs()
+    // INTERLEAVED passes (round 11): sample k of every query runs in
+    // pass k — the full query list end to end, `repeats` times — instead
+    // of `repeats` consecutive samples per query. The estimator (per-
+    // query MIN of memo-cold samples) is unchanged; what changes is the
+    // correlation structure of box noise across samples. This box's
+    // kernel-reclaim/co-tenant storms last MINUTES (SURVEY §8d), so
+    // consecutive samples of one query all land inside one storm and the
+    // min is inflated 10-25× — the round-10 recorded artifact shows
+    // exactly that (dedup_clusters samples 90.4/112.8/56.4 s vs a 2-3 s
+    // idle mirror), and round 11's stage bracketing proved the
+    // amplification is NOT operator-structural: the identical mining ran
+    // 0.93× loaded in one slot and 5.8× in another, and r10c's
+    // dedup_keep_best — which CONTAINS the whole dedup_clusters path —
+    // degraded 3.8× while dedup_clusters alone read 25×. Interleaving
+    // spreads one query's samples a full pass (~minutes) apart, so a
+    // storm inflates one contiguous block of ONE pass and every query
+    // keeps storm-free samples in the other passes — min-of-passes
+    // estimates the operator, not the burst schedule. Same total work,
+    // same per-sample content (memo-cold, hygiene-preceded), standard
+    // interleaved repeated-measures methodology.
+    val sampleLog =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+    (1 to repeats).foreach { pass =>
+      selected.foreach { case (name, fn) =>
+        // EVERY sample starts memo-cold: a memoized pair graph would
+        // make whichever dedup sample runs first absorb the mining cost
+        // and the rest read cache — samples would not be independently
+        // comparable. The mine-once pipeline shape is measured
+        // separately and honestly below as `dedup_pipeline_mine_once`.
+        releaseOrphanedBlocks()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             errors ::= name -> e.getClass.getSimpleName; false }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt
+        sampleLog(name) = sampleLog(name) :+ (if (ok) dt else -dt)
       }
+      System.err.println(s"[bench] pass $pass/$repeats done")
+      System.gc() // pass boundary: let the cleaner reap weak-ref remnants
+    }
+    val results = selected.map { case (name, _) =>
+      val samples = sampleLog(name)
       if (repeats > 1)
         System.err.println(s"[bench] $name samples: " +
           samples.map(s => f"$s%.3f").mkString(", "))

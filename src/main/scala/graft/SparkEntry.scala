@@ -1443,14 +1443,19 @@ object SparkEntry {
   /** Full replay of the perceptual near-dup dataflow: the stub codec's
     * segment-sum grid (the documents payload is ASCII text, so DuckDB's
     * character loop sees exactly the payload bytes — pinned by the
-    * QueriesSpec ASCII invariant), the cell-vs-mean pHash signature, the
-    * banded candidate join, and the cross-multiplied integer-L1 verify.
-    * Every constant renders from the [[graft.operators.Multimodal]]
-    * definitions so the two sides cannot desynchronize. */
+    * QueriesSpec ASCII invariant), the banded sign-projection signature
+    * ([[graft.operators.Multimodal.perceptualBandKeys]] — round 11
+    * widened the band space 4×2¹⁶ → 6×2²⁰ via ±1 projections of the
+    * cell-deviation vector), the banded candidate join, and the
+    * cross-multiplied integer-L1 verify. Every constant renders from the
+    * [[graft.operators.Multimodal]] definitions so the two sides cannot
+    * desynchronize. */
   private lazy val mmNearDupSql: String = {
     val dims = Multimodal.PerceptualDims
-    val bits = Multimodal.PerceptualBandBits
+    val nBits = Multimodal.PerceptualBits
+    val bandBits = Multimodal.PerceptualBandBits
     val denom = Multimodal.NearDupL1Denom
+    val mod = TextOps.MOD
     s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), """ +
       """ch AS (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS j FROM d0), """ +
       s"""cl AS (SELECT doc_id, ((j-1)*$dims)//n AS k, sum(ascii(text[j:j])) AS cell """ +
@@ -1461,14 +1466,19 @@ object SparkEntry {
       """grid AS (SELECT d0.doc_id, kk.k, CAST(coalesce(cl.cell, 0) AS BIGINT) AS cell """ +
       """FROM d0 CROSS JOIN kk LEFT JOIN cl ON cl.doc_id = d0.doc_id AND cl.k = kk.k), """ +
       """tot AS (SELECT doc_id, CAST(sum(cell) AS BIGINT) AS total FROM grid GROUP BY doc_id), """ +
-      // per-band keys straight from the grid (the 128-bit signature no
-      // longer fits one BIGINT — round-10 contract change): band =
-      // k / bandBits, key bit = k mod bandBits; max shift 15, so no
-      // signed-overflow hack is needed
-      s"""bk AS (SELECT g.doc_id, g.k // $bits AS band, """ +
-      s"""CAST(sum(CASE WHEN g.cell * $dims >= t.total """ +
-      s"""THEN CAST(1 AS BIGINT) << CAST(g.k % $bits AS INTEGER) ELSE 0 END) AS BIGINT) AS bkey """ +
-      s"""FROM grid g JOIN tot t ON g.doc_id = t.doc_id GROUP BY 1, 2), """ +
+      // the perceptualParams universal family and the ±1 sign schedule,
+      // replayed term for term: bit j = sign of Σ_k s_jk·(cell_k·dims −
+      // total); ranges stay < 2^36, exact in BIGINT on both engines
+      s"""pj AS (SELECT j, (104729*(j+131)) % $mod AS a, (15485863*(j+97)) % $mod AS b """ +
+      s"""FROM (SELECT unnest(range(0, $nBits)) AS j)), """ +
+      s"""dev AS (SELECT g.doc_id, g.k, g.cell * $dims - t.total AS dv """ +
+      """FROM grid g JOIN tot t ON g.doc_id = t.doc_id), """ +
+      s"""pbits AS (SELECT d.doc_id, p.j, CASE WHEN """ +
+      s"""sum(CASE WHEN ((p.a*(d.k+1)+p.b) % $mod)*2 > $mod THEN d.dv ELSE -d.dv END) >= 0 """ +
+      """THEN 1 ELSE 0 END AS bit FROM dev d CROSS JOIN pj p GROUP BY d.doc_id, p.j), """ +
+      s"""bk AS (SELECT doc_id, j // $bandBits AS band, """ +
+      s"""CAST(sum(CAST(bit AS BIGINT) << CAST(j % $bandBits AS INTEGER)) AS BIGINT) AS bkey """ +
+      s"""FROM pbits GROUP BY 1, 2), """ +
       """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
       """FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), """ +
       """l1 AS (SELECT c.doc_a, c.doc_b, ta.total AS total_a, tb.total AS total_b, """ +

@@ -321,7 +321,12 @@ case class CdcChunkKeysExpr(child: Expression, windowTokens: Int,
   * function of the document. */
 case class SimhashSigExpr(child: Expression, nBits: Int)
     extends UnaryExpression {
-  require(nBits <= 60, s"signature must stay positive in int64 (got $nBits)")
+  // lower bound too: a non-positive literal (reachable via SQL) would
+  // otherwise surface as a per-row NegativeArraySizeException at
+  // execution instead of a named error at plan time (round-10 ADVICE)
+  require(nBits > 0 && nBits <= 60,
+    s"nBits must be in [1, 60] — the signature must stay positive in " +
+      s"int64 (got $nBits)")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Kernels.simhashSig(v.asInstanceOf[ArrayData], nBits)
@@ -389,17 +394,33 @@ object NativeFunctions {
     v.toInt
   }
 
-  private[functions] def simhashSigFromSql(exprs: Seq[Expression]): Expression =
+  /** Arity guard for the SQL builders: a short argument list must fail
+    * with the function name and expected signature, not a raw
+    * IndexOutOfBoundsException from exprs(i) (round-10 ADVICE). */
+  private def requireArity(exprs: Seq[Expression], fn: String,
+      min: Int, max: Int, signature: String): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $signature — got ${exprs.length} argument(s)")
+
+  private[functions] def simhashSigFromSql(exprs: Seq[Expression]): Expression = {
+    requireArity(exprs, "graft_simhash_sig", 1, 2, "(tokens[, nBits])")
     SimhashSigExpr(exprs.head,
       if (exprs.length > 1) intLit(exprs(1), "graft_simhash_sig", "nBits")
       else 60)
-  private[functions] def windowHashesFromSql(exprs: Seq[Expression]): Expression =
+  }
+  private[functions] def windowHashesFromSql(exprs: Seq[Expression]): Expression = {
+    requireArity(exprs, "graft_window_hashes", 2, 2, "(tokens, k)")
     WindowHashesExpr(exprs.head,
       intLit(exprs(1), "graft_window_hashes", "k"))
-  private[functions] def cdcChunkKeysFromSql(exprs: Seq[Expression]): Expression =
+  }
+  private[functions] def cdcChunkKeysFromSql(exprs: Seq[Expression]): Expression = {
+    requireArity(exprs, "graft_cdc_chunk_keys", 3, 3,
+      "(tokens, windowTokens, boundaryMod)")
     CdcChunkKeysExpr(exprs.head,
       intLit(exprs(1), "graft_cdc_chunk_keys", "windowTokens"),
       longLit(exprs(2), "graft_cdc_chunk_keys", "boundaryMod"))
+  }
 
   /** Register as SQL functions on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -178,24 +178,58 @@ object Multimodal {
   // ---------------------------------------------------------------------
 
   /** Perceptual descriptor width (pHash's 8×8 grid). Round 10 MEASURED
-    * the "longer signature" alternative (128 cells / 8 bands) and
-    * rejected it: finer cells double a true near-dup pair's absolute
-    * Hamming distance while the pigeonhole-exact radius only grows
-    * 3 → 7, so real near-dup pairs fell out of every band — mm_near_dup
-    * returned 0 rows on the sf0.001 fixture. The quadratic candidate
-    * growth at scale is arrested by the hot-bucket cap on the banded
-    * join instead (see [[perceptualNearDupOf]] — the lshNearDupPairs
-    * hygiene pattern), which bounds cost without touching the recall
-    * contract. */
+    * the "finer cells" alternative (128 cells / 8 bands) and rejected
+    * it: finer cells double a true near-dup pair's absolute Hamming
+    * distance while the pigeonhole-exact radius only grows 3 → 7, so
+    * real near-dup pairs fell out of every band — mm_near_dup returned
+    * 0 rows on the sf0.001 fixture. The descriptor SEMANTICS therefore
+    * stay at 64 cells; the round-11 widening happens in the derived
+    * SIGNATURE instead (see [[PerceptualBits]]). */
   val PerceptualDims = 64
-  /** Band layout over the 64-bit signature: 4 bands × 16 bits. Wider
-    * bands keep the candidate count scale-sane (random collision
-    * probability 4·2⁻¹⁶ per pair vs 8·2⁻⁸ for 8-bit bands — measured
-    * 47× fewer candidates at sf0.1) at the price of recall above
-    * Hamming 3; by pigeonhole the band join is EXACT for signature
-    * Hamming ≤ [[PerceptualBands]]−1. */
-  val PerceptualBands = 4
-  val PerceptualBandBits = 16
+  /** Signature geometry: [[PerceptualBits]] sign-PROJECTION bits over the
+    * cell-deviation vector, banded [[PerceptualBands]] ×
+    * [[PerceptualBandBits]] → 2²⁴ ≈ 16.8 M buckets per band. Round 10's
+    * 4 × 16 layout over threshold-at-mean bits had two structural faults
+    * at scale: (a) a fixed 65,536-bucket band space — at 100× data every
+    * bucket is hot and the backstop cap deletes recall; (b) the 64
+    * threshold bits are heavily CORRELATED across documents (payloads
+    * share coarse segment profiles), so the effective key space was far
+    * smaller still — the measured 69× candidate growth at 10× data.
+    * Sign projections re-randomize every bit uniformly (the round-8
+    * text-simhash widening playbook, [[TextOps.simhashParams]]): bit j is
+    * the sign of a ±1-weighted sum of the deviation vector
+    * (cells·dims − total), so near-identical descriptors still agree on
+    * almost every bit (a bit flips with probability θ/π, θ the
+    * deviation-vector angle; measured round 11: single-byte payload
+    * edits flip ZERO of the 144 bits, a length-changing edit that
+    * re-segments every cell still leaves an intact band) while unrelated
+    * documents land on independent uniform keys — measured census:
+    * sf0.1 5 000 docs → 104 candidates (max bucket 2), sf1 50 000 docs
+    * → 8 471 (max bucket 5, ZERO capped buckets; the r10 geometry
+    * measured 1.37 M). Residual candidate mass is the banding floor
+    * B·n²/2^bandBits — quadratic with an arbitrarily small constant that
+    * the parameterized band width controls, so a larger corpus widens
+    * bands without a library edit.
+    *
+    * What this geometry deliberately does NOT chase (round-11
+    * measurement, committed in SURVEY §8): the fake codec's qualifying
+    * pairs at the 1/16 L1 threshold are profile COINCIDENCES sitting at
+    * the p0.1 tail of a continuous distance distribution (sf0.01: 120 of
+    * 124 750 pairs ≤ 625 bp, but 37 005 ≤ 2·threshold — no gap). No LSH
+    * family separates a gapless tail without quadratic candidate
+    * leakage (quantized-profile banding measured 41 M sf1 candidates —
+    * 95× growth; the r10 threshold bits caught 4/120 by luck). Real
+    * perceptual near-dups (a re-encoded/resized image through a real
+    * codec's decode+resample) produce PROPORTIONALLY-similar grids —
+    * the angle-near regime where sign projections have the measured
+    * ~full recall; the exact answer for gapless-tail mining is the
+    * stats-gated Θ(n²) pattern `TextOps.textCosinePairs` implements.
+    * The exact-L1 verify is untouched, recall is pigeonhole-exact for
+    * signature Hamming ≤ [[PerceptualBands]]−1, and the hot-bucket cap
+    * stays as a backstop only. */
+  val PerceptualBits = 144
+  val PerceptualBands = 6
+  val PerceptualBandBits: Int = PerceptualBits / PerceptualBands
   /** Default verify threshold: normalized L1 distance between the two
     * descriptors ≤ 1/16. Dyadic so the cross-multiplied comparison is
     * exact integer math on both engines. */
@@ -222,35 +256,81 @@ object Multimodal {
     out
   }
 
-  /** Integer perceptual descriptor + pHash-style signature, one codec
-    * pass. Cells are recovered as exact integers from the codec's float
-    * descriptor (`round` — exact while values stay below 2^24, which the
-    * decoder contract requires); `total` is their sum and signature bit k
-    * is `cells(k) · dims ≥ total` (cell vs the mean cell — pure integer
-    * comparison, no float tie ambiguity for the oracle to diverge on).
-    * The [[PerceptualDims]]-bit signature is packed little-endian into
-    * `bits` (bit k = word k/64, offset k mod 64) — an array so the
-    * contract survives any future dims change without a signed-overflow
-    * special case (round-10 generalization; one word at 64 dims). */
+  /** Integer perceptual descriptor + banded sign-projection signature,
+    * one codec pass. Cells are recovered as exact integers from the
+    * codec's float descriptor (`round` — exact while values stay below
+    * 2^24, which the decoder contract requires); `total` is their sum
+    * and `bkeys(b)` is band b's [[PerceptualBandBits]]-bit key of the
+    * [[perceptualBandKeys]] signature — band keys are stored directly
+    * (round-11; the previous packed-word layout made band extraction a
+    * word-straddle puzzle the moment band width stopped dividing 64). */
   case class PerceptualDesc(doc_id: Long, total: Long, cells: Array[Long],
-      bits: Array[Long])
+      bkeys: Array[Long])
 
-  /** Decode the corpus into [[PerceptualDesc]]s. `quarantine = false`
-    * (default) fails fast on a decoder-contract violation with the doc
-    * id in the error — a corrupted CODEC is a deploy problem, not a data
-    * problem. `quarantine = true` drops out-of-contract documents from
-    * the descriptor relation instead (each drop logged), for
-    * corpus-scale pipelines where one hostile payload must not abort
-    * the job (round-10 ADVICE). */
-  def perceptualDescriptors(df: DataFrame,
+  /** One decoded row per input document — the K2 dead-letter idiom
+    * applied to the codec seam: `err == null` rows carry the descriptor,
+    * violation rows carry the message (and empty arrays). Exactly one of
+    * the two per doc, so `descriptors + quarantine` partitions the
+    * corpus. */
+  case class PerceptualDecoded(doc_id: Long, total: Long, cells: Array[Long],
+      bkeys: Array[Long], err: String)
+
+  /** Projection parameter pairs (a_j, b_j) — the same universal family as
+    * [[TextOps.simhashParams]]/[[TextOps.minhashParamsN]], offset so the
+    * three signature spaces never share a parameter pair. */
+  private[graft] def perceptualParams(n: Int): IndexedSeq[(Long, Long)] =
+    (0 until n).map(j => (104729L * (j + 131) % TextOps.MOD,
+      15485863L * (j + 97) % TextOps.MOD))
+
+  /** THE signature definition — one pure function shared by the decode
+    * pass, the specs, and (via rendered constants) the DuckDB oracle.
+    * Bit j of the `nBits`-bit signature is the sign of
+    * Σ_k s_jk · (cells(k)·dims − total) with s_jk = ±1 from
+    * ((a_j·(k+1) + b_j) mod M)·2 > M (M = [[TextOps.MOD]]); band
+    * j / bandBits accumulates bit j at offset j mod bandBits. Integer
+    * ranges: |deviation term| < 2^30 by the decoder contract, summed
+    * over dims=64 < 2^36 — exact in int64 on both engines. */
+  def perceptualBandKeys(cells: Array[Long], nBits: Int = PerceptualBits,
+      bands: Int = PerceptualBands): Array[Long] = {
+    require(nBits > 0 && bands > 0 && nBits % bands == 0,
+      s"bands ($bands) must divide nBits ($nBits)")
+    val bandBits = nBits / bands
+    require(bandBits <= 62, s"band keys must fit a positive int64 (got $bandBits)")
+    val dims = cells.length
+    val total = cells.sum
+    val params = perceptualParams(nBits)
+    val dev = Array.tabulate(dims)(k => cells(k) * dims - total)
+    val keys = new Array[Long](bands)
+    var j = 0
+    while (j < nBits) {
+      val (a, b) = params(j)
+      var s = 0L
+      var k = 0
+      while (k < dims) {
+        val h = (a * (k + 1) + b) % TextOps.MOD
+        s += (if (2 * h > TextOps.MOD) dev(k) else -dev(k))
+        k += 1
+      }
+      if (s >= 0) keys(j / bandBits) |= 1L << (j % bandBits)
+      j += 1
+    }
+    keys
+  }
+
+  /** Decode the corpus into one [[PerceptualDecoded]] row per document —
+    * the single codec pass both [[perceptualDescriptors]] and
+    * [[perceptualQuarantine]] are views over (persist this relation when
+    * consuming both sides at scale, so the codec runs once). */
+  def perceptualDecoded(df: DataFrame,
       codec: MediaCodec = FakeCodec,
-      quarantine: Boolean = false): Dataset[PerceptualDesc] = {
+      nBits: Int = PerceptualBits,
+      bands: Int = PerceptualBands): Dataset[PerceptualDecoded] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val dec = codec.open()
-        it.flatMap { case (id, bytes) =>
+        it.map { case (id, bytes) =>
           val f = dec.perceptual(id, bytes)
           // enforce the decoder contract instead of trusting it:
           // PerceptualDims cells, each below 2^24 (float round-trip
@@ -260,29 +340,51 @@ object Multimodal {
           val cells = if (f.length == PerceptualDims)
             f.map(v => math.round(v.toDouble)) else Array.empty[Long]
           val ok = cells.nonEmpty && cells.forall(c => c >= 0 && c < (1L << 24))
-          if (!ok && !quarantine)
-            throw new IllegalArgumentException(
+          if (!ok)
+            PerceptualDecoded(id, 0L, Array.empty, Array.empty,
               s"perceptual descriptor out of contract for doc $id: " +
                 s"${f.length}-dim, cells must be $PerceptualDims × [0, 2^24)")
-          if (!ok) {
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"perceptualDescriptors: quarantined doc $id " +
-                "(decoder-contract violation)")
-            Iterator.empty
-          } else {
-            val total = cells.sum
-            val bits = new Array[Long]((PerceptualDims + 63) / 64)
-            var k = 0
-            while (k < PerceptualDims) {
-              if (cells(k) * PerceptualDims >= total)
-                bits(k >>> 6) |= 1L << (k & 63)
-              k += 1
-            }
-            Iterator.single(PerceptualDesc(id, total, cells, bits))
-          }
+          else
+            PerceptualDecoded(id, cells.sum, cells,
+              perceptualBandKeys(cells, nBits, bands), null)
         }
       }
   }
+
+  /** Decode the corpus into [[PerceptualDesc]]s. `quarantine = false`
+    * (default) fails fast on a decoder-contract violation with the doc
+    * id in the error — a corrupted CODEC is a deploy problem, not a data
+    * problem. `quarantine = true` routes out-of-contract documents to
+    * the dead-letter side instead ([[perceptualQuarantine]] lists them),
+    * for corpus-scale pipelines where one hostile payload must not abort
+    * the job (round-10 VERDICT item 5). */
+  def perceptualDescriptors(df: DataFrame,
+      codec: MediaCodec = FakeCodec,
+      quarantine: Boolean = false,
+      nBits: Int = PerceptualBits,
+      bands: Int = PerceptualBands): Dataset[PerceptualDesc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    perceptualDecoded(df, codec, nBits, bands).flatMap { d =>
+      if (d.err == null)
+        Iterator.single(PerceptualDesc(d.doc_id, d.total, d.cells, d.bkeys))
+      else if (quarantine) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"perceptualDescriptors: quarantined doc ${d.doc_id} " +
+            "(decoder-contract violation)")
+        Iterator.empty
+      } else throw new IllegalArgumentException(d.err)
+    }
+  }
+
+  /** The dead-letter relation of the codec seam: (doc_id, err), one row
+    * per decoder-contract violation — the multimodal analogue of the
+    * pipeline's K2 unknown-feature sink. Empty on a clean corpus. */
+  def perceptualQuarantine(df: DataFrame,
+      codec: MediaCodec = FakeCodec): DataFrame =
+    perceptualDecoded(df, codec).toDF()
+      .filter(col("err").isNotNull)
+      .select(col("doc_id"), col("err"))
 
   /** Perceptual near-dup pairs over any (doc_id, payload) relation:
     * signatures band-join on [[PerceptualBands]] disjoint
@@ -353,22 +455,12 @@ object Multimodal {
   private def nearDupFromDesc(desc: DataFrame, l1Denom: Long): DataFrame =
     verifyFromBanded(bandedOf(desc), l1Denom)
 
-  /** Descriptors exploded onto their band buckets: band b's key lives in
-    * packed-signature word (b·bits)/64 at offset (b·bits) mod 64 — band
-    * width divides 64, so a key never straddles words. */
-  private def bandedOf(desc: DataFrame): DataFrame = {
-    val mask = (1L << PerceptualBandBits) - 1
+  /** Descriptors exploded onto their band buckets — band keys are stored
+    * per band by the decode pass ([[PerceptualDesc.bkeys]]), so this is a
+    * plain posexplode: band = array position, key = element. */
+  private def bandedOf(desc: DataFrame): DataFrame =
     desc.select(col("doc_id"), col("total"), col("cells"),
-      explode(array((0 until PerceptualBands).map { b =>
-        val word = (b * PerceptualBandBits) / 64
-        val shift = (b * PerceptualBandBits) % 64
-        struct(lit(b).as("band"),
-          shiftright(element_at(col("bits"), word + 1), shift)
-            .bitwiseAND(mask).as("bkey"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("total"), col("cells"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-  }
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
 
   /** Bucket self-join + exact integer-L1 verify over a (possibly
     * hot-bucket-filtered) banded relation. */

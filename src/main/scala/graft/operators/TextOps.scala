@@ -179,7 +179,7 @@ object TextOps {
     * window relation; output: the same relation restricted to keys in at
     * most [[SpanDfCap]] documents. The aggregate and the join probe share
     * the hash-by-h exchange (AQE exchange reuse). */
-  private def dfCapWindows(sh: DataFrame): DataFrame = {
+  private[graft] def dfCapWindows(sh: DataFrame): DataFrame = {
     val eligible = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") <= SpanDfCap).select("h")
@@ -419,7 +419,7 @@ object TextOps {
 
   /** The containment pair dataflow over a (doc_id, h) distinct-window
     * relation (possibly cached by the caller). */
-  private def containmentFromSets(sets: DataFrame): DataFrame = {
+  private[graft] def containmentFromSets(sets: DataFrame): DataFrame = {
     val sizes = sets.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_h"))
     sets.as("a").join(sets.as("b"),
@@ -961,7 +961,7 @@ object TextOps {
   /** Driver union-find over a small pair graph (see [[LocalCcEdgeLimit]]):
     * path-halving find + min-id union keeps the smallest doc_id as each
     * component's representative — result-identical to [[distributedCc]]. */
-  private def dedupClustersLocal(spark: SparkSession,
+  private[graft] def dedupClustersLocal(spark: SparkSession,
       rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val es = rows.map(r => (r.getLong(0), r.getLong(1)))
@@ -2309,6 +2309,50 @@ object TextOps {
     * [[cosinePairsPrefixFrom]]); on a Zipfian head it clears easily. */
   private val PrefixPayoffFactor = 4L
 
+  /** Kernel admission + block-count sizing, extracted so the bounds are
+    * unit-testable without a corpus (round-10 VERDICT items 3/4):
+    * returns Some(nBlocks) when the block kernel is admitted, None when
+    * the corpus must fall through to the inverted-index shapes.
+    * Guarantees, pinned by CosineKernelPlanSpec:
+    *  - nBlocks ≤ [[KernelMaxBlocks]] for ANY core count (the
+    *    parallelism term is clamped outright — shuffle replication stays
+    *    ≤ 128 × index bytes);
+    *  - block size ≤ ~2048 docs (the `bBuf` floor), so one kernel
+    *    evaluation's DEGENERATE output bound (every pair qualifying) is
+    *    (n/B)²/2 ≈ 2 M rows ≈ 128 MB — a fixed memory budget, never
+    *    multi-GB, regardless of match density;
+    *  - a corpus too large to satisfy both (bMem or bBuf over the block
+    *    cap) is REFUSED rather than admitted with a broken bound. */
+  private[graft] def cosineKernelPlan(sumDf2: Long, vocabN: Long,
+      idxRows: Long, nDocs: Long, cores: Int): Option[Int] = {
+    val kernelCandidate =
+      vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
+    if (!kernelCandidate) return None
+    val gatePairs = nDocs * math.max(nDocs - 1, 0L) / 2
+    // struct bytes + the per-doc V-bit membership sets the kernel builds
+    // per evaluation (V/8 bytes each — both count strategies index them)
+    val bytesEst = idxRows * 12 + nDocs * (48 + vocabN / 8)
+    val bMem =
+      math.max(1, math.ceil(bytesEst.toDouble / KernelBlockBytes).toInt)
+    // enough block pairs for ~4 waves of tasks; tiny corpora keep blocks
+    // of ≥ 64 docs so per-evaluation overhead never dominates
+    val bPar = math.ceil((math.sqrt(8.0 * (4 * cores) + 1) - 1) / 2).toInt
+    // worst-case output floor (round-10 ADVICE): one evaluation buffers
+    // its qualifying pairs in memory before the explode, so block size
+    // caps the DEGENERATE bound (every pair qualifying) at
+    // (n/B)² ≈ 4 M rows ≈ 128 MB — realistic match rates emit KBs
+    val bBuf = math.max(1, math.ceil(nDocs / 2048.0).toInt)
+    // clamp to KernelMaxBlocks unconditionally (round-10 ADVICE: bPar
+    // on a very-high-core cluster previously escaped the cap, breaking
+    // the documented B×index shuffle-replication bound)
+    val nBlocks = math.max(math.max(bMem, bBuf),
+      math.min(bPar, math.ceil(nDocs / 64.0).toInt))
+      .max(1).min(KernelMaxBlocks)
+    val admit = math.max(bMem, bBuf) <= KernelMaxBlocks &&
+      gatePairs <= KernelGateFactor * sumDf2
+    if (admit) Some(nBlocks) else None
+  }
+
   def textCosinePairs(spark: SparkSession, dir: String,
       minShared: Int = 10, dfCapFrac: Int = 5): DataFrame = {
     // persisted (storage medium size-adaptive via Engine.miningLevel):
@@ -2339,35 +2383,16 @@ object TextOps {
       vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
     val nDocs =
       if (kernelCandidate) w.select("doc_id").distinct().count() else 0L
-    val gatePairs = nDocs * math.max(nDocs - 1, 0L) / 2
-    // struct bytes + the per-doc V-bit membership sets the kernel builds
-    // per evaluation (V/8 bytes each — both count strategies index them)
-    val bytesEst = idxRows * 12 + nDocs * (48 + vocabN / 8)
-    val bMem =
-      math.max(1, math.ceil(bytesEst.toDouble / KernelBlockBytes).toInt)
-    // enough block pairs for ~4 waves of tasks; tiny corpora keep blocks
-    // of ≥ 64 docs so per-evaluation overhead never dominates
-    val bPar = math.ceil((math.sqrt(8.0 * (4 * cores) + 1) - 1) / 2).toInt
-    // worst-case output floor (round-10 ADVICE): one evaluation buffers
-    // its qualifying pairs in memory before the explode, so block size
-    // caps the DEGENERATE bound (every pair qualifying) at
-    // (n/B)² ≈ 4 M rows ≈ 128 MB — realistic match rates emit KBs
-    val bBuf = math.max(1, math.ceil(nDocs / 2048.0).toInt)
-    // clamp to KernelMaxBlocks unconditionally (round-10 ADVICE: bPar
-    // on a very-high-core cluster previously escaped the cap, breaking
-    // the documented B×index shuffle-replication bound)
-    val nBlocks = math.max(math.max(bMem, bBuf),
-      math.min(bPar, math.ceil(nDocs / 64.0).toInt))
-      .max(1).min(KernelMaxBlocks)
-    val useKernel = kernelCandidate &&
-      math.max(bMem, bBuf) <= KernelMaxBlocks &&
-      gatePairs <= KernelGateFactor * sumDf2
+    // admission + block sizing — extracted and bound-pinned, see
+    // [[cosineKernelPlan]]
+    val kernelBlocks = cosineKernelPlan(sumDf2, vocabN, idxRows, nDocs, cores)
     // eager job semantics: every strategy reads the SAME cached index
     // materialization instead of executing the tokenize→tf→df pipeline
     // per subtree; blocking unpersist as in dedupNgramJaccard.
-    val out = if (useKernel) {
+    val out = if (kernelBlocks.nonEmpty) {
       Engine.eagerCheckpoint(
-        cosinePairsKernelFrom(w, minShared, nBlocks, vocabN.toInt), lvl)
+        cosinePairsKernelFrom(w, minShared, kernelBlocks.get, vocabN.toInt),
+        lvl)
     } else {
       // Probe the prefix reduction only when the expansion is expensive
       // enough for prefix filtering to matter (same floor as the kernel):

@@ -37,14 +37,24 @@ object ContentionHarness {
     catch { case _: Throwable => "unavailable" }
 
   /** Measured memory bandwidth (GB/s): 8 threads stream-sum disjoint
-    * slices of a 512 MB long array for ~1 s. The box's COMPUTE FLOOR
+    * slices of a long array (512 MB, shrunk to fit a small driver heap)
+    * for ~1 s. The box's COMPUTE FLOOR
     * under the hog — dd hogs write at memory bandwidth, so every
     * bandwidth-bound workload (hash joins, sorts, shuffles) degrades at
     * least by this probe's ratio even with zero I/O and zero GC. Query
     * ratios at or under the membw ratio are PROPORTIONAL slowdown
-    * (hardware sharing), not a pathology of the operator. */
-  private def membwGbps(): Double = {
-    val words = 64 << 20 // 512 MB
+    * (hardware sharing), not a pathology of the operator. Returns NaN
+    * instead of propagating an allocation failure — a diagnostic probe
+    * must never kill the benchmark it annotates (round-10 ADVICE). */
+  private def membwGbps(): Double =
+    try membwGbpsImpl()
+    catch { case _: OutOfMemoryError => Double.NaN }
+
+  private def membwGbpsImpl(): Double = {
+    // at most 512 MB, and never more than 1/4 of the configured heap —
+    // a -Xmx1g driver still gets a (noisier) reading rather than an OOM
+    val cap = (Runtime.getRuntime.maxMemory / 4 / 8).min(64L << 20).toInt
+    val words = (cap / 8) * 8 // slice-divisible
     val arr = new Array[Long](words)
     java.util.Arrays.fill(arr, 3L)
     val threads = 8
@@ -136,74 +146,45 @@ object ContentionHarness {
           f"[contention] phase=$phase end membwGbps=$end%.1f")
       }
     }
+    // INTERLEAVED passes (round 11, same rationale as Bench): the storms
+    // this harness provokes are BURSTY at the minutes scale, so
+    // consecutive samples of one query all land in (or out of) one burst
+    // and per-query ratios measure burst schedule, not the operator —
+    // round-10's r10c artifact read dedup_clusters 25.0× while
+    // dedup_keep_best, which CONTAINS the entire dedup_clusters path,
+    // read 3.8× in the same phase. Pass-interleaving spreads each
+    // query's samples a full pass apart; min-of-passes estimates the
+    // operator under load.
     def measureQueries(phase: String): Map[String, Double] = {
-      queries.map { name =>
-        val samples = (1 to repeats).map { _ =>
+      val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      (1 to repeats).foreach { _ =>
+        queries.foreach { name =>
           graft.operators.TextOps.clearMinedPairs()
           spark.sharedState.cacheManager.clearCache()
           val persisted = spark.sparkContext.getPersistentRDDs.values
-          if (persisted.nonEmpty) { persisted.foreach(_.unpersist(true)); System.gc() }
+          if (persisted.nonEmpty) persisted.foreach(_.unpersist(true))
           val t0 = System.nanoTime()
           fns(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
         }
+        System.gc() // pass boundary — see Bench.releaseOrphanedBlocks
+      }
+      queries.map { name =>
         System.err.println(s"[contention] $phase $name " +
-          samples.map(s => f"$s%.2f").mkString(", "))
-        name -> samples.min
+          acc(name).map(s => f"$s%.2f").mkString(", "))
+        name -> acc(name).min
       }.toMap
     }
 
     val idle = measure("baseline")
 
-    // Memory hog, two parts (tmpfs pages are unswappable on a swapless
-    // box, so they remove memory from the reclaimable pool for real):
-    //   - a HOLDER writes `hogGb` GiB to tmpfs once and sits on it, so
-    //     MemAvailable actually drops for the whole loaded phase;
-    //   - `hogWorkers` CHURNERS loop (write hogGb/4, delete), keeping
-    //     allocation + page-cache reclaim + compaction continuously
-    //     active in the shrunken pool.
-    // Cleanup kills by command-line marker (pkill -f graft_hog): the dd
-    // children outlive a destroyed parent bash, so destroying the
-    // Process alone leaves a writer running for minutes.
-    val churnGb = math.max(hogGb / 4, 4)
-    val holder = new ProcessBuilder("bash", "-c",
-      s"dd if=/dev/zero of=/dev/shm/graft_hog_hold bs=1M count=${hogGb * 1024} " +
-        "2>/dev/null; sleep 100000").redirectErrorStream(true).start()
-    val hogs = (0 until hogWorkers).map { i =>
-      new ProcessBuilder("bash", "-c",
-        s"sleep ${i * 3}; while true; do " +
-          s"dd if=/dev/zero of=/dev/shm/graft_hog_$i bs=1M count=${churnGb * 1024} " +
-          "2>/dev/null; rm -f /dev/shm/graft_hog_" + i + "; done")
-        .redirectErrorStream(true).start()
-    }
+    // Memory hog — holder + churners, shared definition ([[MemHog]]) so
+    // every contention experiment applies the identical load.
+    val hog = MemHog.start(hogGb, hogWorkers)
     val loaded =
-      try {
-        // wait for the holder to actually occupy its pages (up to 120 s;
-        // an 85 GiB hold takes tens of seconds at memory bandwidth)
-        val holdPath = java.nio.file.Paths.get("/dev/shm/graft_hog_hold")
-        val target = hogGb.toLong * 1024 * 1024 * 1024 * 9 / 10
-        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while (System.nanoTime() < deadline &&
-            (!java.nio.file.Files.exists(holdPath) ||
-              java.nio.file.Files.size(holdPath) < target))
-          Thread.sleep(2000)
-        measure("loaded")
-      }
-      finally {
-        (hogs :+ holder).foreach(_.destroyForcibly())
-        // the dd/sleep children are NOT in our process tree anymore —
-        // kill by marker, then sweep the files. The [h] bracket keeps
-        // the killer's own command line from matching its own pattern
-        // (classic pgrep idiom); the rm runs in a second shell so the
-        // glob text can't self-match either.
-        try {
-          new ProcessBuilder("bash", "-c",
-            "pkill -9 -f graft_[h]og || true").start().waitFor()
-          new ProcessBuilder("bash", "-c",
-            "rm -f /dev/shm/graft_hog_hold /dev/shm/graft_hog_[0-9]*")
-            .start().waitFor()
-        } catch { case _: Throwable => () }
-      }
+      try measure("loaded")
+      finally hog.stop()
 
     val rows = queries.map { q =>
       val r = loaded(q) / idle(q)

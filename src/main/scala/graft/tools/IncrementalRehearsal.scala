@@ -51,6 +51,9 @@ object IncrementalRehearsal {
     val seedFrac = args.lift(4).map(_.toDouble).getOrElse(0.06)
     val spark = Engine.session()
     val cp = java.nio.file.Files.createTempDirectory("graft-increhcp")
+    // disk-mode index snapshot dir, created lazily; deleted in the same
+    // finally as the checkpoint tree (it leaked across runs before)
+    var snapDir: Option[java.nio.file.Path] = None
     try {
       val seen = spark.read.parquet(s"$corpusDir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -95,10 +98,10 @@ object IncrementalRehearsal {
       val idx0 = TextOps.seenIndexOf(seen)
       val idx = mode match {
         case "disk" =>
-          val snap = java.nio.file.Files
-            .createTempDirectory("graft-seenidx").toString
-          TextOps.writeSeenIndex(idx0, snap)
-          TextOps.readSeenIndex(spark, snap)
+          val snap = java.nio.file.Files.createTempDirectory("graft-seenidx")
+          snapDir = Some(snap)
+          TextOps.writeSeenIndex(idx0, snap.toString)
+          TextOps.readSeenIndex(spark, snap.toString)
         case _ => idx0.persist()
       }
       val rows = Map(
@@ -175,14 +178,17 @@ object IncrementalRehearsal {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
       if (mode != "disk") idx.unpersist()
     } finally {
-      // round-10 ADVICE: the checkpoint tree must not accumulate across
-      // rehearsal runs
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(cp).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      // round-10 ADVICE: the checkpoint tree (and the disk-mode index
+      // snapshot) must not accumulate across rehearsal runs
+      def rmTree(root: java.nio.file.Path): Unit =
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      rmTree(cp)
+      snapDir.foreach(rmTree)
       spark.stop()
     }
   }

@@ -76,6 +76,46 @@ class CosineBlockPairsExprSpec extends AnyFunSuite {
       minS = 1, vocab = 128)).isEmpty)
   }
 
+  test("kernel plan: block count is clamped for any core count (4096-core cluster)") {
+    // round-10 VERDICT item 4: the parallelism term (bPar ≈ 181 at 4096
+    // cores) must never escape the KernelMaxBlocks=128 replication bound
+    val plan = graft.operators.TextOps.cosineKernelPlan(
+      sumDf2 = 1000L * 1000 * 1000, vocabN = 25000,
+      idxRows = 50L * 1000 * 1000, nDocs = 100L * 1000, cores = 4096)
+    assert(plan === Some(128))
+  }
+
+  test("kernel plan: admitted blocks always bound per-evaluation output to a fixed budget") {
+    // round-10 VERDICT item 3: one kernel evaluation buffers its
+    // qualifying pairs in memory, so an ADMITTED plan must keep block
+    // size ≤ ~2048 docs — worst-case (every pair qualifying) output is
+    // then ≤ ~2 M rows ≈ 128 MB, never multi-GB. Sweep corpus sizes.
+    for (nDocs <- Seq(10000L, 50000L, 100000L, 200000L, 262144L)) {
+      val sumDf2 = math.max(nDocs * nDocs / 4, 300L * 1000 * 1000)
+      graft.operators.TextOps.cosineKernelPlan(
+        sumDf2, vocabN = 20000, idxRows = nDocs * 200, nDocs, cores = 32)
+        .foreach { b =>
+          val blockDocs = math.ceil(nDocs.toDouble / b)
+          assert(blockDocs <= 2048.0,
+            s"nDocs=$nDocs admitted with $b blocks → $blockDocs docs/block")
+        }
+    }
+  }
+
+  test("kernel plan: oversized or ineligible corpora are refused, not admitted with broken bounds") {
+    def plan(sumDf2: Long, vocabN: Long, nDocs: Long) =
+      graft.operators.TextOps.cosineKernelPlan(
+        sumDf2, vocabN, idxRows = nDocs * 200, nDocs, cores = 32)
+    // too many docs for the buffered-output floor (bBuf > 128 blocks)
+    assert(plan(10L * 1000 * 1000 * 1000, 30000, 300L * 1000) === None)
+    // sparse corpus: n²/2 gate work exceeds 8× the expansion it avoids
+    assert(plan(260L * 1000 * 1000, 30000, 100L * 1000) === None)
+    // below the expansion floor the plain join's single-job shape wins
+    assert(plan(100L * 1000 * 1000, 30000, 50L * 1000) === None)
+    // vocab over the bitset cap
+    assert(plan(1000L * 1000 * 1000, 100000, 100L * 1000) === None)
+  }
+
   test("rounding matches Spark round(_, 6) half-up semantics") {
     // identical unit vectors → cos exactly 1.0 regardless of mode
     val u = doc(1L, Array(0, 1), Array(3.0, 4.0))

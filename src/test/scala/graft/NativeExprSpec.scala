@@ -264,7 +264,9 @@ class NativeExprSpec extends SparkSpec {
     assert(ck.forall(_.length == 32))
     // simhash: a null token contributes -1 to every bit sum (the
     // relational twin's when(NULL).otherwise(-1)) — pinned by equality
-    // with the twin over a null-bearing corpus
+    // with an independent driver-side replay of the projection math
+    // INCLUDING the null contribution (the previous >= 0 assertion was
+    // vacuous — signatures are always non-negative at nBits <= 60)
     import spark.implicits._
     val docs = Seq((1L, "x y"), (2L, "x")).toDF("doc_id", "text")
     val withNulls = docs.select(col("doc_id"),
@@ -273,7 +275,24 @@ class NativeExprSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT doc_id, graft_simhash_sig(toks) AS sig FROM nulltoks")
       .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
-    assert(viaSql.size == 2 && viaSql.values.forall(_ >= 0L))
+    def expectedSig(toks: Seq[String], nBits: Int = 60): Long = {
+      val M = 1000003L
+      val sums = new Array[Long](nBits)
+      toks.foreach {
+        case null => (0 until nBits).foreach(j => sums(j) -= 1)
+        case t =>
+          val hv = graft.functions.Kernels.weakHash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          (0 until nBits).foreach { j =>
+            val a = 104729L * (j + 1) % M
+            val b = 15485863L * (j + 7) % M
+            if ((a * hv + b) % M * 2 > M) sums(j) += 1 else sums(j) -= 1
+          }
+      }
+      (0 until nBits).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+    }
+    assert(viaSql(1L) === expectedSig(Seq("x y", null, "z")))
+    assert(viaSql(2L) === expectedSig(Seq("x", null, "z")))
   }
 
   test("kernel stays inside whole-stage codegen (no fallback)") {

@@ -15,7 +15,12 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every declared query runs and returns rows on sf0.001") {
-    val allowEmpty = Set("sim_embed_neardup") // no near-dup embeddings by construction
+    // no near-dup embeddings by construction; and no ANGLE-near payload
+    // profiles at sf0.001 — mm_near_dup's r11 sign-projection banding
+    // deliberately stopped catching the gapless L1-coincidence tail
+    // (SURVEY §7.5), same 0-rows-with-0-row-oracle contract as
+    // sim_embed_neardup (green in every correctness gate since r7)
+    val allowEmpty = Set("sim_embed_neardup", "mm_near_dup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       assert(allowEmpty.contains(name) || n > 0, s"$name returned 0 rows")
@@ -657,10 +662,66 @@ class QueriesSpec extends SparkSpec {
     val payloads = Multimodal.withPayload(spark, dir).limit(10)
     val descs = Multimodal.perceptualDescriptors(payloads, QueriesSpec.ProbeCodec)
       .collect()
-    // probe descriptor = [7, 0, 0, …]: exact integer recovery and the
-    // cell-vs-mean signature (only cell 0 is ≥ the mean) pin the
-    // contract — bit 0 of packed word 0
-    assert(descs.forall(d => d.total === 7L && d.bits.toSeq === Seq(1L)))
+    // probe descriptor = [7, 0, 0, …]: exact integer recovery plus the
+    // sign-projection band keys from the ONE shared signature definition
+    // (perceptualBandKeys) pin the contract end to end
+    val expected = Multimodal.perceptualBandKeys(
+      Array.tabulate(Multimodal.PerceptualDims)(k => if (k == 0) 7L else 0L))
+    assert(descs.forall(d =>
+      d.total === 7L && d.bkeys.toSeq === expected.toSeq))
+  }
+
+  test("mm perceptual quarantine: one corrupt payload yields N-1 descriptors + 1 dead-letter row") {
+    val n = 10
+    val payloads = Multimodal.withPayload(spark, dir).limit(n)
+    // codec violates the decoder contract for exactly one doc id (wrong
+    // descriptor width) — fail-fast default aborts, quarantine mode
+    // routes it to the dead-letter relation instead (K2 idiom)
+    val ids = payloads.select("doc_id").collect().map(_.getLong(0)).sorted
+    val badId = ids.head
+    val codec = QueriesSpec.corruptingCodec(badId)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.perceptualDescriptors(payloads, codec).collect()
+    }
+    val kept = Multimodal.perceptualDescriptors(payloads, codec,
+      quarantine = true).collect()
+    assert(kept.length === n - 1)
+    assert(!kept.exists(_.doc_id == badId))
+    val dead = Multimodal.perceptualQuarantine(payloads, codec).collect()
+    assert(dead.length === 1)
+    assert(dead.head.getLong(0) === badId)
+    assert(dead.head.getString(1).contains("out of contract"))
+  }
+
+  test("mm band keys: near-identical payloads agree on every band, corpus keys spread") {
+    import spark.implicits._
+    val body = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val tweaked = body.replaceFirst("quick", "qujck") // one byte, +1
+    val a = Multimodal.perceptualBandKeys(toCells(body))
+    val b = Multimodal.perceptualBandKeys(toCells(tweaked))
+    val agree = a.zip(b).count { case (x, y) => x == y }
+    // recall needs ≥1 intact band (pigeonhole); a one-byte edit should
+    // leave nearly all intact — the margin below is what the miner's
+    // candidate generation actually depends on
+    assert(agree >= Multimodal.PerceptualBands - 2,
+      s"near-identical payloads agree on only $agree bands: " +
+        s"${a.toSeq} vs ${b.toSeq}")
+    // corpus spread: real sf0.001 documents must not pile into few
+    // buckets (the round-10 failure mode: correlated threshold bits) —
+    // distinct (band, key) census within a factor of ~2 of the maximum
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val banded = Multimodal.perceptualDescriptors(docs)
+      .flatMap(d => d.bkeys.zipWithIndex.map { case (k, bnd) => (bnd, k) })
+      .distinct().count()
+    val nDocs = docs.count()
+    assert(banded > Multimodal.PerceptualBands * nDocs / 2,
+      s"only $banded distinct band keys for $nDocs docs — keys correlated")
+  }
+
+  private def toCells(s: String): Array[Long] = {
+    val f = Multimodal.fakePerceptual(0L, s.getBytes("UTF-8"))
+    f.map(v => math.round(v.toDouble))
   }
 
   test("testdata invariant: documents text is ASCII (mm_near_dup oracle byte=char guard)") {
@@ -708,6 +769,25 @@ class QueriesSpec extends SparkSpec {
   * executors share the JVM. */
 object QueriesSpec {
   val CodecOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Codec that violates the decoder contract (wrong descriptor width)
+    * for exactly one doc id — the quarantine spec's corrupt payload. */
+  def corruptingCodec(badId: Long): Multimodal.MediaCodec =
+    new Multimodal.MediaCodec {
+      def open(): Multimodal.MediaDecoder = new Multimodal.MediaDecoder {
+        def decode(id: Long, b: Array[Byte]): Multimodal.MediaMeta =
+          Multimodal.fakeDecode(id, b)
+        def features(id: Long, b: Array[Byte]): Multimodal.MediaFeatures =
+          Multimodal.fakeFeatures(id, b)
+        def resize(id: Long, b: Array[Byte], w: Int, h: Int): Multimodal.ResizedMedia =
+          Multimodal.fakeResize(id, b, w, h)
+        def frames(id: Long, b: Array[Byte], n: Int): Iterator[Multimodal.MediaFrame] =
+          Multimodal.fakeFrames(id, b, n)
+        def perceptual(id: Long, b: Array[Byte]): Array[Float] =
+          if (id == badId) Array(1f, 2f)
+          else Multimodal.fakePerceptual(id, b)
+      }
+    }
 
   object ProbeCodec extends Multimodal.MediaCodec {
     def open(): Multimodal.MediaDecoder = {
