@@ -113,6 +113,8 @@ object SparkEntry {
     "dedup_incremental_contained" ->
       ((s, d) => TextOps.dedupIncremental(s, d, containment = true)),
     "dedup_report" -> ((s, d) => TextOps.dedupReport(s, d)),
+    "dedup_clusters_report" ->
+      ((s, d) => TextOps.dedupClustersFromReport(s, d)),
     "dedup_report_pairs" ->
       ((s, d) => TextOps.dedupReportFromPairs(s, d,
         TextOps.nearDupPairs(s, d).select("doc_a", "doc_b"))),
@@ -897,50 +899,19 @@ object SparkEntry {
         """UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) """ +
         """SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_rep """ +
         """FROM reach GROUP BY src"""),
-    "dedup_report" ->
-      // cross-modality union: each modality CTE replays its own oracle
-      // (the containment subquery carries the dedup_containment WITH
-      // block — DuckDB scopes subquery CTEs locally), keys = union of
-      // flagged pairs, evidence NULL where a modality did not fire
-      (s"""WITH $ngramPairCtes, """ +
-        // group-size cap (TextOps.ExactDupGroupCap): only hashes with
-        // 2..cap members pair — replays the Spark side's degenerate-
-        // group guard (unreachable at oracle scale, mirrored for truth)
-        """exq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a """ +
-        """JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id """ +
-        """WHERE md5(a.text) IN (SELECT md5(text) FROM documents """ +
-        s"""GROUP BY md5(text) HAVING count(*) BETWEEN 2 AND ${TextOps.ExactDupGroupCap})), """ +
-        """jq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
-        """CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / """ +
-        """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp """ +
-        s"""FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $ngramPairCond), """ +
-        s"""sq AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, """ +
-        """CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming """ +
-        s"""FROM ($simhashSigSql) sa JOIN ($simhashSigSql) sb ON sa.doc_id < sb.doc_id """ +
-        """WHERE bit_count(xor(sa.sig, sb.sig)) <= 3), """ +
-        s"""cq AS (SELECT * FROM ($dedupContainmentSql) c), """ +
-        s"""dq AS (SELECT doc_a, doc_b, jaccard_bp AS cdc_jaccard_bp FROM ($dedupCdcChunksSql) z), """ +
-        """cab AS (SELECT doc_a, doc_b, containment_bp FROM cq WHERE doc_a < doc_b), """ +
-        """cba AS (SELECT doc_b AS doc_a, doc_a AS doc_b, containment_bp FROM cq WHERE doc_a > doc_b), """ +
-        """keys AS (SELECT doc_a, doc_b FROM exq UNION SELECT doc_a, doc_b FROM jq """ +
-        """UNION SELECT doc_a, doc_b FROM sq UNION SELECT doc_a, doc_b FROM dq """ +
-        """UNION SELECT doc_a, doc_b FROM cab """ +
-        """UNION SELECT doc_a, doc_b FROM cba) """ +
-        """SELECT k.doc_a, k.doc_b, (e.doc_a IS NOT NULL) AS is_exact, """ +
-        """j.jaccard_bp, q.hamming AS simhash_hamming, dd.cdc_jaccard_bp, """ +
-        """ca.containment_bp AS contained_ab_bp, cb.containment_bp AS contained_ba_bp, """ +
-        """CAST(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END """ +
-        """+ CASE WHEN j.jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
-        """+ CASE WHEN q.hamming IS NOT NULL THEN 1 ELSE 0 END """ +
-        """+ CASE WHEN dd.cdc_jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
-        """+ CASE WHEN ca.containment_bp IS NOT NULL OR cb.containment_bp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_modalities """ +
-        """FROM keys k """ +
-        """LEFT JOIN exq e ON k.doc_a = e.doc_a AND k.doc_b = e.doc_b """ +
-        """LEFT JOIN jq j ON k.doc_a = j.doc_a AND k.doc_b = j.doc_b """ +
-        """LEFT JOIN sq q ON k.doc_a = q.doc_a AND k.doc_b = q.doc_b """ +
-        """LEFT JOIN dq dd ON k.doc_a = dd.doc_a AND k.doc_b = dd.doc_b """ +
-        """LEFT JOIN cab ca ON k.doc_a = ca.doc_a AND k.doc_b = ca.doc_b """ +
-        """LEFT JOIN cba cb ON k.doc_a = cb.doc_a AND k.doc_b = cb.doc_b"""),
+    "dedup_report" -> dedupReportSql,
+    "dedup_clusters_report" ->
+      // connected components (recursive reach, min-label rep — the
+      // dedup_clusters oracle idiom) over the report's pair set
+      // restricted to >= 2 corroborating modalities
+      (s"""WITH RECURSIVE rep AS (SELECT * FROM ($dedupReportSql) z), """ +
+        """pairs AS (SELECT doc_a, doc_b FROM rep WHERE n_modalities >= 2), """ +
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs """ +
+        """UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """reach(src, dst) AS (SELECT src, dst FROM edges """ +
+        """UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) """ +
+        """SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_rep """ +
+        """FROM reach GROUP BY src"""),
     "dedup_report_pairs" -> {
       // audit-mode replay: keys = the exact jaccard pair graph (the
       // Spark query feeds nearDupPairs in), evidence computed per pair
@@ -1439,6 +1410,53 @@ object SparkEntry {
       """FROM isl GROUP BY doc_a, doc_b, diag, isl_id) """ +
       s"""SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM sp WHERE span_tokens >= $minSpan"""
   }
+
+  /** Cross-modality report replay — each modality CTE replays its own
+    * oracle (the containment subquery carries the dedup_containment WITH
+    * block — DuckDB scopes subquery CTEs locally), keys = union of
+    * flagged pairs, evidence NULL where a modality did not fire. Shared
+    * by the dedup_report entry and the dedup_clusters_report
+    * composition. */
+  private lazy val dedupReportSql: String =
+    s"""WITH $ngramPairCtes, """ +
+      // group-size cap (TextOps.ExactDupGroupCap): only hashes with
+      // 2..cap members pair — replays the Spark side's degenerate-
+      // group guard (unreachable at oracle scale, mirrored for truth)
+      """exq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a """ +
+      """JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id """ +
+      """WHERE md5(a.text) IN (SELECT md5(text) FROM documents """ +
+      s"""GROUP BY md5(text) HAVING count(*) BETWEEN 2 AND ${TextOps.ExactDupGroupCap})), """ +
+      """jq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, """ +
+      """CAST(floor(10000.0 * len(list_intersect(a.sh, b.sh)) / """ +
+      """(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jaccard_bp """ +
+      s"""FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $ngramPairCond), """ +
+      s"""sq AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, """ +
+      """CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming """ +
+      s"""FROM ($simhashSigSql) sa JOIN ($simhashSigSql) sb ON sa.doc_id < sb.doc_id """ +
+      """WHERE bit_count(xor(sa.sig, sb.sig)) <= 3), """ +
+      s"""cq AS (SELECT * FROM ($dedupContainmentSql) c), """ +
+      s"""dq AS (SELECT doc_a, doc_b, jaccard_bp AS cdc_jaccard_bp FROM ($dedupCdcChunksSql) z), """ +
+      """cab AS (SELECT doc_a, doc_b, containment_bp FROM cq WHERE doc_a < doc_b), """ +
+      """cba AS (SELECT doc_b AS doc_a, doc_a AS doc_b, containment_bp FROM cq WHERE doc_a > doc_b), """ +
+      """keys AS (SELECT doc_a, doc_b FROM exq UNION SELECT doc_a, doc_b FROM jq """ +
+      """UNION SELECT doc_a, doc_b FROM sq UNION SELECT doc_a, doc_b FROM dq """ +
+      """UNION SELECT doc_a, doc_b FROM cab """ +
+      """UNION SELECT doc_a, doc_b FROM cba) """ +
+      """SELECT k.doc_a, k.doc_b, (e.doc_a IS NOT NULL) AS is_exact, """ +
+      """j.jaccard_bp, q.hamming AS simhash_hamming, dd.cdc_jaccard_bp, """ +
+      """ca.containment_bp AS contained_ab_bp, cb.containment_bp AS contained_ba_bp, """ +
+      """CAST(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END """ +
+      """+ CASE WHEN j.jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
+      """+ CASE WHEN q.hamming IS NOT NULL THEN 1 ELSE 0 END """ +
+      """+ CASE WHEN dd.cdc_jaccard_bp IS NOT NULL THEN 1 ELSE 0 END """ +
+      """+ CASE WHEN ca.containment_bp IS NOT NULL OR cb.containment_bp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_modalities """ +
+      """FROM keys k """ +
+      """LEFT JOIN exq e ON k.doc_a = e.doc_a AND k.doc_b = e.doc_b """ +
+      """LEFT JOIN jq j ON k.doc_a = j.doc_a AND k.doc_b = j.doc_b """ +
+      """LEFT JOIN sq q ON k.doc_a = q.doc_a AND k.doc_b = q.doc_b """ +
+      """LEFT JOIN dq dd ON k.doc_a = dd.doc_a AND k.doc_b = dd.doc_b """ +
+      """LEFT JOIN cab ca ON k.doc_a = ca.doc_a AND k.doc_b = ca.doc_b """ +
+      """LEFT JOIN cba cb ON k.doc_a = cb.doc_a AND k.doc_b = cb.doc_b"""
 
   /** Full replay of the perceptual near-dup dataflow: the stub codec's
     * segment-sum grid (the documents payload is ASCII text, so DuckDB's
