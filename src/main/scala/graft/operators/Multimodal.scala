@@ -396,13 +396,18 @@ object Multimodal {
     * basis points — integer-exact on both engines. */
   def perceptualNearDupOf(df: DataFrame, codec: MediaCodec = FakeCodec,
       l1Denom: Long = NearDupL1Denom, maxBucketSize: Int = 4096,
-      isinLimit: Int = 1000): DataFrame = {
+      isinLimit: Int = 1000, quarantine: Boolean = false): DataFrame = {
     // eager-job idiom: the banded self-join reads ONE materialization of
     // the codec pass (Catalyst shares no common subplans — an unpersisted
     // relation would run the mapPartitions decode once per join side).
     // Storage medium size-adaptive via Engine.miningLevel.
+    // `quarantine = true` mines over the in-contract documents only
+    // (violations drop from candidate generation; list them via
+    // [[perceptualQuarantine]]) instead of aborting the whole mining job
+    // on one hostile payload — the corpus-scale posture.
     val lvl = graft.Engine.miningLevel(df)
-    val banded = bandedOf(perceptualDescriptors(df, codec).toDF())
+    val banded = bandedOf(
+        perceptualDescriptors(df, codec, quarantine = quarantine).toDF())
       .persist(lvl)
     // Hot-bucket cap — the lshNearDupPairs hygiene pattern, and the
     // round-10 answer to the measured quadratic candidate growth at

@@ -691,6 +691,14 @@ class QueriesSpec extends SparkSpec {
     assert(dead.length === 1)
     assert(dead.head.getLong(0) === badId)
     assert(dead.head.getString(1).contains("out of contract"))
+    // the miner composes: fail-fast aborts on the hostile payload,
+    // quarantine mode mines the in-contract N-1 documents instead
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.perceptualNearDupOf(payloads, codec).collect()
+    }
+    Multimodal.perceptualNearDupOf(payloads, codec, quarantine = true)
+      .collect() // must complete — one bad payload no longer aborts
+    ()
   }
 
   test("mm band keys: near-identical payloads agree on every band, corpus keys spread") {
