@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Optional args (driver passes none; used for isolation re-measurement):
   *   args(0) — comma-separated query-name filter ("all" = everything)
-  *   args(1) — repeat count per query (default 3); every repetition is
+  *   args(1) — repeat count per query (default 4); every repetition is
   *             timed in the same JVM and all samples are printed to
   *             stderr, so a one-off GC/JIT artifact is distinguishable
   *             from a real cost. The reported number is the MIN of the
@@ -34,7 +34,12 @@ import org.apache.spark.sql.SparkSession
   *             one query all landed inside one storm and its min read
   *             10-25× high while the neighbors' read true — the round-10
   *             recorded artifact's dedup_clusters (90/113/56 s vs 2-3 s
-  *             idle) was exactly this measurement artifact.
+  *             idle) was exactly this measurement artifact. Default
+  *             raised 3 → 4 with the interleave: a storm is about as
+  *             long as one full pass (~45 s at sf0.1), so a fourth pass
+  *             materially raises every query's chance of at least one
+  *             storm-free sample; extra passes can only improve a MIN
+  *             estimator, and the cost is wall-clock only.
   *
   * A query that throws is reported in an `errors` map (name → exception
   * class) and its wall-clock entry is negated — a broken query must never
@@ -62,7 +67,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only: Option[Set[String]] = args.headOption.filter(_ != "all")
       .map(_.split(",").map(_.trim).toSet)
-    val repeats = if (args.length > 1) args(1).toInt else 3
+    val repeats = if (args.length > 1) args(1).toInt else 4
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
