@@ -108,11 +108,15 @@ object Bench {
         "true")
     }
     val spark = builder.getOrCreate()
-    if (reliable) {
-      val base = spark.sparkContext.getConf.get("spark.local.dir",
-        System.getProperty("java.io.tmpdir"))
-      spark.sparkContext.setCheckpointDir(s"$base/graft-reliable-ckpt")
-    }
+    val reliableDir: Option[java.nio.file.Path] =
+      if (!reliable) None
+      else {
+        val base = spark.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir"))
+        val p = java.nio.file.Paths.get(s"$base/graft-reliable-ckpt")
+        spark.sparkContext.setCheckpointDir(p.toString)
+        Some(p)
+      }
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session init, codegen pipeline, parquet reader paths. The
     // second statement pushes one throwaway plan through the higher-order-
@@ -301,6 +305,18 @@ object Bench {
     // the detail; a distinct code so failed queries can never read as a
     // clean pass to a consumer gating on rc alone).
     try spark.stop() catch { case _: Throwable => () }
+    // reliable-mode checkpoint files whose RDDs were not GC-reclaimed
+    // before shutdown would otherwise accumulate across runs in
+    // RAM-backed /dev/shm — the tmpfs-leak class the rehearsal fix
+    // closed; best-effort tree delete after stop()
+    reliableDir.foreach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     System.exit(if (errors.nonEmpty) 3 else 0)
   }
 }

@@ -1484,11 +1484,15 @@ object SparkEntry {
       """grid AS (SELECT d0.doc_id, kk.k, CAST(coalesce(cl.cell, 0) AS BIGINT) AS cell """ +
       """FROM d0 CROSS JOIN kk LEFT JOIN cl ON cl.doc_id = d0.doc_id AND cl.k = kk.k), """ +
       """tot AS (SELECT doc_id, CAST(sum(cell) AS BIGINT) AS total FROM grid GROUP BY doc_id), """ +
-      // the perceptualParams universal family and the ±1 sign schedule,
-      // replayed term for term: bit j = sign of Σ_k s_jk·(cell_k·dims −
-      // total); ranges stay < 2^36, exact in BIGINT on both engines
-      s"""pj AS (SELECT j, (104729*(j+131)) % $mod AS a, (15485863*(j+97)) % $mod AS b """ +
-      s"""FROM (SELECT unnest(range(0, $nBits)) AS j)), """ +
+      // the perceptualParams pairs rendered as a VALUES list FROM the
+      // Multimodal definition (the simhashSigSql discipline — hardcoding
+      // the formula here could silently desynchronize if the offsets
+      // change); bit j = sign of Σ_k s_jk·(cell_k·dims − total); ranges
+      // stay < 2^36, exact in BIGINT on both engines
+      s"""pj AS (SELECT * FROM (VALUES ${
+        Multimodal.perceptualParams(nBits).zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      }) AS t(j, a, b)), """ +
       s"""dev AS (SELECT g.doc_id, g.k, g.cell * $dims - t.total AS dv """ +
       """FROM grid g JOIN tot t ON g.doc_id = t.doc_id), """ +
       s"""pbits AS (SELECT d.doc_id, p.j, CASE WHEN """ +

@@ -291,24 +291,48 @@ object Multimodal {
     * ranges: |deviation term| < 2^30 by the decoder contract, summed
     * over dims=64 < 2^36 — exact in int64 on both engines. */
   def perceptualBandKeys(cells: Array[Long], nBits: Int = PerceptualBits,
-      bands: Int = PerceptualBands): Array[Long] = {
+      bands: Int = PerceptualBands): Array[Long] =
+    bandKeysWith(cells, signSchedule(nBits, cells.length), nBits, bands)
+
+  /** The ±1 sign schedule as a flat (nBits × dims) matrix — a pure
+    * function of the geometry, HOISTED out of the per-document loop by
+    * [[perceptualDecoded]] (the Kernels.simhashSig hoisting discipline:
+    * recomputing it per row paid nBits×dims modular multiplications per
+    * document for a row-invariant value). */
+  private[graft] def signSchedule(nBits: Int, dims: Int): Array[Byte] = {
+    val params = perceptualParams(nBits)
+    val signs = new Array[Byte](nBits * dims)
+    var j = 0
+    while (j < nBits) {
+      val (a, b) = params(j)
+      var k = 0
+      while (k < dims) {
+        val h = (a * (k + 1) + b) % TextOps.MOD
+        signs(j * dims + k) = if (2 * h > TextOps.MOD) 1 else -1
+        k += 1
+      }
+      j += 1
+    }
+    signs
+  }
+
+  private def bandKeysWith(cells: Array[Long], signs: Array[Byte],
+      nBits: Int, bands: Int): Array[Long] = {
     require(nBits > 0 && bands > 0 && nBits % bands == 0,
       s"bands ($bands) must divide nBits ($nBits)")
     val bandBits = nBits / bands
     require(bandBits <= 62, s"band keys must fit a positive int64 (got $bandBits)")
     val dims = cells.length
     val total = cells.sum
-    val params = perceptualParams(nBits)
     val dev = Array.tabulate(dims)(k => cells(k) * dims - total)
     val keys = new Array[Long](bands)
     var j = 0
     while (j < nBits) {
-      val (a, b) = params(j)
       var s = 0L
       var k = 0
+      val off = j * dims
       while (k < dims) {
-        val h = (a * (k + 1) + b) % TextOps.MOD
-        s += (if (2 * h > TextOps.MOD) dev(k) else -dev(k))
+        s += (if (signs(off + k) > 0) dev(k) else -dev(k))
         k += 1
       }
       if (s >= 0) keys(j / bandBits) |= 1L << (j % bandBits)
@@ -327,6 +351,9 @@ object Multimodal {
       bands: Int = PerceptualBands): Dataset[PerceptualDecoded] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // row-invariant sign schedule hoisted out of the decode loop (9 KB
+    // at the default geometry, shipped in the closure)
+    val signs = signSchedule(nBits, PerceptualDims)
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val dec = codec.open()
@@ -346,7 +373,7 @@ object Multimodal {
                 s"${f.length}-dim, cells must be $PerceptualDims × [0, 2^24)")
           else
             PerceptualDecoded(id, cells.sum, cells,
-              perceptualBandKeys(cells, nBits, bands), null)
+              bandKeysWith(cells, signs, nBits, bands), null)
         }
       }
   }

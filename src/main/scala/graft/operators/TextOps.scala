@@ -2354,7 +2354,7 @@ object TextOps {
     // worst-case output floor (round-10 ADVICE): one evaluation buffers
     // its qualifying pairs in memory before the explode, so block size
     // caps the DEGENERATE bound (every pair qualifying) at
-    // (n/B)² ≈ 4 M rows ≈ 128 MB — realistic match rates emit KBs
+    // (n/B)²/2 ≈ 2 M rows ≈ 128 MB — realistic match rates emit KBs
     val bBuf = math.max(1, math.ceil(nDocs / 2048.0).toInt)
     // clamp to KernelMaxBlocks unconditionally (round-10 ADVICE: bPar
     // on a very-high-core cluster previously escaped the cap, breaking

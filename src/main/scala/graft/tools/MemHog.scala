@@ -50,13 +50,21 @@ object MemHog {
           "2>/dev/null; rm -f /dev/shm/graft_hog_" + i + "; done")
         .redirectErrorStream(true).start()
     }
-    val holdPath = java.nio.file.Paths.get("/dev/shm/graft_hog_hold")
-    val target = hogGb.toLong * 1024 * 1024 * 1024 * 9 / 10
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (System.nanoTime() < deadline &&
-        (!java.nio.file.Files.exists(holdPath) ||
-          java.nio.file.Files.size(holdPath) < target))
-      Thread.sleep(2000)
-    new Handle(holder +: churners)
+    val handle = new Handle(holder +: churners)
+    // the ramp wait runs AFTER the Handle exists and inside a guard: an
+    // interrupt (or any throwable) during the up-to-120 s wait must not
+    // orphan detached dd writers that no caller can ever stop
+    try {
+      val holdPath = java.nio.file.Paths.get("/dev/shm/graft_hog_hold")
+      val target = hogGb.toLong * 1024 * 1024 * 1024 * 9 / 10
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          (!java.nio.file.Files.exists(holdPath) ||
+            java.nio.file.Files.size(holdPath) < target))
+        Thread.sleep(2000)
+    } catch {
+      case t: Throwable => handle.stop(); throw t
+    }
+    handle
   }
 }

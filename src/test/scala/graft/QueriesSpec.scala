@@ -645,15 +645,27 @@ class QueriesSpec extends SparkSpec {
     // low signature bits) but its segment profile is far beyond the L1
     // gate — candidate generation alone must not produce a pair
     val skew = "z" * 400 + " " * 400
+    // doc 4 is a NON-identical angle-near payload (one byte +1): the
+    // regime the sign-projection banding is documented to catch with
+    // ~full recall — pins the END-TO-END miner producing rows beyond the
+    // trivially-identical case (a constant-bkeys regression would still
+    // pair 1/2 but must be caught by this pair + the spread test below)
+    val tweaked = body.replaceFirst("quick", "qujck")
     val payloads = Seq(
       1L -> body.getBytes("UTF-8"),
       2L -> body.getBytes("UTF-8"),
-      3L -> skew.getBytes("UTF-8"))
+      3L -> skew.getBytes("UTF-8"),
+      4L -> tweaked.getBytes("UTF-8"))
       .toDF("doc_id", "payload")
     val pairs = Multimodal.perceptualNearDupOf(payloads).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pairs.contains((1L, 2L)), s"identical payloads not paired: $pairs")
     assert(pairs((1L, 2L)) === 0L)
+    assert(pairs.contains((1L, 4L)), s"angle-near payload not paired: $pairs")
+    // a one-byte edit's normalized L1 is under one basis point, so the
+    // floored rendering reads 0..tiny — far inside the 625 bp gate
+    assert(pairs((1L, 4L)) >= 0L && pairs((1L, 4L)) < 100L,
+      s"one-byte edit should verify at tiny L1: ${pairs.get((1L, 4L))}")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
       s"dissimilar profile survived the verify: $pairs")
   }
