@@ -71,7 +71,7 @@ object SparkEntry {
     "sql_q6" -> ((s, d) => ExtraOps.sqlQ6(s, d)),
     "udaf_wavg" -> ((s, d) => ExtraOps.weightedAvgPrice(s, d)),
     "pct_agg" -> ((s, d) => ExtraOps.percentileAgg(s, d)),
-    "pct_approx" -> ((s, d) => ExtraOps.percentileApprox(s, d)),
+    "pct_approx" -> ((s, d) => ExtraOps.percentileApproxChecked(s, d)),
     "q4_exists" -> ((s, d) => ExtraOps.q4Exists(s, d)),
     "q17_scalar_subq" -> ((s, d) => ExtraOps.q17ScalarSubquery(s, d)),
     "topk_per_key" -> ((s, d) => ExtraOps.topkPerKey(s, d)),
@@ -100,7 +100,7 @@ object SparkEntry {
     "grouping_sets" -> ((s, d) => ExtraOps.groupingSetsAgg(s, d)),
     "ts_resample" -> ((s, d) => ExtraOps.tsResample(s, d)),
     "salted_agg" -> ((s, d) => ExtraOps.saltedAgg(s, d)),
-    "approx_distinct" -> ((s, d) => ExtraOps.approxDistinct(s, d)),
+    "approx_distinct" -> ((s, d) => ExtraOps.approxDistinctChecked(s, d)),
     // --- dedup family over `documents` ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.nearDupPairs(s, d)),
@@ -167,7 +167,9 @@ object SparkEntry {
         col("scale"))),
     // --- multimodal metadata ---
     "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)),
-    "mm_near_dup" -> ((s, d) => Multimodal.perceptualNearDup(s, d)))
+    "mm_near_dup" -> ((s, d) => Multimodal.perceptualNearDup(s, d)),
+    "mm_near_dup_seeded" ->
+      ((s, d) => Multimodal.perceptualNearDupSeeded(s, d)))
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL (same parquet tables, bare table names)
@@ -854,6 +856,21 @@ object SparkEntry {
         """quantile_cont(l_quantity, 0.5) AS p50, """ +
         """quantile_cont(l_quantity, 0.75) AS p75 """ +
         """FROM lineitem GROUP BY l_returnflag"""),
+    // The sketch queries' deterministic restatements (round-11 VERDICT
+    // item 1): the GK/HLL++ estimates have no DuckDB twin, so the Spark
+    // side emits the exact reference values plus within-published-bound
+    // flags (pure functions of the data — the sketches are
+    // deterministic), and the oracle replays the exact side with the
+    // bounds asserted as literal TRUEs. A sketch regression breaking its
+    // own error guarantee flips a flag to 0 and hash-mismatches.
+    "pct_approx" ->
+      ("""SELECT l_returnflag, count(*) AS n, """ +
+        """CAST(1 AS BIGINT) AS ok25, CAST(1 AS BIGINT) AS ok50, """ +
+        """CAST(1 AS BIGINT) AS ok75 FROM lineitem GROUP BY l_returnflag"""),
+    "approx_distinct" ->
+      ("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, """ +
+        """CAST(1 AS BIGINT) AS within_bound """ +
+        """FROM lineitem GROUP BY l_returnflag"""),
     "q4_exists" ->
       ("""SELECT o_orderpriority, count(*) AS order_count FROM orders """ +
         """WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' """ +
@@ -905,7 +922,10 @@ object SparkEntry {
       // dedup_clusters oracle idiom) over the report's pair set
       // restricted to >= 2 corroborating modalities
       (s"""WITH RECURSIVE rep AS (SELECT * FROM ($dedupReportSql) z), """ +
-        """pairs AS (SELECT doc_a, doc_b FROM rep WHERE n_modalities >= 2), """ +
+        // threshold rendered from the Scala default so the two sides
+        // cannot desynchronize (round-11 ADVICE)
+        s"""pairs AS (SELECT doc_a, doc_b FROM rep """ +
+        s"""WHERE n_modalities >= ${TextOps.ReportClusterMinModalities}), """ +
         """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs """ +
         """UNION SELECT doc_b, doc_a FROM pairs), """ +
         """reach(src, dst) AS (SELECT src, dst FROM edges """ +
@@ -1330,7 +1350,8 @@ object SparkEntry {
         """CAST(ascii(text) AS BIGINT) AS first_byte, """ +
         """CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels """ +
         """FROM documents"""),
-    "mm_near_dup" -> mmNearDupSql)
+    "mm_near_dup" -> mmNearDupSql,
+    "mm_near_dup_seeded" -> mmNearDupSeededSql)
 
   /** Full replay of the duplicated-span dataflow: seed windows keyed by
     * the md5 of their joined tokens, the df-cap, the diagonal
@@ -1468,13 +1489,33 @@ object SparkEntry {
     * cross-multiplied integer-L1 verify. Every constant renders from the
     * [[graft.operators.Multimodal]] definitions so the two sides cannot
     * desynchronize. */
-  private lazy val mmNearDupSql: String = {
+  private lazy val mmNearDupSql: String = mmNearDupSqlOver("documents")
+
+  /** mm_near_dup over documents ∪ the [[graft.operators.Multimodal]]
+    * seed payloads — `repeat()` expressions rendered from the SAME
+    * constants the Spark side builds its seed strings from, so the two
+    * sides construct byte-identical payloads. Guarantees ≥3 answer rows
+    * at every scale factor (see Multimodal.seedPayloads), closing the
+    * vacuous-0=0 gap in the plain oracle row. */
+  private lazy val mmNearDupSeededSql: String = {
+    val u = Multimodal.SeedUnit
+    val e = Multimodal.SeedEditedUnit
+    val r = Multimodal.SeedReps
+    mmNearDupSqlOver(
+      s"""(SELECT doc_id, text FROM documents """ +
+        s"""UNION ALL SELECT CAST(-3 AS BIGINT), rtrim(repeat('$u', $r)) """ +
+        s"""UNION ALL SELECT CAST(-2 AS BIGINT), rtrim(repeat('$u', $r)) """ +
+        s"""UNION ALL SELECT CAST(-1 AS BIGINT), """ +
+        s"""rtrim('$e' || repeat('$u', ${r - 1}))) AS src""")
+  }
+
+  private def mmNearDupSqlOver(source: String): String = {
     val dims = Multimodal.PerceptualDims
     val nBits = Multimodal.PerceptualBits
     val bandBits = Multimodal.PerceptualBandBits
     val denom = Multimodal.NearDupL1Denom
     val mod = TextOps.MOD
-    s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), """ +
+    s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM $source), """ +
       """ch AS (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS j FROM d0), """ +
       s"""cl AS (SELECT doc_id, ((j-1)*$dims)//n AS k, sum(ascii(text[j:j])) AS cell """ +
       """FROM ch GROUP BY 1, 2), """ +

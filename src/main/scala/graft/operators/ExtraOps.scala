@@ -137,8 +137,8 @@ object ExtraOps {
     * Khanna quantile summary) — at 100 TB the exact percentile's
     * per-group sorted buffer is corpus-sized, while the GK sketch is
     * O(1/accuracy) per group, mergeable map-side, and bounds rank error
-    * by n/accuracy. Approximate ⇒ rows-only gate; TopKSpec pins the
-    * rank-error bound against the exact twin. */
+    * by n/accuracy. Raw estimates (this relation) are spec-checked in
+    * TopKSpec; the oracle-gated query is [[percentileApproxChecked]]. */
   def percentileApprox(spark: SparkSession, dir: String,
       accuracy: Int = 1000): DataFrame =
     tbl(spark, dir, "lineitem")
@@ -147,6 +147,45 @@ object ExtraOps {
         .as("ps"))
       .select(col("l_returnflag"), col("ps")(0).as("p25"),
         col("ps")(1).as("p50"), col("ps")(2).as("p75"))
+
+  /** The GK sketch's rank-error guarantee, restated as a DETERMINISTIC
+    * relation (round-11 VERDICT item 1: a sketch estimate has no DuckDB
+    * twin, but its published bound does). Runs [[percentileApprox]],
+    * then re-ranks each returned value against the group it came from:
+    * a value v returned for quantile q occupies the rank interval
+    * [count(x<v)+1, count(x≤v)], and GK guarantees that interval comes
+    * within ±n/accuracy of the target rank q·n. `ok25/ok50/ok75` assert
+    * exactly that (slack doubled + 1 for the open question of which
+    * rank convention rounds where — still <0.3 % of n at the default
+    * accuracy), so the emitted row is a pure function of the data: the
+    * oracle replays it as literal 1s next to the exact group counts.
+    * Two jobs: the sketch agg, then one broadcast join + conditional-sum
+    * re-rank pass — both single-shuffle, no sorted buffers. */
+  def percentileApproxChecked(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val est = percentileApprox(spark, dir, accuracy)
+      .select(col("l_returnflag"), col("p25").as("a25"),
+        col("p50").as("a50"), col("p75").as("a75"))
+    val qs = Seq(("25", 0.25), ("50", 0.50), ("75", 0.75))
+    val ranked = li.join(broadcast(est), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        qs.flatMap { case (tag, _) =>
+          Seq(sum(when(col("l_quantity") < col(s"a$tag"), 1L)
+              .otherwise(0L)).as(s"lt$tag"),
+            sum(when(col("l_quantity") <= col(s"a$tag"), 1L)
+              .otherwise(0L)).as(s"le$tag"))
+        }: _*)
+    val okCols = qs.map { case (tag, q) =>
+      val slack = lit(2.0) * col("n") / accuracy + 1.0
+      val target = col("n") * q
+      ((col(s"le$tag") >= target - slack) &&
+        (col(s"lt$tag") + 1 <= target + slack)).cast("long").as(s"ok$tag")
+    }
+    ranked.select(col("l_returnflag") +: col("n") +: okCols: _*)
+  }
 
   /** Correlated EXISTS (TPC-H Q4 shape): orders with ≥1 late lineitem,
     * counted per priority — exercises Catalyst's subquery decorrelation
@@ -229,13 +268,35 @@ object ExtraOps {
         round(sum(col("pv")) * 100, 0).cast("long").as("sum_value_c"))
 
   /** HLL sketch distinct counts (approx_count_distinct) next to exact —
-    * approximate across engines, so spec-checked for relative error
-    * rather than oracle-hashed. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * the raw estimate relation TopKSpec checks for relative error. The
+    * oracle-gated query is [[approxDistinctChecked]]. */
+  def approxDistinct(spark: SparkSession, dir: String,
+      rsd: Double = ApproxDistinctRsd): DataFrame =
     tbl(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Relative standard deviation requested from the HLL++ sketch (the
+    * Spark default), and the within-bound multiple [[approxDistinctChecked]]
+    * asserts — 3σ of the published error model, shared with the rendered
+    * oracle so the two sides cannot desynchronize. */
+  val ApproxDistinctRsd = 0.05
+  val ApproxDistinctSigmas = 3
+
+  /** [[approxDistinct]] restated deterministically (round-11 VERDICT
+    * item 1): the HLL++ estimate is a deterministic function of the
+    * input but has no DuckDB twin, so the QUERY emits what DuckDB can
+    * replay — the exact distinct count and a `within_bound` flag
+    * asserting |est − exact| ≤ 3·rsd·exact (the sketch's published 3σ
+    * envelope; deterministic because the sketch itself is). The raw
+    * estimate stays visible through [[approxDistinct]]/TopKSpec. */
+  def approxDistinctChecked(spark: SparkSession, dir: String): DataFrame =
+    approxDistinct(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          lit(ApproxDistinctSigmas * ApproxDistinctRsd) * col("exact_parts"))
+          .cast("long").as("within_bound"))
 
   /** The Aggregator applied per return flag (typed groupByKey path). */
   def weightedAvgPrice(spark: SparkSession, dir: String): DataFrame = {

@@ -1052,8 +1052,13 @@ object TextOps {
     * miner via [[dedupClusters]]). Mining goes through the per-JVM memo,
     * so a pipeline that already ran the report (or any standalone miner)
     * pays only the tiny pair-set filter + the component resolution. */
+  /** Default corroboration threshold for [[dedupClustersFromReport]] —
+    * shared with the rendered DuckDB oracle (SparkEntry) so changing the
+    * default here cannot silently desynchronize the two sides. */
+  val ReportClusterMinModalities = 2L
+
   def dedupClustersFromReport(spark: SparkSession, dir: String,
-      minModalities: Long = 2L): DataFrame =
+      minModalities: Long = ReportClusterMinModalities): DataFrame =
     dedupClustersFromPairs(
       dedupReport(spark, dir).filter(col("n_modalities") >= minModalities))
 
@@ -2323,6 +2328,16 @@ object TextOps {
     * [[cosinePairsPrefixFrom]]); on a Zipfian head it clears easily. */
   private val PrefixPayoffFactor = 4L
 
+  /** Kernel candidacy — the ONE predicate deciding whether the dense
+    * block kernel is even considered (vocab fits the per-doc bitset
+    * budget AND the pair expansion is expensive enough to amortize the
+    * block machinery). Shared by [[cosineKernelPlan]] (admission) and
+    * [[textCosinePairs]] (whether to pay the nDocs census job) so the
+    * two sides cannot drift: a drifted copy could pass nDocs=0 into an
+    * admitting plan and size blocks against a miscounted corpus. */
+  private[graft] def isKernelCandidate(sumDf2: Long, vocabN: Long): Boolean =
+    vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
+
   /** Kernel admission + block-count sizing, extracted so the bounds are
     * unit-testable without a corpus (round-10 VERDICT items 3/4):
     * returns Some(nBlocks) when the block kernel is admitted, None when
@@ -2339,9 +2354,7 @@ object TextOps {
     *    cap) is REFUSED rather than admitted with a broken bound. */
   private[graft] def cosineKernelPlan(sumDf2: Long, vocabN: Long,
       idxRows: Long, nDocs: Long, cores: Int): Option[Int] = {
-    val kernelCandidate =
-      vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
-    if (!kernelCandidate) return None
+    if (!isKernelCandidate(sumDf2, vocabN)) return None
     val gatePairs = nDocs * math.max(nDocs - 1, 0L) / 2
     // struct bytes + the per-doc V-bit membership sets the kernel builds
     // per evaluation (V/8 bytes each — both count strategies index them)
@@ -2392,11 +2405,13 @@ object TextOps {
     val cores = spark.sparkContext.defaultParallelism
     // the doc census (one more narrow job on the cached index) is only
     // needed to size/admit the kernel — skip it when the vocab cap or the
-    // expansion floor already rules the kernel out
-    val kernelCandidate =
-      vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
+    // expansion floor already rules the kernel out (the SAME predicate
+    // cosineKernelPlan gates admission on — shared so the census skip
+    // and the admission test cannot drift apart)
     val nDocs =
-      if (kernelCandidate) w.select("doc_id").distinct().count() else 0L
+      if (isKernelCandidate(sumDf2, vocabN))
+        w.select("doc_id").distinct().count()
+      else 0L
     // admission + block sizing — extracted and bound-pinned, see
     // [[cosineKernelPlan]]
     val kernelBlocks = cosineKernelPlan(sumDf2, vocabN, idxRows, nDocs, cores)

@@ -730,4 +730,88 @@ object WindowedStreams {
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** Streaming connected components over the corroborated pair stream —
+    * the incremental twin of
+    * [[graft.operators.TextOps.dedupClustersFromReport]] (round-11
+    * VERDICT item 8, completing the triage story in the streaming
+    * surface): each micro-batch's evidence pairs are thresholded on
+    * `n_modalities` (same default as the batch op, so the two surfaces
+    * agree on what "corroborated" means), merged into a persistent label
+    * store, and the FULL updated (doc_id, cluster_rep) relation is
+    * handed to `sink` — update-mode semantics: after batch N the sink
+    * holds every streamed doc's current component representative.
+    *
+    * State = the label store itself, a versioned parquet relation under
+    * `labelStoreDir/v=<batchId>`: batch N reads the newest COMMITTED
+    * version below N, unions its (doc_id, cluster_rep) rows — star
+    * edges, which encode all prior merges in O(docs) rows regardless of
+    * how many pairs produced them — with the batch's fresh corroborated
+    * pairs, resolves components via the bounded
+    * [[graft.operators.TextOps.dedupClustersFromPairs]] (driver
+    * union-find under the edge cap, distributed min-label above it),
+    * and writes version N. Restart-idempotent: replaying batch N reads
+    * the same pre-N version and overwrites its own output; versions are
+    * pruned to the latest two so the store stays O(docs), not
+    * O(batches·docs).
+    *
+    * Batching-invariant BY CONSTRUCTION: star edges preserve exactly the
+    * connectivity of the pairs folded so far, and the min-id
+    * representative is associative across merges — so the store after
+    * the last batch equals one batch `dedupClustersFromReport`-style run
+    * over the union of all corroborated pairs (the parity
+    * WindowedStreamsSpec pins, including a cross-batch component
+    * merge). At 100 TB-ingest scale every per-batch relation is
+    * O(docs-clustered-so-far): the store is star-compressed, fresh pairs
+    * are the increment, and no corpus-sized recomputation occurs. */
+  def clusterReportStream(
+      pairs: DataFrame, // streaming (doc_a, doc_b, n_modalities)
+      checkpointDir: String,
+      labelStoreDir: String,
+      sink: (DataFrame, Long) => Unit,
+      minModalities: Long =
+        graft.operators.TextOps.ReportClusterMinModalities,
+      availableNow: Boolean = true): StreamingQuery = {
+    val w = pairs.writeStream
+      .queryName("graft-cluster-report")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.toDF()
+          .filter(col("n_modalities") >= minModalities)
+          .select(col("doc_a").cast("long").as("doc_a"),
+            col("doc_b").cast("long").as("doc_b"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(labelStoreDir),
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(labelStoreDir)
+        // committed = has Spark's _SUCCESS marker: a crash mid-write
+        // leaves an uncommitted dir that must not be read as state
+        def versions(): Seq[Long] =
+          if (!fs.exists(root)) Nil
+          else fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("v=") &&
+              fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            .map(_.getName.stripPrefix("v=").toLong)
+        val prior = versions().filter(_ < batchId).sorted.lastOption
+        val priorEdges = prior match {
+          case Some(v) => spark.read.parquet(s"$labelStoreDir/v=$v")
+            .select(col("doc_id").as("doc_a"),
+              col("cluster_rep").as("doc_b"))
+          case None => fresh.limit(0)
+        }
+        val labels =
+          graft.operators.TextOps.dedupClustersFromPairs(
+            priorEdges.unionByName(fresh))
+        labels.write.mode("overwrite")
+          .parquet(s"$labelStoreDir/v=$batchId")
+        // hand the sink the COMMITTED store (re-read, not the lazy plan:
+        // the plan reads the prior version, which pruning deletes below)
+        sink(spark.read.parquet(s"$labelStoreDir/v=$batchId"), batchId)
+        versions().filter(v => v != batchId && prior.forall(_ != v))
+          .foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$labelStoreDir/v=$v"), true))
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

@@ -744,6 +744,46 @@ class QueriesSpec extends SparkSpec {
     f.map(v => math.round(v.toDouble))
   }
 
+  test("mm auto geometry: plan-time band width at 10^4 / 10^6 / 10^8 docs") {
+    // the banding floor bands·n²/2^bandBits stays ≤ n by construction:
+    // every oracle/test corpus (≤ ~2.8 M docs) keeps the DEFAULT 144-bit
+    // geometry — which is what keeps the rendered DuckDB oracle in sync —
+    // and 10^8 docs auto-widen to 30-bit bands without a library edit
+    assert(Multimodal.autoBandBits(10L * 1000 * 1000 / 1000) ===
+      Multimodal.PerceptualBandBits) // 10^4
+    assert(Multimodal.autoBandBits(1000L * 1000) ===
+      Multimodal.PerceptualBandBits) // 10^6
+    assert(Multimodal.autoBandBits(100L * 1000 * 1000) === 30) // 10^8
+    // the floor bound itself: expected collision mass ≤ candidatesPerDoc·n
+    Seq(10L * 1000, 1000L * 1000, 100L * 1000 * 1000).foreach { n =>
+      val bb = Multimodal.autoBandBits(n)
+      val mass = Multimodal.PerceptualBands.toDouble * n / math.pow(2.0, bb) * n
+      assert(mass <= n.toDouble + 1e-6, s"n=$n bandBits=$bb mass=$mass")
+    }
+    // degenerate inputs fall back to the default geometry
+    assert(Multimodal.autoBandBits(0L) === Multimodal.PerceptualBandBits)
+    // band keys must stay positive int64s at ANY corpus size
+    assert(Multimodal.autoBandBits(Long.MaxValue) === 62)
+  }
+
+  test("mm seeded near-dup: oracle twin is non-empty by construction") {
+    // the three seed payloads guarantee the (-3,-2) identical pair at
+    // L1=0 plus the two one-byte-edit pairs — the rows that pin the
+    // signature→banding→verify formula against the DuckDB replay
+    // (round-11 VERDICT item 6: the plain oracle row only ever compared
+    // empty sets)
+    val rows = Multimodal.perceptualNearDupSeeded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.contains((-3L, -2L)), s"identical seed pair missing: $rows")
+    assert(rows((-3L, -2L)) === 0L)
+    assert(rows.contains((-3L, -1L)) && rows.contains((-2L, -1L)),
+      s"one-byte-edit seed pairs missing: $rows")
+    assert(rows((-3L, -1L)) < 100L, s"edit pair L1 too large: $rows")
+    // no corpus doc may pair with a seed (disjoint content), and at
+    // sf0.001 the corpus itself yields no pairs — exactly 3 rows
+    assert(rows.size === 3, s"unexpected extra pairs: $rows")
+  }
+
   test("testdata invariant: documents text is ASCII (mm_near_dup oracle byte=char guard)") {
     // the mm_near_dup oracle walks DuckDB CHARACTERS while the stub codec
     // walks payload BYTES — identical only while the text is pure ASCII

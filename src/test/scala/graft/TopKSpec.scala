@@ -103,6 +103,22 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("checked sketch queries: every within-bound flag is 1 (the oracle's literal row)") {
+    // the oracle replays these as literal TRUEs — the spec holds the
+    // same truth locally so a sketch-bound regression fails fast here,
+    // not only in the driver's DuckDB compare
+    val ad = ExtraOps.approxDistinctChecked(spark, dir).collect()
+    assert(ad.nonEmpty)
+    ad.foreach(r => assert(r.getLong(2) === 1L,
+      s"${r.getString(0)}: HLL estimate outside the 3-sigma rsd envelope"))
+    val pa = ExtraOps.percentileApproxChecked(spark, dir).collect()
+    assert(pa.nonEmpty)
+    pa.foreach { r =>
+      Seq(2, 3, 4).foreach(i => assert(r.getLong(i) === 1L,
+        s"${r.getString(0)}: GK value outside the rank-error bound (col $i)"))
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val salted = ExtraOps.saltedAgg(spark, dir)
     val direct = spark.read.parquet(s"$dir/events.parquet")

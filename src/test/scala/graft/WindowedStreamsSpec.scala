@@ -9,6 +9,7 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, k: String, v: Double)
 case class DocEv(ts: Timestamp, doc_id: Long, text: String)
 case class FreshDoc(doc_id: Long, text: String)
+case class RPair(doc_a: Long, doc_b: Long, n_modalities: Long)
 
 /** Event-time semantics under a real streaming execution: watermark
   * finalization, late-data dropping, session merging, dedup state. */
@@ -715,5 +716,61 @@ class WindowedStreamsSpec extends SparkSpec {
     assert(without(201L) === true,
       "quoted-inside dup must pass unsuppressed without the containment modality")
     idx.unpersist()
+  }
+
+  test("cluster-report stream: update-mode components merge across batches, restart resumes, batch parity holds") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextOps
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long)])]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      results.synchronized { results += ((id, rows)) }
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft-crs-cp").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-crs-st").toString
+
+    // batch 1: two corroborated components {1,2} and {3,4}; (5,6) has
+    // only one agreeing modality and must NOT enter the graph
+    val inc1 = Seq(RPair(1L, 2L, 2L), RPair(3L, 4L, 3L), RPair(5L, 6L, 1L))
+    val src1 = MemoryStream[RPair]
+    src1.addData(inc1: _*)
+    val q1 = WindowedStreams.clusterReportStream(src1.toDF(), cp, store, sink)
+    q1.awaitTermination()
+    assert(results.map(_._1).toSeq === Seq(0L))
+    assert(results.head._2 ===
+      Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+
+    // restart: replay batch 1 at the same offsets (must not re-reach the
+    // sink), add batch 2 — (2,3) MERGES the two prior components via the
+    // store's star edges, (7,8) opens a new one
+    val inc2 = Seq(RPair(2L, 3L, 2L), RPair(7L, 8L, 2L))
+    val src2 = MemoryStream[RPair]
+    src2.addData(inc1: _*)
+    src2.addData(inc2: _*)
+    val q2 = WindowedStreams.clusterReportStream(src2.toDF(), cp, store, sink)
+    q2.awaitTermination()
+
+    assert(results.map(_._1).toSeq === Seq(0L, 1L))
+    // update-mode: the final sink state is EVERY streamed doc's current
+    // rep — the cross-batch merge relabels 3 and 4 to rep 1
+    val finalLabels = results.last._2
+    assert(finalLabels === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (7L, 7L), (8L, 7L)))
+    // batching-invariance: the store after the last batch equals one
+    // batch components run over the union of all corroborated pairs
+    val batchTwin = TextOps.dedupClustersFromPairs(
+        (inc1 ++ inc2).toDF()
+          .filter(col("n_modalities") >= TextOps.ReportClusterMinModalities)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finalLabels === batchTwin)
+    // store hygiene: versions pruned to at most two
+    val kept = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+    assert(kept.length <= 2, s"store not pruned: ${kept.toSeq}")
   }
 }
