@@ -200,7 +200,21 @@ object Bench {
       only.forall(s => s.contains("dedup_pipeline_mine_once"))
     var pipelineSamples = Vector.empty[Double]
     (1 to repeats).foreach { pass =>
-      selected.foreach { case (name, fn) =>
+      // ROTATED start offset per pass (round 12, same rationale as
+      // ContentionHarness): interleaving decorrelates samples from
+      // STORMS but keeps every query at the same slot position each
+      // pass, and slot position is not noise-neutral — the first heavy
+      // slot after a pass boundary absorbs disproportionate reclaim
+      // cost under load (measured: the same mining 5.4–5.9× in slot 0/1
+      // across eight consecutive loaded passes vs 0.97–1.6× for its
+      // superset a slot later). Rotating by n/repeats per pass gives
+      // each query `repeats` different positions; the per-query MIN
+      // then estimates the operator, not its place in the schedule.
+      val offset =
+        (pass - 1) * math.max(selected.length / math.max(repeats, 1), 1)
+      val order = selected.drop(offset % math.max(selected.length, 1)) ++
+        selected.take(offset % math.max(selected.length, 1))
+      order.foreach { case (name, fn) =>
         // EVERY sample starts memo-cold: a memoized pair graph would
         // make whichever dedup sample runs first absorb the mining cost
         // and the rest read cache — samples would not be independently

@@ -158,8 +158,24 @@ object ContentionHarness {
     def measureQueries(phase: String): Map[String, Double] = {
       val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)
-      (1 to repeats).foreach { _ =>
-        queries.foreach { name =>
+      (1 to repeats).foreach { pass =>
+        // ROTATED passes (round 12): interleaving alone keeps each query
+        // at the SAME slot position every pass, and slot position is not
+        // noise-neutral — r11's StageBracket measured the identical
+        // mining at 5.8× in the first heavy slot vs 0.93× later in the
+        // same phase, and r12's first two 4-pass runs read the
+        // first-slot query (jaccard) 5.4–5.9× in ALL EIGHT loaded passes
+        // while its superset (clusters, same mining + components) ran
+        // 0.97–1.6× a slot later. Rotating the start offset by
+        // len/repeats per pass gives every query `repeats` DIFFERENT
+        // slot positions, so the min no longer measures the query's
+        // fixed place in the hog's absorption pattern. Estimator and
+        // per-sample content (memo-cold, hygiene) unchanged — this is
+        // the Latin-square leg of standard repeated-measures practice.
+        val offset = (pass - 1) * math.max(queries.length / repeats, 1)
+        val order = queries.drop(offset % queries.length) ++
+          queries.take(offset % queries.length)
+        order.foreach { name =>
           graft.operators.TextOps.clearMinedPairs()
           spark.sharedState.cacheManager.clearCache()
           val persisted = spark.sparkContext.getPersistentRDDs.values

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Memo-warm attribution probe (round-11 VERDICT item 4): the bench
+  * measures `dedup_clusters_report` memo-COLD by design (samples must be
+  * independently comparable), which charges every sample the full report
+  * mining. A composed pipeline pays that mining once — this probe records
+  * both numbers in one JVM so the attribution is an artifact, not an
+  * argument: (1) `dedup_report` cold (mines all five modalities and fills
+  * the per-JVM pair memo), then (2) `dedup_clusters_report` with the memo
+  * WARM — what the composition actually pays for component resolution.
+  *
+  * Usage: runMain graft.tools.WarmProbe   (env SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_OUT as in Bench). */
+object WarmProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    graft.operators.TextOps.clearMinedPairs()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val coldReport =
+      time(graft.operators.TextOps.dedupReport(spark, sfDir).count())
+    val warmClusters =
+      time(graft.operators.TextOps.dedupClustersFromReport(spark, sfDir)
+        .count())
+    // the same resolution memo-cold, for the in-JVM delta
+    graft.operators.TextOps.clearMinedPairs()
+    spark.sharedState.cacheManager.clearCache()
+    val coldClusters =
+      time(graft.operators.TextOps.dedupClustersFromReport(spark, sfDir)
+        .count())
+    val json = f"""{"tool":"warm_probe","sf":"$sfDir","cpus":$cpus,""" +
+      f""""dedup_report_cold_s":$coldReport%.3f,""" +
+      f""""dedup_clusters_report_warm_s":$warmClusters%.3f,""" +
+      f""""dedup_clusters_report_cold_s":$coldClusters%.3f}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out/warm_probe.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
