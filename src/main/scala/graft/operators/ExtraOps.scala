@@ -279,17 +279,23 @@ object ExtraOps {
 
   /** Relative standard deviation requested from the HLL++ sketch (the
     * Spark default), and the within-bound multiple [[approxDistinctChecked]]
-    * asserts — 3σ of the published error model, shared with the rendered
-    * oracle so the two sides cannot desynchronize. */
+    * asserts. HONESTY NOTE: unlike the GK rank check (a hard worst-case
+    * guarantee), rsd is a STANDARD DEVIATION, not a sup bound — an
+    * in-spec sketch can exceed k·σ on an unlucky dataset. 5σ makes a
+    * spurious flip ~1e-6 per group per dataset (vs ~3e-3 at 3σ) while a
+    * real sketch regression (wrong precision, broken merge) still lands
+    * orders of magnitude outside. Deterministic for a GIVEN dataset
+    * either way; the risk is only regenerated testdata. */
   val ApproxDistinctRsd = 0.05
-  val ApproxDistinctSigmas = 3
+  val ApproxDistinctSigmas = 5
 
   /** [[approxDistinct]] restated deterministically (round-11 VERDICT
     * item 1): the HLL++ estimate is a deterministic function of the
     * input but has no DuckDB twin, so the QUERY emits what DuckDB can
     * replay — the exact distinct count and a `within_bound` flag
-    * asserting |est − exact| ≤ 3·rsd·exact (the sketch's published 3σ
-    * envelope; deterministic because the sketch itself is). The raw
+    * asserting |est − exact| ≤ [[ApproxDistinctSigmas]]·rsd·exact
+    * (deterministic because the sketch itself is; see the honesty note
+    * on [[ApproxDistinctRsd]] for why the multiple is generous). The raw
     * estimate stays visible through [[approxDistinct]]/TopKSpec. */
   def approxDistinctChecked(spark: SparkSession, dir: String): DataFrame =
     approxDistinct(spark, dir)

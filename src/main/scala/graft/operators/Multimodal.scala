@@ -247,6 +247,15 @@ object Multimodal {
     * scaling the round-11 geometry documented as "parameterized" now
     * chosen by the plan itself. MultimodalSpec pins the chosen widths
     * at 10⁴/10⁶/10⁸. */
+  /** Largest corpus for which [[autoBandBits]] keeps the DEFAULT
+    * geometry (6·n ≤ 2²⁴ → n ≤ 2 796 202). The rendered DuckDB oracles
+    * (SparkEntry.mmNearDupSql and its seeded twin) replay the STATIC
+    * default geometry, so they are valid exactly up to this bound —
+    * spec-pinned, and [[perceptualNearDupOf]] logs loudly when a corpus
+    * crosses it, so an oracle-vs-auto divergence is impossible to hit
+    * silently (all driver scale factors sit orders of magnitude below). */
+  val DefaultGeometryMaxDocs: Long = (1L << PerceptualBandBits) / PerceptualBands
+
   def autoBandBits(nDocs: Long, bands: Int = PerceptualBands,
       candidatesPerDoc: Double = 1.0): Int = {
     require(bands > 0 && candidatesPerDoc > 0,
@@ -452,7 +461,8 @@ object Multimodal {
     * basis points — integer-exact on both engines. */
   def perceptualNearDupOf(df: DataFrame, codec: MediaCodec = FakeCodec,
       l1Denom: Long = NearDupL1Denom, maxBucketSize: Int = 4096,
-      isinLimit: Int = 1000, quarantine: Boolean = false): DataFrame = {
+      isinLimit: Int = 1000, quarantine: Boolean = false,
+      nDocs: Option[Long] = None): DataFrame = {
     // eager-job idiom: the banded self-join reads ONE materialization of
     // the codec pass (Catalyst shares no common subplans — an unpersisted
     // relation would run the mapPartitions decode once per join side).
@@ -464,9 +474,22 @@ object Multimodal {
     val lvl = graft.Engine.miningLevel(df)
     // geometry chosen by the plan from the corpus count (autoBandBits):
     // a narrow count-star job — parquet sources answer it from footer
-    // metadata — and every corpus at or below ~2.8 M docs resolves to
-    // the default 144-bit geometry the rendered oracle replays
-    val bandBits = autoBandBits(df.count())
+    // metadata after column pruning, so the default count is cheap for
+    // the shipped table-backed paths. A caller whose relation has an
+    // EXPENSIVE unpersisted lineage (joins, decoded payloads) should
+    // pass `nDocs` explicitly (or persist upstream): the count otherwise
+    // executes that lineage once for the census and once for the decode.
+    // Every corpus at or below DefaultGeometryMaxDocs (~2.8 M docs)
+    // resolves to the default 144-bit geometry the rendered oracle
+    // replays; wider corpora widen loudly (warn below) because the
+    // static-geometry oracle SQL stops being a valid replay there.
+    val bandBits = autoBandBits(nDocs.getOrElse(df.count()))
+    if (bandBits != PerceptualBandBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"perceptualNearDup: corpus exceeds DefaultGeometryMaxDocs " +
+          s"($DefaultGeometryMaxDocs) — auto-widened to $bandBits-bit " +
+          "bands; the static-geometry DuckDB oracle no longer replays " +
+          "this corpus")
     val banded = bandedOf(
         perceptualDescriptors(df, codec, quarantine = quarantine,
           nBits = bandBits * PerceptualBands).toDF())
@@ -525,7 +548,7 @@ object Multimodal {
     * IRREGULAR text: a short-period pattern (first attempt: "abcdefgh"
     * × 96) makes the deviation vector alternate between two values, the
     * projection sums sit near zero, and a one-byte edit flips bands —
-    * the pangram unit's 45-byte period is non-commensurate with the
+    * the pangram unit's 44-byte period is non-commensurate with the
     * 64-segment grid, which is exactly the payload shape the QueriesSpec
     * band-agreement test pins. The SQL side renders `repeat()`/`rtrim`
     * expressions from these SAME constants

@@ -1043,6 +1043,11 @@ object TextOps {
     out
   }
 
+  /** Default corroboration threshold for [[dedupClustersFromReport]] —
+    * shared with the rendered DuckDB oracle (SparkEntry) so changing the
+    * default here cannot silently desynchronize the two sides. */
+  val ReportClusterMinModalities = 2L
+
   /** Cluster resolution over the cross-modality report (round-10 VERDICT
     * item 7): connected components over [[dedupReport]]'s pair set
     * restricted to pairs where at least `minModalities` independent
@@ -1052,11 +1057,6 @@ object TextOps {
     * miner via [[dedupClusters]]). Mining goes through the per-JVM memo,
     * so a pipeline that already ran the report (or any standalone miner)
     * pays only the tiny pair-set filter + the component resolution. */
-  /** Default corroboration threshold for [[dedupClustersFromReport]] —
-    * shared with the rendered DuckDB oracle (SparkEntry) so changing the
-    * default here cannot silently desynchronize the two sides. */
-  val ReportClusterMinModalities = 2L
-
   def dedupClustersFromReport(spark: SparkSession, dir: String,
       minModalities: Long = ReportClusterMinModalities): DataFrame =
     dedupClustersFromPairs(

@@ -743,16 +743,24 @@ object WindowedStreams {
     * holds every streamed doc's current component representative.
     *
     * State = the label store itself, a versioned parquet relation under
-    * `labelStoreDir/v=<batchId>`: batch N reads the newest COMMITTED
-    * version below N, unions its (doc_id, cluster_rep) rows — star
+    * `labelStoreDir/v=<version>` plus a `_meta.json` record mapping the
+    * newest version to the batch id that produced it: each batch unions
+    * the newest committed state's (doc_id, cluster_rep) rows — star
     * edges, which encode all prior merges in O(docs) rows regardless of
     * how many pairs produced them — with the batch's fresh corroborated
     * pairs, resolves components via the bounded
     * [[graft.operators.TextOps.dedupClustersFromPairs]] (driver
     * union-find under the edge cap, distributed min-label above it),
-    * and writes version N. Restart-idempotent: replaying batch N reads
-    * the same pre-N version and overwrites its own output; versions are
-    * pruned to the latest two so the store stays O(docs), not
+    * and writes the next version. Versions are DECOUPLED from batch ids
+    * through the meta record, so the accumulated store survives a
+    * streaming-checkpoint reset (batch ids restart at 0; the new run
+    * RESUMES on top of the newest committed version) instead of being
+    * ignored and pruned. Restart-idempotent: a replay of the same batch
+    * id overwrites its own version and re-reads that version's recorded
+    * prior — safe even when the replay reads state that already folded
+    * this batch, because the fold is idempotent (star edges of the same
+    * pairs plus the same pairs yield the same components). Versions are
+    * pruned to the newest two so the store stays O(docs), not
     * O(batches·docs).
     *
     * Batching-invariant BY CONSTRUCTION: star edges preserve exactly the
@@ -793,22 +801,54 @@ object WindowedStreams {
             .filter(p => p.getName.startsWith("v=") &&
               fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
             .map(_.getName.stripPrefix("v=").toLong)
-        val prior = versions().filter(_ < batchId).sorted.lastOption
-        val priorEdges = prior match {
-          case Some(v) => spark.read.parquet(s"$labelStoreDir/v=$v")
-            .select(col("doc_id").as("doc_a"),
-              col("cluster_rep").as("doc_b"))
-          case None => fresh.limit(0)
+        // Store versions are decoupled from batch ids through a meta
+        // record, so the store SURVIVES a streaming-checkpoint reset
+        // (ids restart at 0) instead of being silently ignored and then
+        // pruned away: a replay of the SAME batch id overwrites its own
+        // version and re-reads that version's recorded prior (idempotent
+        // — the fold is a pure function of (prior state, batch pairs));
+        // any OTHER batch id, including id 0 from a fresh checkpoint,
+        // advances to a new version on top of the newest committed state.
+        // Meta is written AFTER the parquet commit, so a crash between
+        // the two replays cleanly: the stale meta makes the retry reuse
+        // the same version number and overwrite the half-written dir.
+        val metaPath = new org.apache.hadoop.fs.Path(root, "_meta.json")
+        def readMeta(): Option[(Long, Long, Long)] =
+          if (!fs.exists(metaPath)) None
+          else {
+            val in = fs.open(metaPath)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val re = """"version"\s*:\s*(-?\d+).*"batch"\s*:\s*(-?\d+)""" +
+              """.*"prior"\s*:\s*(-?\d+)"""
+            re.r.unanchored.findFirstMatchIn(s)
+              .map(m => (m.group(1).toLong, m.group(2).toLong,
+                m.group(3).toLong))
+          }
+        val (version, priorVersion) = readMeta() match {
+          case Some((v, b, p)) if b == batchId => (v, p) // crash replay
+          case Some((v, _, _)) => (v + 1, v) // next batch / fresh ckpt resume
+          case None => (0L, -1L) // empty store
         }
+        val priorEdges =
+          if (priorVersion >= 0 && versions().contains(priorVersion))
+            spark.read.parquet(s"$labelStoreDir/v=$priorVersion")
+              .select(col("doc_id").as("doc_a"),
+                col("cluster_rep").as("doc_b"))
+          else fresh.limit(0)
         val labels =
           graft.operators.TextOps.dedupClustersFromPairs(
             priorEdges.unionByName(fresh))
         labels.write.mode("overwrite")
-          .parquet(s"$labelStoreDir/v=$batchId")
+          .parquet(s"$labelStoreDir/v=$version")
+        val meta = s"""{"version":$version,"batch":$batchId,""" +
+          s""""prior":$priorVersion}"""
+        val out = fs.create(metaPath, true)
+        try out.write(meta.getBytes("UTF-8")) finally out.close()
         // hand the sink the COMMITTED store (re-read, not the lazy plan:
         // the plan reads the prior version, which pruning deletes below)
-        sink(spark.read.parquet(s"$labelStoreDir/v=$batchId"), batchId)
-        versions().filter(v => v != batchId && prior.forall(_ != v))
+        sink(spark.read.parquet(s"$labelStoreDir/v=$version"), batchId)
+        versions().filter(v => v != version && v != priorVersion)
           .foreach(v => fs.delete(
             new org.apache.hadoop.fs.Path(s"$labelStoreDir/v=$v"), true))
       }

@@ -28,18 +28,29 @@ object WarmProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    graft.operators.TextOps.clearMinedPairs()
+    // full block hygiene, the Bench.releaseOrphanedBlocks discipline:
+    // clearMinedPairs only empties the memo MAP — the mined graphs'
+    // localCheckpoint blocks stay registered and were measured to
+    // inflate successors under eviction pressure (Bench scaladoc)
+    def hygiene(): Unit = {
+      graft.operators.TextOps.clearMinedPairs()
+      spark.sharedState.cacheManager.clearCache()
+      val persisted = spark.sparkContext.getPersistentRDDs.values
+      if (persisted.nonEmpty) persisted.foreach(_.unpersist(true))
+    }
+    hygiene()
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val coldReport =
       time(graft.operators.TextOps.dedupReport(spark, sfDir).count())
+    // NO hygiene here — the warm sample must read the memo the cold
+    // report just filled; its blocks are the state being measured
     val warmClusters =
       time(graft.operators.TextOps.dedupClustersFromReport(spark, sfDir)
         .count())
     // the same resolution memo-cold, for the in-JVM delta
-    graft.operators.TextOps.clearMinedPairs()
-    spark.sharedState.cacheManager.clearCache()
+    hygiene()
     val coldClusters =
       time(graft.operators.TextOps.dedupClustersFromReport(spark, sfDir)
         .count())

@@ -764,6 +764,20 @@ class QueriesSpec extends SparkSpec {
     assert(Multimodal.autoBandBits(0L) === Multimodal.PerceptualBandBits)
     // band keys must stay positive int64s at ANY corpus size
     assert(Multimodal.autoBandBits(Long.MaxValue) === 62)
+    // the static-geometry oracle's validity bound: DEFAULT geometry up
+    // to exactly DefaultGeometryMaxDocs, widened one past it — if
+    // testdata ever crosses this, this spec reds before the driver's
+    // oracle compare can silently diverge
+    val bound = Multimodal.DefaultGeometryMaxDocs
+    assert(bound === (1L << Multimodal.PerceptualBandBits) /
+      Multimodal.PerceptualBands)
+    assert(Multimodal.autoBandBits(bound) === Multimodal.PerceptualBandBits)
+    assert(Multimodal.autoBandBits(bound + 1) ===
+      Multimodal.PerceptualBandBits + 1)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val n = spark.read.parquet(s"$d/documents.parquet").count()
+      assert(n <= bound, s"$d has $n docs — static mm oracle invalid")
+    }
   }
 
   test("mm seeded near-dup: oracle twin is non-empty by construction") {

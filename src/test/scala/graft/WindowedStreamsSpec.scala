@@ -772,5 +772,19 @@ class WindowedStreamsSpec extends SparkSpec {
     val kept = new java.io.File(store).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).sorted
     assert(kept.length <= 2, s"store not pruned: ${kept.toSeq}")
+
+    // CHECKPOINT RESET (not restart): a brand-new checkpoint dir restarts
+    // batch ids at 0, but the label store must RESUME from its newest
+    // committed version — not ignore it, and above all not prune it away
+    // (the meta record decouples store versions from batch ids)
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-crs-cp2").toString
+    val src3 = MemoryStream[RPair]
+    src3.addData(RPair(8L, 9L, 2L)) // extends the {7,8} component
+    val q3 = WindowedStreams.clusterReportStream(src3.toDF(), cp2, store, sink)
+    q3.awaitTermination()
+    assert(results.map(_._1).toSeq === Seq(0L, 1L, 0L))
+    assert(results.last._2 === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 7L)),
+      s"fresh-checkpoint run lost or ignored the store: ${results.last._2}")
   }
 }
