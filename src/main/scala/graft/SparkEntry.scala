@@ -169,7 +169,10 @@ object SparkEntry {
     "mm_meta" -> ((s, d) => Multimodal.mmMeta(s, d)),
     "mm_near_dup" -> ((s, d) => Multimodal.perceptualNearDup(s, d)),
     "mm_near_dup_seeded" ->
-      ((s, d) => Multimodal.perceptualNearDupSeeded(s, d)))
+      ((s, d) => Multimodal.perceptualNearDupSeeded(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.mmResize(s, d)),
+    "mm_features" -> ((s, d) => Multimodal.mmFeatures(s, d)))
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL (same parquet tables, bare table names)
@@ -1351,7 +1354,45 @@ object SparkEntry {
         """CAST(octet_length(encode(text)) % 3 + 1 AS BIGINT) AS fake_channels """ +
         """FROM documents"""),
     "mm_near_dup" -> mmNearDupSql,
-    "mm_near_dup_seeded" -> mmNearDupSeededSql)
+    "mm_near_dup_seeded" -> mmNearDupSeededSql,
+    // The batch-codec stub replays (round 12): frame slices / stride
+    // downsample / byte histogram over the ASCII byte=char invariant,
+    // every constant rendered from the Multimodal definitions.
+    "mm_frame_sample" -> {
+      val nf = Multimodal.FrameSampleN
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), """ +
+        s"""p AS (SELECT doc_id, text, n, greatest(1, n // $nf) AS flen, """ +
+        s"""least($nf, greatest(1, n // greatest(1, n // $nf))) AS nf FROM d), """ +
+        """fr AS (SELECT doc_id, text, n, flen, unnest(range(0, nf)) AS f FROM p) """ +
+        """SELECT doc_id, CAST(f AS BIGINT) AS frame_no, """ +
+        """md5(text[f*flen+1 : least(n, (f+1)*flen)]) AS frame_md5, """ +
+        """CAST(least(n, (f+1)*flen) - f*flen AS BIGINT) AS frame_len FROM fr"""
+    },
+    "mm_resize" -> {
+      val (w, h) = (Multimodal.ResizeW, Multimodal.ResizeH)
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), """ +
+        s"""s AS (SELECT doc_id, text, n, greatest(1, n // ${w * h}) AS st FROM d), """ +
+        """idx AS (SELECT doc_id, text, st, unnest(range(0, n, st)) AS i """ +
+        """FROM s WHERE n > 0), """ +
+        """agg AS (SELECT doc_id, md5(string_agg(text[i+1:i+1], '' ORDER BY i)) """ +
+        """AS payload_md5, count(*) AS out_len FROM idx GROUP BY doc_id) """ +
+        s"""SELECT d.doc_id, CAST($w AS BIGINT) AS width, """ +
+        s"""CAST($h AS BIGINT) AS height, """ +
+        """coalesce(agg.payload_md5, md5('')) AS payload_md5, """ +
+        """CAST(coalesce(agg.out_len, 0) AS BIGINT) AS out_len """ +
+        """FROM d LEFT JOIN agg USING (doc_id)"""
+    },
+    "mm_features" ->
+      ("""WITH d AS (SELECT doc_id, text FROM documents), """ +
+        """b AS (SELECT unnest(range(0, 8)) AS bucket), """ +
+        """ch AS (SELECT doc_id, ascii(text[j:j]) // 32 AS bucket """ +
+        """FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j """ +
+        """FROM documents) z), """ +
+        """cnt AS (SELECT doc_id, bucket, count(*) AS c FROM ch GROUP BY 1, 2) """ +
+        """SELECT d.doc_id, CAST(b.bucket AS BIGINT) AS bucket, """ +
+        """CAST(coalesce(cnt.c, 0) AS BIGINT) AS cnt """ +
+        """FROM d CROSS JOIN b LEFT JOIN cnt """ +
+        """ON cnt.doc_id = d.doc_id AND cnt.bucket = b.bucket"""))
 
   /** Full replay of the duplicated-span dataflow: seed windows keyed by
     * the md5 of their joined tokens, the df-cap, the diagonal

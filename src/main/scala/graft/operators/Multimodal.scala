@@ -624,6 +624,56 @@ object Multimodal {
           .as("l1_bp"))
   }
 
+  /** Default frame-sample fan-out for [[mmFrameSample]] — shared with the
+    * rendered oracle. */
+  val FrameSampleN = 8
+
+  /** Oracle-gated restatement of [[frameSampleBatch]] over the documents
+    * payload (round-12; the batch op itself was spec-only): each frame
+    * reduced to hash-comparable columns (md5 + length — the frame BYTES
+    * are replayed in DuckDB through the ASCII byte=char invariant, same
+    * contract as the perceptual oracle). Generator shape: 1 row → up to
+    * [[FrameSampleN]] rows, map-only, no shuffle. */
+  def mmFrameSample(spark: SparkSession, dir: String,
+      nFrames: Int = FrameSampleN): DataFrame =
+    frameSampleBatch(withPayload(spark, dir), nFrames).toDF()
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(col("frame")).as("frame_md5"),
+        octet_length(col("frame")).cast("long").as("frame_len"))
+
+  /** Default resize grid for [[mmResize]] (pHash's 8×8) — shared with the
+    * rendered oracle. */
+  val ResizeW = 8
+  val ResizeH = 8
+
+  /** Oracle-gated restatement of [[resizeBatch]]: the stub's every-k-th
+    * byte downsample reduced to (md5, length) — DuckDB rebuilds the
+    * sampled byte string with an ordered string_agg over the stride
+    * indices. Map-only. */
+  def mmResize(spark: SparkSession, dir: String, w: Int = ResizeW,
+      h: Int = ResizeH): DataFrame =
+    resizeBatch(withPayload(spark, dir), w, h).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        md5(col("payload")).as("payload_md5"),
+        octet_length(col("payload")).cast("long").as("out_len"))
+
+  /** Oracle-gated restatement of [[featureExtractBatch]]: the stub's
+    * 8-bucket byte histogram UN-normalized back to exact integer counts
+    * (count = round(feature·n) — the float division/multiplication
+    * round-trip error is ≤ c·2⁻²³, far under the 0.5 rounding radius, so
+    * recovery is exact), one (doc, bucket, count) row per histogram cell
+    * including zeros. DuckDB replays the histogram directly. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val n = EventOps.tbl(spark, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+    featureExtractBatch(withPayload(spark, dir)).toDF()
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "f")))
+      .join(n, "doc_id")
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        round(col("f") * greatest(col("n"), lit(1))).cast("long").as("cnt"))
+  }
+
   /** Oracle-checkable restatement over documents: byte metadata of the
     * text payload treated as an opaque blob (pure expressions, no stub). */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =

@@ -780,6 +780,40 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("mm batch-codec restatements: frames tile the payload prefix, resize strides, features count") {
+    import spark.implicits._
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).collect().head
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    val bytes = text.getBytes("UTF-8")
+    // frames: contiguous, in order, and their concatenation is a PREFIX
+    // of the payload (the stub never emits past the last full slice)
+    val frames = Multimodal.frameSampleBatch(
+        Seq(id -> bytes).toDF("doc_id", "payload"), Multimodal.FrameSampleN)
+      .collect().sortBy(_.frame_no)
+    val joined = frames.flatMap(_.frame.toSeq)
+    assert(joined.sameElements(bytes.take(joined.length)))
+    assert(frames.length <= Multimodal.FrameSampleN && frames.nonEmpty)
+    // resize: every k-th byte, k = floor(n / (w*h))
+    val rs = Multimodal.resizeBatch(
+        Seq(id -> bytes).toDF("doc_id", "payload"),
+        Multimodal.ResizeW, Multimodal.ResizeH).collect().head
+    val stride = math.max(1,
+      bytes.length / (Multimodal.ResizeW * Multimodal.ResizeH))
+    val strided: Array[Byte] =
+      bytes.indices.by(stride).map(i => bytes(i)).toArray
+    assert(rs.payload.sameElements(strided))
+    // features un-normalize to exact byte-bucket counts
+    val cnts = Multimodal.mmFeatures(spark, dir)
+      .filter(col("doc_id") === id).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val expected = bytes.groupBy(b => ((b & 0xff) >> 5).toLong)
+      .map { case (k, v) => k -> v.length.toLong }
+    assert((0L to 7L).forall(b => cnts(b) === expected.getOrElse(b, 0L)),
+      s"feature counts diverged: $cnts vs $expected")
+  }
+
   test("mm seeded near-dup: oracle twin is non-empty by construction") {
     // the three seed payloads guarantee the (-3,-2) identical pair at
     // L1=0 plus the two one-byte-edit pairs — the rows that pin the
