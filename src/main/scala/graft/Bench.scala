@@ -195,10 +195,21 @@ object Bench {
     // number. Sampled ONCE PER PASS like every other row (round-11
     // VERDICT item 3: the single post-loop sample recorded 10.2 s
     // against a 2-4 s mirror range — it was measuring the burst
-    // schedule, not the pipeline).
+    // schedule, not the pipeline), and ROTATED WITH the other rows
+    // (round-12 ADVICE: a fixed end-of-pass slot right before the
+    // pass-boundary System.gc() is exactly the fixed-slot-position bias
+    // the rotation removes for everything else) — it joins the pass
+    // order as a pseudo-entry whose insertion index advances with the
+    // same per-pass offset. The generic loop's releaseOrphanedBlocks
+    // keeps it memo-cold at entry; the memo staying warm BETWEEN its
+    // two internal actions is the shape being measured.
     val measurePipeline =
       only.forall(s => s.contains("dedup_pipeline_mine_once"))
-    var pipelineSamples = Vector.empty[Double]
+    val pipelineEntry: (String, (SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      "dedup_pipeline_mine_once" -> ((s: SparkSession, d: String) => {
+        graft.operators.TextOps.nearDupPairs(s, d).count()
+        graft.operators.TextOps.dedupClusters(s, d)
+      })
     (1 to repeats).foreach { pass =>
       // ROTATED start offset per pass (round 12, same rationale as
       // ContentionHarness): interleaving decorrelates samples from
@@ -212,8 +223,13 @@ object Bench {
       // then estimates the operator, not its place in the schedule.
       val offset =
         (pass - 1) * math.max(selected.length / math.max(repeats, 1), 1)
-      val order = selected.drop(offset % math.max(selected.length, 1)) ++
-        selected.take(offset % math.max(selected.length, 1))
+      val rot = offset % math.max(selected.length, 1)
+      val base = selected.drop(rot) ++ selected.take(rot)
+      val order =
+        if (measurePipeline) {
+          val at = offset % (base.length + 1)
+          (base.take(at) :+ pipelineEntry) ++ base.drop(at)
+        } else base
       order.foreach { case (name, fn) =>
         // EVERY sample starts memo-cold: a memoized pair graph would
         // make whichever dedup sample runs first absorb the mining cost
@@ -228,19 +244,6 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         sampleLog(name) = sampleLog(name) :+ (if (ok) dt else -dt)
       }
-      if (measurePipeline) {
-        releaseOrphanedBlocks()
-        val t0 = System.nanoTime()
-        val ok = try {
-          graft.operators.TextOps.nearDupPairs(spark, sfDir).count()
-          graft.operators.TextOps.dedupClusters(spark, sfDir).count()
-          true
-        } catch { case e: Throwable =>
-          errors ::= "dedup_pipeline_mine_once" -> e.getClass.getSimpleName
-          false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        pipelineSamples = pipelineSamples :+ (if (ok) dt else -dt)
-      }
       System.err.println(s"[bench] pass $pass/$repeats done")
       System.gc() // pass boundary: let the cleaner reap weak-ref remnants
     }
@@ -252,8 +255,8 @@ object Bench {
       name -> samples // min taken below; full vector kept for the mirror file
     }
     val pipelineRow =
-      if (measurePipeline && pipelineSamples.nonEmpty)
-        List("dedup_pipeline_mine_once" -> pipelineSamples)
+      if (measurePipeline && sampleLog(pipelineEntry._1).nonEmpty)
+        List(pipelineEntry._1 -> sampleLog(pipelineEntry._1))
       else Nil
     val allRows = results ++ pipelineRow
     val qs = allRows.map { case (k, ss) => "\"" + k + "\":" + ss.min }

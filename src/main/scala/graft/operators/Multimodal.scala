@@ -103,10 +103,23 @@ object Multimodal {
     * iteration, no shuffle. */
   case class MediaFeatures(doc_id: Long, features: Array[Float])
 
+  /** Upper payload bound for the stub histogram's EXACT-recovery contract
+    * (see [[mmFeatures]]): the oracle recovers integer counts as
+    * round(feature·n), whose float round-trip error stays under the 0.5
+    * rounding radius only while n stays well below 2²³ — 4 MiB keeps a
+    * 2× safety margin. Enforced, not assumed: a payload past the bound
+    * fails loudly here instead of hash-mismatching in the oracle. */
+  val FeatureExactMaxBytes: Int = 1 << 22
+
   def fakeFeatures(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    val hist = new Array[Float](8)
+    require(bytes.length < FeatureExactMaxBytes,
+      s"doc $docId: ${bytes.length} B payload exceeds the " +
+        s"$FeatureExactMaxBytes B exact-recovery bound of the stub histogram")
+    // integer accumulation: a Float `+= 1f` counter silently stops
+    // incrementing past 2²⁴ — convert to Float only at normalization
+    val hist = new Array[Int](8)
     var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1f; i += 1 }
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1; i += 1 }
     val n = math.max(bytes.length, 1).toFloat
     MediaFeatures(docId, hist.map(_ / n))
   }

@@ -755,13 +755,21 @@ object WindowedStreams {
     * through the meta record, so the accumulated store survives a
     * streaming-checkpoint reset (batch ids restart at 0; the new run
     * RESUMES on top of the newest committed version) instead of being
-    * ignored and pruned. Restart-idempotent: a replay of the same batch
-    * id overwrites its own version and re-reads that version's recorded
-    * prior — safe even when the replay reads state that already folded
-    * this batch, because the fold is idempotent (star edges of the same
-    * pairs plus the same pairs yield the same components). Versions are
-    * pruned to the newest two so the store stays O(docs), not
-    * O(batches·docs).
+    * ignored and pruned. Crash-replay detection keys on BOTH a per-run
+    * token and the batch id: batch ids alone are ambiguous — a fresh
+    * checkpoint restarts at 0, so a store whose newest fold came from
+    * some earlier run's batch 0 must treat an incoming batch 0 as a NEW
+    * fold (advance on top of the committed state), not a replay
+    * (overwrite it from its prior). Only a (run, batch) pair matching
+    * the meta record reuses the recorded version and prior. Replays
+    * that arrive under a NEW run token (a crashed query restarted from
+    * the same checkpoint re-delivers its last batch id with a fresh
+    * token) take the advance path instead, which is safe because the
+    * fold is idempotent: star edges of the same pairs plus the same
+    * pairs yield the same components, and the advance path's prior is
+    * the newest committed version — which already holds that fold.
+    * Versions are pruned to the newest two so the store stays O(docs),
+    * not O(batches·docs).
     *
     * Batching-invariant BY CONSTRUCTION: star edges preserve exactly the
     * connectivity of the pairs folded so far, and the min-id
@@ -780,6 +788,10 @@ object WindowedStreams {
       minModalities: Long =
         graft.operators.TextOps.ReportClusterMinModalities,
       availableNow: Boolean = true): StreamingQuery = {
+    // one token per stream START (≈ Spark's StreamingQuery.runId, which
+    // is not yet constructed when this closure is built): replay
+    // detection requires run+batch to BOTH match the meta record
+    val runToken = java.util.UUID.randomUUID().toString
     val w = pairs.writeStream
       .queryName("graft-cluster-report")
       .option("checkpointLocation", checkpointDir)
@@ -804,16 +816,23 @@ object WindowedStreams {
         // Store versions are decoupled from batch ids through a meta
         // record, so the store SURVIVES a streaming-checkpoint reset
         // (ids restart at 0) instead of being silently ignored and then
-        // pruned away: a replay of the SAME batch id overwrites its own
-        // version and re-reads that version's recorded prior (idempotent
-        // — the fold is a pure function of (prior state, batch pairs));
-        // any OTHER batch id, including id 0 from a fresh checkpoint,
-        // advances to a new version on top of the newest committed state.
-        // Meta is written AFTER the parquet commit, so a crash between
-        // the two replays cleanly: the stale meta makes the retry reuse
-        // the same version number and overwrite the half-written dir.
+        // pruned away. A crash replay is recognised ONLY when both the
+        // run token and the batch id match the meta record (batch id
+        // alone is ambiguous: a fresh checkpoint restarts ids at 0, and
+        // a store last folded by some run's batch 0 must NOT mistake a
+        // new run's batch 0 for a replay — that would re-read the
+        // recorded PRIOR and drop the committed fold). A recognised
+        // replay overwrites its own version and re-reads that version's
+        // recorded prior (idempotent — the fold is a pure function of
+        // (prior state, batch pairs)); anything else advances to a new
+        // version on top of the newest committed state, which is equally
+        // idempotent for same-checkpoint replays arriving under a new
+        // run token. Meta is written AFTER the parquet commit, so a
+        // crash between the two replays cleanly: the stale meta makes
+        // the retry reuse the same version number and overwrite the
+        // half-written dir.
         val metaPath = new org.apache.hadoop.fs.Path(root, "_meta.json")
-        def readMeta(): Option[(Long, Long, Long)] =
+        def readMeta(): Option[(Long, Long, Long, String)] =
           if (!fs.exists(metaPath)) None
           else {
             val in = fs.open(metaPath)
@@ -821,13 +840,19 @@ object WindowedStreams {
               finally in.close()
             val re = """"version"\s*:\s*(-?\d+).*"batch"\s*:\s*(-?\d+)""" +
               """.*"prior"\s*:\s*(-?\d+)"""
+            val runRe = """"run"\s*:\s*"([^"]*)"""".r
             re.r.unanchored.findFirstMatchIn(s)
               .map(m => (m.group(1).toLong, m.group(2).toLong,
-                m.group(3).toLong))
+                m.group(3).toLong,
+                // metas from before the run field default to a token no
+                // live run can hold, so they always take the advance path
+                runRe.unanchored.findFirstMatchIn(s)
+                  .map(_.group(1)).getOrElse("")))
           }
         val (version, priorVersion) = readMeta() match {
-          case Some((v, b, p)) if b == batchId => (v, p) // crash replay
-          case Some((v, _, _)) => (v + 1, v) // next batch / fresh ckpt resume
+          case Some((v, b, p, r)) if b == batchId && r == runToken =>
+            (v, p) // crash replay within this run
+          case Some((v, _, _, _)) => (v + 1, v) // next batch / new run / fresh ckpt
           case None => (0L, -1L) // empty store
         }
         val priorEdges =
@@ -842,7 +867,7 @@ object WindowedStreams {
         labels.write.mode("overwrite")
           .parquet(s"$labelStoreDir/v=$version")
         val meta = s"""{"version":$version,"batch":$batchId,""" +
-          s""""prior":$priorVersion}"""
+          s""""prior":$priorVersion,"run":"$runToken"}"""
         val out = fs.create(metaPath, true)
         try out.write(meta.getBytes("UTF-8")) finally out.close()
         // hand the sink the COMMITTED store (re-read, not the lazy plan:

@@ -172,9 +172,12 @@ object ContentionHarness {
         // fixed place in the hog's absorption pattern. Estimator and
         // per-sample content (memo-cold, hygiene) unchanged — this is
         // the Latin-square leg of standard repeated-measures practice.
-        val offset = (pass - 1) * math.max(queries.length / repeats, 1)
-        val order = queries.drop(offset % queries.length) ++
-          queries.take(offset % queries.length)
+        // zero-guarded like the Bench twin: an empty list or repeats=0
+        // must rotate degenerately, not throw ArithmeticException
+        val offset =
+          (pass - 1) * math.max(queries.length / math.max(repeats, 1), 1)
+        val rot = offset % math.max(queries.length, 1)
+        val order = queries.drop(rot) ++ queries.take(rot)
         order.foreach { name =>
           graft.operators.TextOps.clearMinedPairs()
           spark.sharedState.cacheManager.clearCache()

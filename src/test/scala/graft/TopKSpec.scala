@@ -110,12 +110,43 @@ class TopKSpec extends SparkSpec {
     val ad = ExtraOps.approxDistinctChecked(spark, dir).collect()
     assert(ad.nonEmpty)
     ad.foreach(r => assert(r.getLong(2) === 1L,
-      s"${r.getString(0)}: HLL estimate outside the 3-sigma rsd envelope"))
+      s"${r.getString(0)}: HLL estimate outside the " +
+        s"${ExtraOps.ApproxDistinctSigmas}-sigma rsd envelope"))
     val pa = ExtraOps.percentileApproxChecked(spark, dir).collect()
     assert(pa.nonEmpty)
     pa.foreach { r =>
       Seq(2, 3, 4).foreach(i => assert(r.getLong(i) === 1L,
         s"${r.getString(0)}: GK value outside the rank-error bound (col $i)"))
+    }
+  }
+
+  test("approx_distinct envelope: testdata clears the k-sigma bound with margin (re-derivation recipe lives HERE)") {
+    // The within_bound flag the oracle replays as a literal TRUE is a
+    // STATISTICAL envelope (k·σ of the HLL++ rsd), not a sup bound — an
+    // in-spec sketch can exceed it on unlucky data (~1e-6 per group at
+    // 5σ). This spec recomputes the bound from the constants and asserts
+    // the CURRENT testdata clears it with ≥1σ headroom, so a
+    // regenerated-fixture flip fails here with instructions instead of
+    // as a bare oracle hash mismatch. RECIPE on failure: the sketch is
+    // fine — WIDEN the envelope, do not chase the estimate. Raise
+    // ExtraOps.ApproxDistinctSigmas one notch (each notch multiplies the
+    // flip probability down by ~e^-k), re-run this spec and the driver
+    // compare, and update the honesty note on ApproxDistinctRsd. A REAL
+    // sketch regression (wrong precision, broken merge) lands orders of
+    // magnitude outside and still fails after any sane widening.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      ExtraOps.approxDistinct(spark, d).collect().foreach { r =>
+        val approx = r.getLong(1).toDouble
+        val exact = r.getLong(2).toDouble
+        val sigmas =
+          math.abs(approx - exact) / (ExtraOps.ApproxDistinctRsd * exact)
+        assert(sigmas <= ExtraOps.ApproxDistinctSigmas - 1,
+          f"$d ${r.getString(0)}: estimate is $sigmas%.2fσ from exact — " +
+            f"within ${ExtraOps.ApproxDistinctSigmas}σ margin exhausted. " +
+            "If this appeared after regenerating testdata, widen " +
+            "ExtraOps.ApproxDistinctSigmas (see recipe in this test's " +
+            "comment); do NOT chase the sketch.")
+      }
     }
   }
 

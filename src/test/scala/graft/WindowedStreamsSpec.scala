@@ -787,4 +787,45 @@ class WindowedStreamsSpec extends SparkSpec {
       (7L, 7L), (8L, 7L), (9L, 7L)),
       s"fresh-checkpoint run lost or ignored the store: ${results.last._2}")
   }
+
+  test("cluster-report stream: checkpoint reset after a batch-0-only run is NOT a crash replay (run token disambiguates)") {
+    // The ambiguous case batch ids alone cannot resolve: run 1 stops
+    // after processing ONLY batch 0 (meta records batch=0), then the
+    // streaming checkpoint is reset, so run 2's first batch is ALSO id 0.
+    // Without the per-run token, run 2's batch 0 matches the stored meta
+    // batch id, is misclassified as a crash replay, reuses the stored
+    // version, and folds from that version's PRIOR (the empty store) —
+    // silently dropping run 1's committed pairs from the label store.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long)])]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      results.synchronized { results += ((id, rows)) }
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft-crs2-st").toString
+
+    // run 1: one batch (id 0) folds {1,2}
+    val cp1 = java.nio.file.Files.createTempDirectory("graft-crs2-cp1").toString
+    val src1 = MemoryStream[RPair]
+    src1.addData(RPair(1L, 2L, 2L))
+    val q1 = WindowedStreams.clusterReportStream(src1.toDF(), cp1, store, sink)
+    q1.awaitTermination()
+    assert(results.map(_._1).toSeq === Seq(0L))
+    assert(results.head._2 === Set((1L, 1L), (2L, 1L)))
+
+    // checkpoint reset: run 2's batch id restarts at 0 — it must ADVANCE
+    // on top of the committed store, so run 1's {1,2} fold survives
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-crs2-cp2").toString
+    val src2 = MemoryStream[RPair]
+    src2.addData(RPair(3L, 4L, 2L))
+    val q2 = WindowedStreams.clusterReportStream(src2.toDF(), cp2, store, sink)
+    q2.awaitTermination()
+    assert(results.map(_._1).toSeq === Seq(0L, 0L))
+    assert(results.last._2 === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)),
+      s"batch-0-to-batch-0 reset dropped the first run's fold: ${results.last._2}")
+  }
 }
