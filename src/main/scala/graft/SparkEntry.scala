@@ -170,6 +170,8 @@ object SparkEntry {
     "mm_near_dup" -> ((s, d) => Multimodal.perceptualNearDup(s, d)),
     "mm_near_dup_seeded" ->
       ((s, d) => Multimodal.perceptualNearDupSeeded(s, d)),
+    "mm_near_dup_widened" ->
+      ((s, d) => Multimodal.perceptualNearDupWidened(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.mmResize(s, d)),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(s, d)))
@@ -1355,6 +1357,7 @@ object SparkEntry {
         """FROM documents"""),
     "mm_near_dup" -> mmNearDupSql,
     "mm_near_dup_seeded" -> mmNearDupSeededSql,
+    "mm_near_dup_widened" -> mmNearDupWidenedSql,
     // The batch-codec stub replays (round 12): frame slices / stride
     // downsample / byte histogram over the ASCII byte=char invariant,
     // every constant rendered from the Multimodal definitions.
@@ -1538,25 +1541,51 @@ object SparkEntry {
     * sides construct byte-identical payloads. Guarantees ≥3 answer rows
     * at every scale factor (see Multimodal.seedPayloads), closing the
     * vacuous-0=0 gap in the plain oracle row. */
-  private lazy val mmNearDupSeededSql: String = {
+  private lazy val mmSeededSourceSql: String = {
     val u = Multimodal.SeedUnit
     val e = Multimodal.SeedEditedUnit
     val r = Multimodal.SeedReps
-    mmNearDupSqlOver(
-      s"""(SELECT doc_id, text FROM documents """ +
-        s"""UNION ALL SELECT CAST(-3 AS BIGINT), rtrim(repeat('$u', $r)) """ +
-        s"""UNION ALL SELECT CAST(-2 AS BIGINT), rtrim(repeat('$u', $r)) """ +
-        s"""UNION ALL SELECT CAST(-1 AS BIGINT), """ +
-        s"""rtrim('$e' || repeat('$u', ${r - 1}))) AS src""")
+    s"""(SELECT doc_id, text FROM documents """ +
+      s"""UNION ALL SELECT CAST(-3 AS BIGINT), rtrim(repeat('$u', $r)) """ +
+      s"""UNION ALL SELECT CAST(-2 AS BIGINT), rtrim(repeat('$u', $r)) """ +
+      s"""UNION ALL SELECT CAST(-1 AS BIGINT), """ +
+      s"""rtrim('$e' || repeat('$u', ${r - 1}))) AS src"""
   }
 
-  private def mmNearDupSqlOver(source: String): String = {
+  private lazy val mmNearDupSeededSql: String =
+    mmNearDupSqlOver(mmSeededSourceSql)
+
+  /** The seeded oracle under the SIMULATED >2.8 M-doc corpus count —
+    * replays Multimodal.perceptualNearDupWidened: band_bits is computed
+    * by the SAME autoBandBits formula over the rendered
+    * WidenedOracleSimDocs literal, so the auto-widened geometry (25-bit
+    * bands, 150-bit signatures) is pinned end-to-end by hash-compared
+    * answer rows at every scale factor. */
+  private lazy val mmNearDupWidenedSql: String =
+    mmNearDupSqlOver(mmSeededSourceSql,
+      simulatedDocs = Some(Multimodal.WidenedOracleSimDocs))
+
+  private def mmNearDupSqlOver(source: String,
+      simulatedDocs: Option[Long] = None): String = {
     val dims = Multimodal.PerceptualDims
-    val nBits = Multimodal.PerceptualBits
-    val bandBits = Multimodal.PerceptualBandBits
+    val defBandBits = Multimodal.PerceptualBandBits
+    val bands = Multimodal.PerceptualBands
+    val maxBandBits = Multimodal.MaxAutoBandBits
     val denom = Multimodal.NearDupL1Denom
     val mod = TextOps.MOD
+    // corpus count feeding the geometry formula: the real count(*) for
+    // the shipped rows (keeps the oracle valid PAST DefaultGeometryMaxDocs
+    // — it widens exactly when the Spark plan does), or the rendered
+    // simulated literal for the widened row
+    val nExpr = simulatedDocs.map(_.toString)
+      .getOrElse("(SELECT count(*) FROM d0)")
     s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM $source), """ +
+      // plan-time band-width selection replayed in SQL — the EXACT
+      // autoBandBits formula over the corpus count: band_bits =
+      // min(max, max(default, ceil(log2(bands·n/1.0)))), n floored at 1
+      // like the Scala side's nDocs<=0 default (log2(0) would error)
+      s"""nb AS (SELECT CAST(least($maxBandBits, greatest($defBandBits, """ +
+      s"""CAST(ceil(log2($bands * greatest($nExpr, 1) / 1.0)) AS BIGINT))) AS BIGINT) AS band_bits), """ +
       """ch AS (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS j FROM d0), """ +
       s"""cl AS (SELECT doc_id, ((j-1)*$dims)//n AS k, sum(ascii(text[j:j])) AS cell """ +
       """FROM ch GROUP BY 1, 2), """ +
@@ -1569,20 +1598,24 @@ object SparkEntry {
       // the perceptualParams pairs rendered as a VALUES list FROM the
       // Multimodal definition (the simhashSigSql discipline — hardcoding
       // the formula here could silently desynchronize if the offsets
-      // change); bit j = sign of Σ_k s_jk·(cell_k·dims − total); ranges
-      // stay < 2^36, exact in BIGINT on both engines
+      // change), at the MAXIMUM geometry autoBandBits can choose:
+      // perceptualParams is prefix-stable (bit j's params depend on j
+      // alone), so the runtime band_bits restricts to a prefix below.
+      // Bit j = sign of Σ_k s_jk·(cell_k·dims − total); ranges stay
+      // < 2^36, exact in BIGINT on both engines
       s"""pj AS (SELECT * FROM (VALUES ${
-        Multimodal.perceptualParams(nBits).zipWithIndex
+        Multimodal.perceptualParams(maxBandBits * bands).zipWithIndex
           .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
       }) AS t(j, a, b)), """ +
       s"""dev AS (SELECT g.doc_id, g.k, g.cell * $dims - t.total AS dv """ +
       """FROM grid g JOIN tot t ON g.doc_id = t.doc_id), """ +
       s"""pbits AS (SELECT d.doc_id, p.j, CASE WHEN """ +
       s"""sum(CASE WHEN ((p.a*(d.k+1)+p.b) % $mod)*2 > $mod THEN d.dv ELSE -d.dv END) >= 0 """ +
-      """THEN 1 ELSE 0 END AS bit FROM dev d CROSS JOIN pj p GROUP BY d.doc_id, p.j), """ +
-      s"""bk AS (SELECT doc_id, j // $bandBits AS band, """ +
-      s"""CAST(sum(CAST(bit AS BIGINT) << CAST(j % $bandBits AS INTEGER)) AS BIGINT) AS bkey """ +
-      s"""FROM pbits GROUP BY 1, 2), """ +
+      """THEN 1 ELSE 0 END AS bit FROM dev d CROSS JOIN pj p CROSS JOIN nb """ +
+      s"""WHERE p.j < nb.band_bits * $bands GROUP BY d.doc_id, p.j), """ +
+      s"""bk AS (SELECT doc_id, j // nb.band_bits AS band, """ +
+      s"""CAST(sum(CAST(bit AS BIGINT) << CAST(j % nb.band_bits AS INTEGER)) AS BIGINT) AS bkey """ +
+      s"""FROM pbits CROSS JOIN nb GROUP BY 1, 2), """ +
       """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b """ +
       """FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), """ +
       """l1 AS (SELECT c.doc_a, c.doc_b, ta.total AS total_a, tb.total AS total_b, """ +

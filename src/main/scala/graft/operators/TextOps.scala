@@ -2338,6 +2338,21 @@ object TextOps {
   private[graft] def isKernelCandidate(sumDf2: Long, vocabN: Long): Boolean =
     vocabN > 0 && vocabN <= KernelVocabCap && sumDf2 >= KernelMinExpansion
 
+  /** Last plan choice [[textCosinePairs]] made, as a one-line JSON
+    * fragment (path + the measured stats that drove it) — DIAGNOSTIC
+    * attribution state, the memo-register pattern: a bench/probe run
+    * reads it after the query to record WHICH strategy a given scale
+    * actually executed (round-12 VERDICT item 2 — sf1's tail was
+    * unattributed). Set on every textCosinePairs call; also logged at
+    * INFO. Never feeds back into planning. */
+  @volatile private[graft] var lastCosinePlan: Option[String] = None
+
+  private def recordCosinePlan(json: String): Unit = {
+    lastCosinePlan = Some(json)
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"textCosinePairs plan: $json")
+  }
+
   /** Kernel admission + block-count sizing, extracted so the bounds are
     * unit-testable without a corpus (round-10 VERDICT items 3/4):
     * returns Some(nBlocks) when the block kernel is admitted, None when
@@ -2419,6 +2434,9 @@ object TextOps {
     // materialization instead of executing the tokenize→tf→df pipeline
     // per subtree; blocking unpersist as in dedupNgramJaccard.
     val out = if (kernelBlocks.nonEmpty) {
+      recordCosinePlan(s"""{"path":"kernel","blocks":${kernelBlocks.get},""" +
+        s""""sum_df2":$sumDf2,"max_df":$maxDf,"vocab":$vocabN,""" +
+        s""""idx_rows":$idxRows,"n_docs":$nDocs,"cores":$cores}""")
       Engine.eagerCheckpoint(
         cosinePairsKernelFrom(w, minShared, kernelBlocks.get, vocabN.toInt),
         lvl)
@@ -2445,6 +2463,14 @@ object TextOps {
       val joinRows = if (usePrefix) sumPDf2 else sumDf2
       val joinParts = math.min(math.max(
         (joinRows / CosineJoinRowsPerTask).toInt + 1, cores), 4096)
+      recordCosinePlan({
+        val path = if (usePrefix) "prefix"
+          else if (maxDf > CosineBlockSize) "salted" else "plain"
+        s"""{"path":"$path","sum_df2":$sumDf2,"sum_pdf2":${
+          if (prefixes.nonEmpty) sumPDf2 else -1},"max_df":$maxDf,""" +
+          s""""vocab":$vocabN,"idx_rows":$idxRows,"join_parts":$joinParts,""" +
+          s""""cores":$cores}"""
+      })
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       val r = try {

@@ -780,6 +780,31 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("mm widened-geometry oracle row: simulated >2.8M-doc count forces non-default bands and keeps the seeded answer rows") {
+    // the mm_near_dup_widened query/oracle pair replays autoBandBits's
+    // auto-widened regime (round-12 VERDICT item 3): the simulated count
+    // must actually leave the default geometry...
+    val simBits = Multimodal.autoBandBits(Multimodal.WidenedOracleSimDocs)
+    assert(Multimodal.WidenedOracleSimDocs > Multimodal.DefaultGeometryMaxDocs)
+    assert(simBits === Multimodal.PerceptualBandBits + 1,
+      s"simulated count chose $simBits-bit bands — update the widened " +
+        "oracle notes if the geometry constants moved")
+    // ...and the widened Spark side still yields the 3 seeded rows (the
+    // identical pair collides under ANY geometry; the DuckDB side is
+    // hash-compared by the driver / verify_local)
+    val rows = Multimodal.perceptualNearDupWidened(spark, dir)
+      .filter(col("doc_a") < 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity)
+    assert(rows.map(t => (t._1, t._2)).toSeq ===
+      Seq((-3L, -2L), (-3L, -1L), (-2L, -1L)), rows.toSeq)
+    assert(rows.find(t => t._1 == -3L && t._2 == -2L).get._3 === 0L,
+      "identical seed pair must verify at L1 = 0")
+    // the rendered SQL must carry the simulated literal (not a count(*))
+    // so the oracle widens even though the real corpus is small
+    val sql = SparkEntry.oracleSql("mm_near_dup_widened")
+    assert(sql.contains(Multimodal.WidenedOracleSimDocs.toString), sql.take(400))
+  }
+
   test("mm batch-codec restatements: frames tile the payload prefix, resize strides, features count") {
     import spark.implicits._
     val doc = spark.read.parquet(s"$dir/documents.parquet")

@@ -6,21 +6,36 @@ dumped alongside them, comparing per query: row count, column names/types,
 and value hash (columns sorted by name, rows sorted, doubles rounded).
 
 Usage: python3 tools/verify_local.py [sfDir] [outDir] [--skip-spark]
+                                     [--only q1,q2,...] [--timeout SECS]
+
+--only restricts BOTH the Spark run (graft.Verify's third arg) and the
+DuckDB compare to the named queries — the tool for gating a subset at a
+scale where the full surface is too slow (e.g. the sf1 mining family).
 """
 import json, os, subprocess, sys
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT_DIR = args[1] if len(args) > 1 else "/tmp/graft_verify"
+ONLY = None
+if "--only" in sys.argv:
+    ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+TIMEOUT = 1800
+if "--timeout" in sys.argv:
+    TIMEOUT = int(sys.argv[sys.argv.index("--timeout") + 1])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def run_spark():
+    cmd = f"runMain graft.Verify {SF_DIR} {OUT_DIR}"
+    if ONLY:
+        cmd += " " + ",".join(sorted(ONLY))
     r = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {SF_DIR} {OUT_DIR}"],
-        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        ["sbt", "-batch", cmd],
+        cwd="/root/repo", capture_output=True, text=True, timeout=TIMEOUT)
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
             print(line)
@@ -54,8 +69,14 @@ def main():
         run_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver-generated tables are single files; ScaleGen output (e.g.
+        # the sf1 twin) is a Spark-written DIRECTORY of part files
+        path = f"{SF_DIR}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    if ONLY:  # Verify dumps the FULL oracle map even when filtered
+        oracle = {k: v for k, v in oracle.items() if k in ONLY}
     failures = []
     # A query that THREW in graft.Verify has an oracle entry but no output
     # dir — without this check the loop below silently skips it and the
@@ -65,7 +86,7 @@ def main():
             failures.append((name, "no spark output dir (query threw in Verify?)"))
     for name in sorted(os.listdir(OUT_DIR)):
         d = os.path.join(OUT_DIR, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or (ONLY and name not in ONLY):
             continue
         try:
             got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
