@@ -64,16 +64,32 @@ def canon(rows, cols):
     return out
 
 
-def main():
-    if "--skip-spark" not in sys.argv:
-        run_spark()
+def fresh_con():
+    """One connection PER QUERY: the sf1 mining oracles (PPJoin/simhash/
+    CC replays in pure SQL) can hit DuckDB's memory ceiling, and a single
+    OOM poisons the connection's buffer pool so every LATER query
+    cascade-fails with tiny allocation errors — per-query isolation keeps
+    one heavy oracle's failure from voiding the rest of the gate. Spill
+    directory + a limit under the 80%-of-RAM default + bounded threads
+    (peak memory scales with parallel hash tables) give each query its
+    best shot first."""
     con = duckdb.connect()
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='100GB'")
+    con.sql(f"SET threads={os.environ.get('VERIFY_DUCKDB_THREADS', '32')}")
     for t in TABLES:
         # driver-generated tables are single files; ScaleGen output (e.g.
         # the sf1 twin) is a Spark-written DIRECTORY of part files
         path = f"{SF_DIR}/{t}.parquet"
         pat = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+    return con
+
+
+def main():
+    if "--skip-spark" not in sys.argv:
+        run_spark()
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     if ONLY:  # Verify dumps the FULL oracle map even when filtered
         oracle = {k: v for k, v in oracle.items() if k in ONLY}
@@ -88,16 +104,19 @@ def main():
         d = os.path.join(OUT_DIR, name)
         if not os.path.isdir(d) or (ONLY and name not in ONLY):
             continue
+        con = fresh_con()
         try:
             got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
             grows, gcols = got.fetchall(), [c.lower() for c in got.columns]
         except Exception as e:
             failures.append((name, f"spark result unreadable: {e}"))
+            con.close()
             continue
         if name not in oracle:
             print(f"  ~ {name}: rows-only check ({len(grows)} rows)")
             if len(grows) == 0:
                 failures.append((name, "0 rows (rows-only check)"))
+            con.close()
             continue
         try:
             want = con.sql(oracle[name])
@@ -105,6 +124,8 @@ def main():
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
+        finally:
+            con.close()
         if sorted(gcols) != sorted(wcols):
             failures.append((name, f"columns differ: spark={sorted(gcols)} oracle={sorted(wcols)}"))
             continue
