@@ -110,6 +110,38 @@ object Engine {
     else StorageLevel.MEMORY_ONLY
   }
 
+  /** Scale-adaptive fan-out exchange for per-document kernel stages
+    * (tokenize → shingle/signature/chunk kernels → explode): their
+    * parallelism otherwise comes from the SCAN split count, and a corpus
+    * smaller than cores × maxPartitionBytes reads as FEWER splits than
+    * cores — in the worst (and measured) case ONE task runs every
+    * per-doc kernel while the rest of the machine idles (sf0.1:
+    * documents.parquet is a single 0.6 MB split, and JobProbe attributed
+    * the memo-cold dedup_report wall to ~18 consecutive single-task
+    * kernel/scan jobs; it is also why the mining family scaled INVERSELY
+    * from 8 to 32 cores — extra cores only added scheduling overhead to
+    * stages that could not use them).
+    *
+    * The gate is derived from input size, not tuned to local mode
+    * (guide §2): repartition only when the optimizer's size estimate
+    * says the scan cannot already provide ≥ cores splits
+    * (size < cores × 128 MB, the default maxPartitionBytes). Under the
+    * gate the exchange is bounded by that same product (a few GB at
+    * worst, sub-MB here); above it — any serious corpus, let alone
+    * 100 TB — the scan's own split count exceeds the core count and the
+    * relation passes through untouched, so no full-corpus text shuffle
+    * is ever introduced at scale. Hash-by-key (deterministic) keeps
+    * every document whole, so per-doc aggregation orders — and therefore
+    * every rounded continuum column downstream — are unchanged. */
+  def fanoutParallel(docs: DataFrame, key: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val size = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(cores) * (128L << 20))
+      docs.repartition(cores, org.apache.spark.sql.functions.col(key))
+    else docs
+  }
+
   def eagerCheckpoint(df: DataFrame): DataFrame =
     eagerCheckpoint(df, StorageLevel.MEMORY_AND_DISK)
 

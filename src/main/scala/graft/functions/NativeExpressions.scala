@@ -210,6 +210,30 @@ object Kernels {
     }
   }
 
+  /** Every `k`-token window of a token array as its joined string, in
+    * position order — one pass, byte-identical to
+    * transform(sequence(1, n−k+1), i => concat_ws(' ', slice(w, i, k))).
+    * Shorter docs yield an empty array. The n-gram builder for the
+    * cosine/LM bigram paths, whose HOF formulation paid five interpreted
+    * lambda evaluations per window (measured: the cosine index
+    * materialization was the single heaviest CPU stage of the bench at
+    * 36.5 task-seconds, dominated by this expression). */
+  def windowStrings(words: ArrayData, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val toks = tokenStrings(words)
+    val out = new Array[Any](n - k + 1)
+    val win = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      win.setLength(0)
+      appendWindow(win, toks, i, k)
+      out(i) = UTF8String.fromString(win.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** md5-hex key of every `k`-token window of a token array, in position
     * order (window string = tokens joined by ' ', the concat_ws
     * semantics) — one pass, byte-identical to
@@ -336,6 +360,22 @@ case class SimhashSigExpr(child: Expression, nBits: Int)
     copy(child = c)
 }
 
+/** window_strings(array<string>, k) → array<string>: the joined string of
+  * every k-token window, one codegen'd pass (vs an interpreted
+  * transform + sequence + slice + concat_ws lambda chain per window) —
+  * the n-gram (bigram) builder for the cosine index and the LM tables. */
+case class WindowStringsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"window width must be positive (got $k)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.windowStrings(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.windowStrings($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WindowStringsExpr =
+    copy(child = c)
+}
+
 /** window_hashes(array<string>, k) → array<string>: md5 key per k-token
   * window, one codegen'd pass (vs an interpreted md5 + concat_ws + slice
   * lambda per window). */
@@ -414,6 +454,11 @@ object NativeFunctions {
     WindowHashesExpr(exprs.head,
       intLit(exprs(1), "graft_window_hashes", "k"))
   }
+  private[functions] def windowStringsFromSql(exprs: Seq[Expression]): Expression = {
+    requireArity(exprs, "graft_window_strings", 2, 2, "(tokens, k)")
+    WindowStringsExpr(exprs.head,
+      intLit(exprs(1), "graft_window_strings", "k"))
+  }
   private[functions] def cdcChunkKeysFromSql(exprs: Seq[Expression]): Expression = {
     requireArity(exprs, "graft_cdc_chunk_keys", 3, 3,
       "(tokens, windowTokens, boundaryMod)")
@@ -436,6 +481,8 @@ object NativeFunctions {
       "graft_simhash_sig", simhashSigFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window_hashes", windowHashesFromSql, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_strings", windowStringsFromSql, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_chunk_keys", cdcChunkKeysFromSql, "built-in")
   }
@@ -469,6 +516,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_window_hashes"),
       new ExpressionInfo(classOf[WindowHashesExpr].getName, "graft_window_hashes"),
       NativeFunctions.windowHashesFromSql _))
+    e.injectFunction((
+      FunctionIdentifier("graft_window_strings"),
+      new ExpressionInfo(classOf[WindowStringsExpr].getName, "graft_window_strings"),
+      NativeFunctions.windowStringsFromSql _))
     e.injectFunction((
       FunctionIdentifier("graft_cdc_chunk_keys"),
       new ExpressionInfo(classOf[CdcChunkKeysExpr].getName, "graft_cdc_chunk_keys"),

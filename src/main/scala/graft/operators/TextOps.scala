@@ -150,7 +150,10 @@ object TextOps {
     import org.apache.spark.sql.graft.ColumnBridge
     val whs = ColumnBridge.column(graft.functions.WindowHashesExpr(
       ColumnBridge.expression(tokens(col("text"))), SpanSeedTokens))
-    docs.select(col("doc_id"), posexplode(whs).as(Seq("p", "h")))
+    // fan-out before the kernel+explode (Engine.fanoutParallel): per-doc
+    // only, so the repartition is invisible to every downstream consumer
+    Engine.fanoutParallel(docs)
+      .select(col("doc_id"), posexplode(whs).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("h"))
   }
 
@@ -277,7 +280,9 @@ object TextOps {
     val keys = ColumnBridge.column(graft.functions.CdcChunkKeysExpr(
       ColumnBridge.expression(tokens(col("text"))),
       CdcWindowTokens, CdcBoundaryMod))
-    docs.select(col("doc_id"), explode(keys).as("ck")).distinct()
+    // fan-out before the kernel+explode (Engine.fanoutParallel)
+    Engine.fanoutParallel(docs)
+      .select(col("doc_id"), explode(keys).as("ck")).distinct()
   }
 
   /** HOF-fold twin of the [[cdcChunkSets]] kernel (built-ins only) —
@@ -460,7 +465,9 @@ object TextOps {
   private def ngramJaccardImpl(spark: SparkSession, dir: String,
       threshold: Double, eager: Boolean): DataFrame =
     ngramJaccardFromShingles(
-      tbl(spark, dir, "documents")
+      // fan-out: the shingle kernel + the inverted-index explode ride
+      // this projection — scan-split-bound without it (Engine.fanoutParallel)
+      Engine.fanoutParallel(tbl(spark, dir, "documents"))
         .select(col("doc_id"), shingles(col("text")).as("sh")),
       threshold, eager,
       if (eager) Engine.miningLevel(tbl(spark, dir, "documents"))
@@ -673,7 +680,11 @@ object TextOps {
     val toks = ColumnBridge.expression(tokens(col("text")))
     def k(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       ColumnBridge.column(e)
-    docs.filter(col("text").isNotNull).select(col("doc_id"),
+    // fan-out (Engine.fanoutParallel): ALL FIVE artifact kernels evaluate
+    // in this one projection — on a small-split corpus that was a single
+    // task (the measured serial head of the memo-cold report wall)
+    Engine.fanoutParallel(docs)
+      .filter(col("text").isNotNull).select(col("doc_id"),
       md5(col("text").cast("binary")).as("th"),
       shingles(col("text")).as("sh"),
       k(graft.functions.SimhashSigExpr(toks, SimhashBits)).as("sig"),
@@ -845,9 +856,9 @@ object TextOps {
       .distinct()
     val ids = norm.select(explode(array(col("doc_a"), col("doc_b")))
       .as("doc_id")).distinct()
-    val d = tbl(spark, dir, "documents")
+    val d = Engine.fanoutParallel(tbl(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .join(ids, Seq("doc_id"), "left_semi")
+      .join(ids, Seq("doc_id"), "left_semi"))
     // per-doc artifacts, array-valued so the pair evidence is pure
     // expression math after two id equi-joins
     val perDoc = d
@@ -1254,7 +1265,12 @@ object TextOps {
     // tokenize→hash→aggregate signature pipeline once per join side.
     // Storage medium size-adaptive via Engine.miningLevel.
     val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
-    simhashPairsFromSigs(simhashSig(spark, dir), maxHamming, lvl)
+    // fan-out around the signature kernel (Engine.fanoutParallel) — in
+    // the MINER only: the standalone dedup_simhash query stays the pure
+    // map-only scan its plan spec pins
+    simhashPairsFromSigs(
+      simhashSigOf(Engine.fanoutParallel(tbl(spark, dir, "documents"))),
+      maxHamming, lvl)
   }
 
   /** The banded mining dataflow over a prepared (doc_id, sig) signature
@@ -1275,9 +1291,11 @@ object TextOps {
       maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(bandedSimhash(spark, dir), maxHamming)
 
-  /** Signatures exploded onto their [[SimhashBands]] band buckets. */
+  /** Signatures exploded onto their [[SimhashBands]] band buckets
+    * (fan-out as in the eager miner, so the lazy twin pins its plan). */
   private def bandedSimhash(spark: SparkSession, dir: String): DataFrame =
-    bandedSimhashFrom(simhashSig(spark, dir))
+    bandedSimhashFrom(
+      simhashSigOf(Engine.fanoutParallel(tbl(spark, dir, "documents"))))
 
   private def bandedSimhashFrom(sigs: DataFrame): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
@@ -1350,7 +1368,9 @@ object TextOps {
     // bucket memberships feed the hot-bucket census, the stats action,
     // and both sides of the candidate self-join
     val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
-    val buckets = bandBuckets(minhashSignatures(spark, dir)).persist(lvl)
+    // fan-out around the signature/shingle kernels (Engine.fanoutParallel)
+    val fdocs = Engine.fanoutParallel(tbl(spark, dir, "documents"))
+    val buckets = bandBuckets(minhashSignaturesOf(fdocs)).persist(lvl)
     // hot-bucket census — tiny by definition (only buckets over the cap),
     // so it is collected ONCE and excluded via a literal filter: an
     // anti-join against the census relation would re-execute the census
@@ -1386,7 +1406,7 @@ object TextOps {
       .distinct()
     // exact verify on the candidates only (persisted: used by both join
     // sides; freed once the result materializes)
-    val docs = tbl(spark, dir, "documents")
+    val docs = fdocs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .persist(lvl)
     val result = cand
@@ -1442,8 +1462,13 @@ object TextOps {
     // two-relation twin below is the library entry (and PlanSpec's
     // audit target); in production the seen side's signatures/shingles
     // are ingest-time artifacts read back, not recomputed.
-    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val lvl = Engine.miningLevel(docs)
+    val lvl = Engine.miningLevel(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text")))
+    // fan-out (Engine.fanoutParallel): both sides' artifact kernels (band
+    // signatures, shingle sets, span windows) evaluate from these cached
+    // projections, whose partitioning is otherwise the scan's split count
+    val docs = Engine.fanoutParallel(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text")))
     val fresh = docs.filter(col("doc_id") >= splitId).persist(lvl)
     val seen = docs.filter(col("doc_id") < splitId).persist(lvl)
     val out = Engine.eagerCheckpoint(
@@ -1759,17 +1784,16 @@ object TextOps {
 
   /** [[textRepetition]] over any (doc_id, text) relation. */
   def textRepetitionOf(documents: DataFrame): DataFrame = {
-    val docs = documents
+    val docs = Engine.fanoutParallel(documents)
       .select(col("doc_id"), tokens(col("text")).as("w"),
         size(shingles(col("text"))).as("n3d"))
       .filter(size(col("w")) >= 2)
-    val bigrams = zip_with(
-      slice(col("w"), lit(1), size(col("w")) - 1),
-      slice(col("w"), lit(2), size(col("w")) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // bigram strings via the one-pass kernel (identical to the previous
+    // zip_with(slice, slice, concat) formulation on split output — split
+    // yields no null elements, so concat vs concat_ws cannot differ)
     docs
       .select(col("doc_id"), size(col("w")).as("n"), col("n3d"),
-        explode(bigrams).as("bg"))
+        explode(bigramsOfTokens(col("w"))).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"), max(col("n")).as("n"), max(col("n3d")).as("n3d"))
       .groupBy(col("doc_id"))
@@ -1849,15 +1873,15 @@ object TextOps {
     * class (boundary-collision exposure ~1e-8/doc), not tf·idf's
     * pointwise class. */
   /** The LM-score dataflow over a (possibly cached) occurrence relation:
-    * LM table, context counts derived from it, vocabulary size, probe. */
-  private def lmScoreFrom(spark: SparkSession, dir: String,
-      occ: DataFrame, big: DataFrame): DataFrame = {
+    * LM table, context counts derived from it, vocabulary probe `v`
+    * (supplied by the caller so it derives from the SAME tokenized scan
+    * as the occurrences — previously a second full corpus scan +
+    * tokenization of its own). */
+  private def lmScoreFrom(occ: DataFrame, big: DataFrame,
+      v: DataFrame): DataFrame = {
     val ctx = big
       .groupBy(substring_index(col("term"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cw"))
-    val v = tbl(spark, dir, "documents")
-      .select(explode(tokens(col("text"))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
     // big/ctx are LEFT UNHINTED (the containmentFromSets discipline): at
     // bench scale AQE broadcasts them — same plan a hint would force —
     // but the distinct-bigram table of a 100 TB corpus outgrows any
@@ -1876,24 +1900,41 @@ object TextOps {
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logp"))
   }
 
-  /** Per-doc bigram occurrences (non-distinct: the LM sees repeats). */
-  private def lmOccurrences(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("term"))
+  /** Tokenized corpus projection for the LM tables — ONE scan + tokenize
+    * shared by the bigram occurrences AND the unigram vocabulary census
+    * (previously two independent corpus scans, each re-tokenizing;
+    * guide §6 scan reuse). Fan-out per [[Engine.fanoutParallel]]: the
+    * materialization was a SINGLE task on a single-split corpus (JobProbe
+    * r14: a 1.4 s one-task job was two thirds of the query wall). */
+  private def lmTokens(spark: SparkSession, dir: String): DataFrame =
+    Engine.fanoutParallel(tbl(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+
+  /** Per-doc bigram occurrences (non-distinct: the LM sees repeats) over
+    * a tokenized (doc_id, w) relation. */
+  private def lmOccurrences(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(bigramsOfTokens(col("w"))).as("term"))
+
+  /** Unigram vocabulary census over the same tokenized relation. */
+  private def lmVocab(toks: DataFrame): DataFrame =
+    toks.select(explode(col("w")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
 
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
-    // occ is referenced by BOTH the LM-table aggregation and the probe
-    // join, so cached once: Catalyst shares no common subplans and an
-    // un-persisted occ would scan + explode the corpus twice; the LM
-    // table is itself referenced twice (ctx derivation + probe join) and
-    // is eagerly materialized (dedup-job idiom) — which also materializes
-    // occ's cache before the probe reads it
+    // the TOKENIZED projection is cached (not the exploded occurrences):
+    // it is read by the LM-table aggregation, the probe join AND the
+    // vocabulary census — three consumers, one scan+tokenize. Caching
+    // token arrays (one row per doc) holds ~an order less block memory
+    // than the exploded occurrence rows the previous shape cached, and
+    // re-exploding from the cache is one cheap kernel pass per consumer.
     val lvl = Engine.miningLevel(tbl(spark, dir, "documents"))
-    val occ = lmOccurrences(spark, dir).persist(lvl)
+    val toks = lmTokens(spark, dir).persist(lvl)
+    val occ = lmOccurrences(toks)
     val big = Engine.eagerCheckpoint(
       occ.groupBy("term").agg(count(lit(1)).as("cb")), lvl)
-    val out = Engine.eagerCheckpoint(lmScoreFrom(spark, dir, occ, big), lvl)
-    occ.unpersist(true)
+    val out = Engine.eagerCheckpoint(
+      lmScoreFrom(occ, big, lmVocab(toks)), lvl)
+    toks.unpersist(true)
     out
   }
 
@@ -1901,9 +1942,10 @@ object TextOps {
     * localCheckpoint truncates lineage, so PlanSpec audits THIS dataflow
     * (identical builder, no caching). */
   private[graft] def textLmScoreLazy(spark: SparkSession, dir: String): DataFrame = {
-    val occ = lmOccurrences(spark, dir)
-    lmScoreFrom(spark, dir, occ,
-      occ.groupBy("term").agg(count(lit(1)).as("cb")))
+    val toks = lmTokens(spark, dir)
+    val occ = lmOccurrences(toks)
+    lmScoreFrom(occ, occ.groupBy("term").agg(count(lit(1)).as("cb")),
+      lmVocab(toks))
   }
 
   /** Deterministic stratified sampling — fixed per-(lang, decile) quotas
@@ -1976,8 +2018,28 @@ object TextOps {
     * corpus (this testdata has 31 distinct words, so every token is in
     * nearly every doc and the inverted index degenerates to all-pairs);
     * word bigrams grow the term space combinatorially, which is also the
-    * standard trick for hot natural-language vocabularies. */
-  private def bigrams(text: Column): Column = {
+    * standard trick for hot natural-language vocabularies.
+    *
+    * Native one-pass kernel (WindowStringsExpr) — the HOF chain below is
+    * interpreted per window and was THE heaviest CPU stage of the bench
+    * (the cosine index materialization, 36.5 task-seconds at sf0.1;
+    * JobProbe r14). Byte-identical strings ([[bigramsLambda]] pins it);
+    * a doc with < 2 tokens yields no bigrams either way (the kernel's
+    * empty array and the twin's guard both explode to zero rows). */
+  private[graft] def bigrams(text: Column): Column =
+    bigramsOfTokens(tokens(text))
+
+  /** [[bigrams]] over an already-tokenized array column — the shared
+    * tokenized-scan consumers (textLmScore) enter here. */
+  private[graft] def bigramsOfTokens(w: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.WindowStringsExpr(
+      ColumnBridge.expression(w), 2))
+  }
+
+  /** HOF-chain twin of [[bigrams]] (built-ins only) — kept for
+    * cross-validation of the one-pass kernel. */
+  private[graft] def bigramsLambda(text: Column): Column = {
     val w = tokens(text)
     // guard: sequence(1, 0) would DESCEND ([1,0]) on a 1-token doc
     when(size(w) >= 2,

@@ -55,6 +55,28 @@ class NativeExprSpec extends SparkSpec {
     edges.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("bigrams kernel == HOF chain on the whole corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val diff = docs.filter(col("text").isNotNull).select(
+        TextOps.bigrams(col("text")).as("k"),
+        TextOps.bigramsLambda(col("text")).as("l"))
+      .filter(col("k") =!= col("l")).count()
+    assert(diff === 0)
+    // edge cases: 0/1/2 tokens, repeats (non-distinct), empty tokens from
+    // a double space (split keeps them; the window joiner must too)
+    import spark.implicits._
+    val edges = Seq("", "a", "a b", "a b c", "a  b", "x y x y").toDF("text")
+      .select(TextOps.bigrams(col("text")).as("k"),
+        TextOps.bigramsLambda(col("text")).as("l"))
+      .collect()
+    edges.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // null text: kernel yields NULL, twin yields [] — every consumer
+    // explodes, where both produce zero rows
+    val nulls = Seq[Option[String]](None).toDF("text")
+    assert(nulls.select(explode(TextOps.bigrams(col("text")))).count() === 0)
+    assert(nulls.select(explode(TextOps.bigramsLambda(col("text")))).count() === 0)
+  }
+
   test("nfc kernel: composes decomposed accents, identity on ASCII/composed") {
     import spark.implicits._
     // "é" decomposed (e + COMBINING ACUTE) vs precomposed U+00E9
