@@ -465,9 +465,15 @@ object TextOps {
   private def ngramJaccardImpl(spark: SparkSession, dir: String,
       threshold: Double, eager: Boolean): DataFrame =
     ngramJaccardFromShingles(
-      // fan-out: the shingle kernel + the inverted-index explode ride
-      // this projection — scan-split-bound without it (Engine.fanoutParallel)
-      Engine.fanoutParallel(tbl(spark, dir, "documents"))
+      // deliberately NOT fan-out-repartitioned (Engine.fanoutParallel):
+      // measured at sf0.1 the miner got ~15% SLOWER with it — the shingle
+      // kernel is cheap here while the global `freq` aggregation keys on
+      // the full 27k-shingle vocabulary, so splitting its input across
+      // `cores` partitions destroys the map-side combine (partial-agg
+      // output grew ~27k -> ~250k shuffled rows, outweighing the kernel
+      // parallelism). The CDC/window-hash miners keep the fan-out: their
+      // kernels dominate their aggs (bench r14 batch-1 vs batch-2 A/B).
+      tbl(spark, dir, "documents")
         .select(col("doc_id"), shingles(col("text")).as("sh")),
       threshold, eager,
       if (eager) Engine.miningLevel(tbl(spark, dir, "documents"))
@@ -739,6 +745,16 @@ object TextOps {
         s"cdc|$cdcThreshold", "containment")
         .forall(k => minedMemo.contains((appId, dir, k)))
     }
+    // Pre-fill the shared artifact cache BEFORE forking the miners (cold
+    // path only — the all-warm report never computes arts at all): the
+    // four concurrent miner jobs otherwise RACE the unfilled cache, and
+    // every task that loses a partition's block-write lock sits BLOCKED
+    // in a task slot until the winner finishes computing it — with
+    // cores-many cache partitions and four racing jobs, most of the
+    // executor is stalled lock-waiting exactly when the miners' real
+    // stages want slots (JobProbe r14: summed task time nearly doubled
+    // without this). One parallel fill job, then every miner reads warm.
+    if (!allWarm) arts.count()
     val hashed =
       if (allWarm)
         docs.filter(col("text").isNotNull).select(col("doc_id"),
@@ -1083,7 +1099,7 @@ object TextOps {
     * partition), where a rank window would sort every cluster. */
   def dedupKeepBest(spark: SparkSession, dir: String,
       threshold: Double = DefaultNearDupThreshold): DataFrame = {
-    val quality = tbl(spark, dir, "documents")
+    val quality = Engine.fanoutParallel(tbl(spark, dir, "documents"))
       .select(col("doc_id"), qualityBpOf(col("text")).as("quality_bp"))
     dedupClusters(spark, dir, threshold)
       .join(quality, "doc_id")
@@ -1462,13 +1478,12 @@ object TextOps {
     // two-relation twin below is the library entry (and PlanSpec's
     // audit target); in production the seen side's signatures/shingles
     // are ingest-time artifacts read back, not recomputed.
-    val lvl = Engine.miningLevel(
-      tbl(spark, dir, "documents").select(col("doc_id"), col("text")))
-    // fan-out (Engine.fanoutParallel): both sides' artifact kernels (band
-    // signatures, shingle sets, span windows) evaluate from these cached
-    // projections, whose partitioning is otherwise the scan's split count
-    val docs = Engine.fanoutParallel(
-      tbl(spark, dir, "documents").select(col("doc_id"), col("text")))
+    // deliberately NOT fan-out-repartitioned: the md5/minhash artifacts
+    // are cheap per doc and the band/window joins re-key immediately, so
+    // the extra exchange measured as a ~15-30% regression at sf0.1
+    // (bench r14 batch-1); the heavy-kernel miners keep the fan-out
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val lvl = Engine.miningLevel(docs)
     val fresh = docs.filter(col("doc_id") >= splitId).persist(lvl)
     val seen = docs.filter(col("doc_id") < splitId).persist(lvl)
     val out = Engine.eagerCheckpoint(
@@ -2678,7 +2693,13 @@ object TextOps {
     // them silently, and "spend budget on docs we cannot quality-rank"
     // is not a sensible contract anyway — the exclusion is explicit here
     // and mirrored in the oracle SQL so both engines share it
-    val docs = tbl(spark, dir, "documents")
+    // fan-out (Engine.fanoutParallel) does double duty here: the quality/
+    // token scoring parallelizes past the scan split count, and because
+    // BOTH references of `docs` (level histogram + probe) now root at the
+    // IDENTICAL scan→exchange subtree, ReuseExchange collapses the two
+    // corpus scans into one exchange read twice — the scan-reuse this
+    // operator previously declined to buy with a persist
+    val docs = Engine.fanoutParallel(tbl(spark, dir, "documents"))
       .select(col("doc_id"), qualityBpOf(col("text")).as("quality_bp"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .filter(col("quality_bp").isNotNull)
