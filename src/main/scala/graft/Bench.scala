@@ -78,6 +78,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized for the full query surface (see
+      // Engine.CodegenCacheMaxEntries): with Spark's 100-entry default,
+      // the 116 queries evict each other's codegen classes every pass and
+      // each sample re-pays serial driver-side Janino compilation —
+      // measured r14: the full suite dropped 85 -> 47 s from this alone,
+      // uniformly across queries, at both bench core counts. Content-
+      // addressed compiler cache — no data or results are cached.
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.Engine.CodegenCacheMaxEntries.toString)
     // Shuffle/spill files on tmpfs when available (single-box harness
     // posture, the ramdisk-local-dir idiom of real deployments): at
     // sf0.1 the shuffle files are MBs, but writing them through the

@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen-class cache sized for the full surface (Engine scaladoc)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.Engine.CodegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

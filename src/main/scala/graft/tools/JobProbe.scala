@@ -35,6 +35,8 @@ object JobProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.Engine.CodegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // bench warmup twin

@@ -45,6 +45,8 @@ object ReportProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.Engine.CodegenCacheMaxEntries.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -77,6 +79,25 @@ object ReportProfile {
         arts.select(col("doc_id"), col("sh")),
         TextOps.DefaultNearDupThreshold, eager = true, lvl).count()
     }
+    // partitioning A/B (r14): the same miner over the same warm cache
+    // read through a narrow coalesce — discriminates how much of the
+    // miner's wall is input-partition-count-sensitive (map-side combine
+    // loss in the vocab-keyed freq agg vs kernel/explode parallelism)
+    val tJacC4 = time {
+      TextOps.ngramJaccardFromShingles(
+        arts.select(col("doc_id"), col("sh")).coalesce(4),
+        TextOps.DefaultNearDupThreshold, eager = true, lvl).count()
+    }
+    val tJacC1 = time {
+      TextOps.ngramJaccardFromShingles(
+        arts.select(col("doc_id"), col("sh")).coalesce(1),
+        TextOps.DefaultNearDupThreshold, eager = true, lvl).count()
+    }
+    val tJac2 = time {
+      TextOps.ngramJaccardFromShingles(
+        arts.select(col("doc_id"), col("sh")),
+        TextOps.DefaultNearDupThreshold, eager = true, lvl).count()
+    }
     val tSh = time {
       TextOps.simhashPairsFromSigs(
         arts.select(col("doc_id"), col("sig")), 3, lvl).count()
@@ -99,6 +120,8 @@ object ReportProfile {
     val serialSum = tArts + tJac + tSh + tCdc + tCt
     val json = f"""{"tool":"report_profile","sf":"$sfDir","cpus":$cpus,""" +
       f""""artifacts_s":$tArts%.3f,"jaccard_s":$tJac%.3f,""" +
+      f""""jaccard_c4_s":$tJacC4%.3f,"jaccard_c1_s":$tJacC1%.3f,""" +
+      f""""jaccard_rep2_s":$tJac2%.3f,""" +
       f""""simhash_s":$tSh%.3f,"cdc_s":$tCdc%.3f,""" +
       f""""containment_s":$tCt%.3f,"serial_sum_s":$serialSum%.3f,""" +
       f""""report_cold_s":$tReport%.3f}"""
