@@ -156,9 +156,16 @@ object Engine {
     val spark = docs.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val size = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size < BigInt(cores) * (128L << 20))
-      docs.repartition(cores, org.apache.spark.sql.functions.col(key))
-    else docs
+    if (size < BigInt(cores) * (128L << 20)) {
+      // partition count sized to the DATA, capped by the cores: one task
+      // per ~64 KB of (compressed) input keeps kernel tasks above the
+      // scheduling quantum — blindly using `cores` made sub-second
+      // queries SLOWER at 32 cores than at 8 (the r14 8-vs-32 scaling
+      // run: 32 near-empty tasks per stage cost more than the kernel
+      // parallelism they bought on a sub-MB corpus)
+      val parts = BigInt(2).max(BigInt(cores).min(size / 65536)).toInt
+      docs.repartition(parts, org.apache.spark.sql.functions.col(key))
+    } else docs
   }
 
   def eagerCheckpoint(df: DataFrame): DataFrame =

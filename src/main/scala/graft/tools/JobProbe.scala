@@ -81,13 +81,26 @@ object JobProbe {
         sys.error(s"unknown query $name"))
       (1 to repeats).foreach { rep =>
         release()
+        // drain the async listener bus BEFORE clearing (round-13 ADVICE:
+        // a prior rep's late events otherwise leak into this rep, and the
+        // final job's end event can be missing when the maps are read)
+        def drain(): Unit = {
+          val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+          while (jobEnd.size < jobs.size && System.nanoTime() < deadline)
+            Thread.sleep(20)
+        }
+        drain()
         jobs.clear(); jobEnd.clear(); jobStages.clear(); stages.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        drain()
         println(f"%n=== $name rep $rep wall=$wall%.3f s ===")
         import scala.jdk.CollectionConverters._
         val rows = jobs.asScala.toSeq.sortBy(_._1).map { case (id, (t0j, site)) =>
+          if (!jobEnd.containsKey(id))
+            System.err.println(s"[jobprobe] job $id end event missing " +
+              "(listener bus did not drain) — its duration reads 0")
           val dur = (jobEnd.getOrDefault(id, t0j) - t0j) / 1000.0
           val sids = jobStages.getOrDefault(id, Seq.empty)
           val ss = sids.flatMap(s => Option(stages.get(s)))

@@ -57,19 +57,34 @@ object PlanDump {
     java.nio.file.Files.createDirectories(out)
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    var failed = 0
     selected.foreach { case (name, fn) =>
+      val substituted = lazyTwins.contains(name)
       val build = lazyTwins.getOrElse(name, fn)
       try {
         val df = build(spark, sfDir)
-        val txt = df.queryExecution.explainString(
+        // self-identifying header (round-13 ADVICE): a substituted dump
+        // must say so IN the artifact, or later plan diffs misattribute
+        val header =
+          if (substituted) s"# lazy-twin substitute for $name (the " +
+            "shipped op materializes eagerly; this is the identical " +
+            "dataflow minus caches/checkpoints)\n"
+          else ""
+        val txt = header + df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(out.resolve(s"${name}_$suffix.txt"),
           txt.getBytes("UTF-8"))
         System.err.println(s"[plandump] $name ok")
       } catch { case e: Throwable =>
-        System.err.println(s"[plandump] $name FAILED: ${e.getClass.getName}")
+        failed += 1
+        System.err.println(s"[plandump] $name FAILED: " +
+          s"${e.getClass.getName}: ${e.getMessage}")
       }
     }
+    System.err.println(
+      s"[plandump] done: ${selected.size - failed}/${selected.size} dumped" +
+        (if (failed > 0) s", $failed FAILED" else ""))
     try spark.stop() catch { case _: Throwable => () }
+    if (failed > 0) System.exit(1)
   }
 }
